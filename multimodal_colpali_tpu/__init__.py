@@ -1,0 +1,22 @@
+"""TPU-native multi-modal ColPali RAG framework.
+
+A brand-new JAX/XLA/Pallas/pjit framework with the capabilities of the
+pkocbek/multi-modal_colpali biomedical RAG pipeline (reference mounted at
+/root/reference):
+
+- PDF page rasterization + image preprocessing as a host C++ stage feeding
+  fused device preprocessing (replaces poppler/pdf2image + PIL hot path).
+- ColPali-family vision-language encoders as JAX bf16 forward passes under
+  pjit, emitting multi-vector page embeddings (replaces torch+flash-attn).
+- A fused Pallas MaxSim late-interaction scorer with sharded top-k over ICI
+  and a two-stage quantized-scan -> exact-rescore pipeline (replaces the
+  Qdrant multivector MAX_SIM search on the hot path).
+- The reference's public surface (``functions.py`` helpers, drivers 01-06,
+  artifact formats) re-exposed on top of the TPU engine.
+
+See SURVEY.md for the structural analysis of the reference and the build plan.
+"""
+
+__version__ = "0.1.0"
+
+from multimodal_colpali_tpu.documents import Document  # noqa: F401
