@@ -1,0 +1,315 @@
+"""Device-resident multi-vector (late-interaction) page store.
+
+TPU-native replacement for the reference's Qdrant ColPali collections
+(created at 01_create_context_qdrant.py:208-222 with 128-d COSINE
+multivectors and the MAX_SIM comparator; queried via
+``client.query_points`` at functions.py:893-926).
+
+Design:
+- **Host of record, device cache.** Upserts/deletes mutate packed NumPy
+  arrays + payload dicts on the host; the first query after a mutation
+  uploads the corpus to HBM (optionally sharded over a mesh axis so a pod
+  slice splits the page axis). Queries then run entirely on device: the
+  fused Pallas MaxSim kernel + (sharded) top-k.
+- **Filters fold into token counts.** A payload filter produces a boolean
+  page mask; masked pages are scored with zero valid tokens, which the
+  kernel turns into a ~-1e30 score, so filtering costs nothing on the hot
+  path and needs no extra kernel. Results with sentinel scores are dropped.
+- **Two-stage quantized search.** With ``quantized=True`` the store also
+  keeps an int8 copy with per-token scales; searches run the int8 kernel
+  for ``limit * oversampling`` candidates and rescore them with the bf16
+  kernel, mirroring Qdrant's scalar-quantization search params
+  (``ignore/rescore/oversampling``, reference functions.py:897-903).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_colpali_tpu.ops import maxsim as maxsim_ops
+from multimodal_colpali_tpu.ops import topk as topk_ops
+from multimodal_colpali_tpu.store import types as t
+
+_FILTERED_SCORE_FLOOR = -1e28  # anything below this is a masked/padded page
+
+
+class MultiVectorStore:
+    """One named collection of multi-vector points with MaxSim search."""
+
+    def __init__(
+        self,
+        name: str,
+        dim: int = 128,
+        max_tokens: int = 1056,
+        distance: t.Distance = t.Distance.COSINE,
+        dtype: Any = jnp.bfloat16,
+        quantized: bool = False,
+        mesh: Optional[Mesh] = None,
+        mesh_axis: str = "corpus",
+    ):
+        self.name = name
+        self.dim = dim
+        self.max_tokens = max_tokens
+        self.distance = distance
+        self.dtype = dtype
+        self.quantized = quantized
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
+
+        self._vectors = np.zeros((0, max_tokens, dim), dtype=np.float32)
+        self._lens = np.zeros((0,), dtype=np.int32)
+        self._ids: List[Union[int, str]] = []
+        self._payloads: List[Dict[str, Any]] = []
+        self._id_to_idx: Dict[Union[int, str], int] = {}
+
+        self._device_cache: Optional[Tuple[jax.Array, jax.Array]] = None
+        self._device_cache_int8: Optional[Tuple[jax.Array, jax.Array]] = None
+        self._dirty = True
+
+    # -- mutation ----------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    def upsert(self, points: Sequence[t.PointStruct]) -> t.UpdateResult:
+        new_vecs, new_lens, new_rows = [], [], []
+        for pt in points:
+            vec = np.asarray(pt.vector, dtype=np.float32)
+            if vec.ndim != 2 or vec.shape[1] != self.dim:
+                raise ValueError(
+                    f"multivector point must be [n_tokens, {self.dim}], got {vec.shape}"
+                )
+            n = min(vec.shape[0], self.max_tokens)
+            if self.distance == t.Distance.COSINE:
+                norms = np.linalg.norm(vec[:n], axis=-1, keepdims=True)
+                vec = vec[:n] / np.maximum(norms, 1e-12)
+            else:
+                vec = vec[:n]
+            padded = np.zeros((self.max_tokens, self.dim), dtype=np.float32)
+            padded[:n] = vec
+            if pt.id in self._id_to_idx:  # overwrite in place
+                idx = self._id_to_idx[pt.id]
+                self._vectors[idx] = padded
+                self._lens[idx] = n
+                self._payloads[idx] = dict(pt.payload)
+            else:
+                new_vecs.append(padded)
+                new_lens.append(n)
+                new_rows.append(pt)
+        if new_vecs:
+            base = len(self._ids)
+            self._vectors = np.concatenate([self._vectors, np.stack(new_vecs)], axis=0)
+            self._lens = np.concatenate([self._lens, np.asarray(new_lens, np.int32)])
+            for off, pt in enumerate(new_rows):
+                self._ids.append(pt.id)
+                self._payloads.append(dict(pt.payload))
+                self._id_to_idx[pt.id] = base + off
+        self._dirty = True
+        return t.UpdateResult()
+
+    def delete(self, ids: Optional[Sequence[Union[int, str]]] = None,
+               flt: Optional[t.Filter] = None) -> t.UpdateResult:
+        drop = set()
+        if ids is not None:
+            drop.update(self._id_to_idx[i] for i in ids if i in self._id_to_idx)
+        if flt is not None:
+            drop.update(i for i, p in enumerate(self._payloads) if flt.matches(p))
+        if not drop:
+            return t.UpdateResult()
+        keep = [i for i in range(len(self._ids)) if i not in drop]
+        self._vectors = self._vectors[keep]
+        self._lens = self._lens[keep]
+        self._ids = [self._ids[i] for i in keep]
+        self._payloads = [self._payloads[i] for i in keep]
+        self._id_to_idx = {pid: i for i, pid in enumerate(self._ids)}
+        self._dirty = True
+        return t.UpdateResult()
+
+    def scroll(self, flt: Optional[t.Filter] = None, limit: int = 100,
+               offset: int = 0, with_vectors: bool = False) -> Tuple[List[t.Record], Optional[int]]:
+        matching = [
+            i for i, p in enumerate(self._payloads) if flt is None or flt.matches(p)
+        ]
+        window = matching[offset: offset + limit]
+        records = [
+            t.Record(
+                id=self._ids[i],
+                payload=dict(self._payloads[i]),
+                vector=self._vectors[i, : self._lens[i]].tolist() if with_vectors else None,
+            )
+            for i in window
+        ]
+        next_off = offset + limit if offset + limit < len(matching) else None
+        return records, next_off
+
+    def count(self, flt: Optional[t.Filter] = None) -> int:
+        if flt is None:
+            return len(self._ids)
+        return sum(1 for p in self._payloads if flt.matches(p))
+
+    # -- device cache ------------------------------------------------------
+
+    def _pad_to_block(self, arr: np.ndarray, mult: int) -> np.ndarray:
+        p = arr.shape[0]
+        pad = (-p) % mult
+        if pad == 0:
+            return arr
+        return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)], axis=0)
+
+    def _sharding(self, spec: P):
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, spec)
+
+    def _ensure_device(self) -> Tuple[jax.Array, jax.Array]:
+        if self._device_cache is not None and not self._dirty:
+            return self._device_cache
+        # Pad the page axis to a multiple of the mesh size (even shards) and
+        # of 8 (clean kernel page blocks); padded pages have zero tokens.
+        import math
+        mult = 8 if self.mesh is None else math.lcm(self.mesh.shape[self.mesh_axis], 8)
+        vecs = self._pad_to_block(self._vectors, mult)
+        lens = self._pad_to_block(self._lens, mult)
+        shard_v = self._sharding(P(self.mesh_axis))
+        shard_l = self._sharding(P(self.mesh_axis))
+        d = jax.device_put(vecs.astype(self.dtype), shard_v) if shard_v else jnp.asarray(vecs, self.dtype)
+        dl = jax.device_put(lens, shard_l) if shard_l else jnp.asarray(lens)
+        self._device_cache = (d, dl)
+        if self.quantized:
+            dq, ds = maxsim_ops.quantize_corpus_int8(jnp.asarray(vecs))
+            if shard_v:
+                dq = jax.device_put(dq, shard_v)
+                ds = jax.device_put(ds, self._sharding(P(self.mesh_axis)))
+            self._device_cache_int8 = (dq, ds)
+        self._dirty = False
+        return self._device_cache
+
+    # -- search ------------------------------------------------------------
+
+    def _filter_lens(self, dl: jax.Array, flt: Optional[t.Filter]) -> jax.Array:
+        if flt is None:
+            return dl
+        mask = np.zeros(dl.shape[0], dtype=np.int32)
+        for i, payload in enumerate(self._payloads):
+            if flt.matches(payload):
+                mask[i] = 1
+        m = jnp.asarray(mask)
+        if self.mesh is not None:
+            m = jax.device_put(m, self._sharding(P(self.mesh_axis)))
+        return dl * m
+
+    def query(
+        self,
+        query: Any,
+        limit: int = 5,
+        query_filter: Optional[t.Filter] = None,
+        search_params: Optional[t.SearchParams] = None,
+        with_vectors: bool = False,
+    ) -> t.QueryResponse:
+        """MaxSim search for one query (``[n_q_tokens, dim]`` list/array)."""
+        q = np.asarray(query, dtype=np.float32)
+        if q.ndim != 2 or q.shape[1] != self.dim:
+            raise ValueError(f"query must be [n_tokens, {self.dim}], got {q.shape}")
+        if self.distance == t.Distance.COSINE:
+            q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        if len(self._ids) == 0:
+            return t.QueryResponse(points=[])
+
+        d, dl = self._ensure_device()
+        dl_eff = self._filter_lens(dl, query_filter)
+        qj = jnp.asarray(q[None, ...], self.dtype)
+
+        quant = search_params.quantization if search_params else None
+        use_two_stage = (
+            self.quantized
+            and self._device_cache_int8 is not None
+            and not (quant and quant.ignore)
+        )
+        if use_two_stage:
+            oversampling = quant.oversampling if quant else 2.0
+            rescore = quant.rescore if quant else True
+            n_cand = min(int(np.ceil(limit * max(oversampling, 1.0))), d.shape[0])
+            dq, ds = self._device_cache_int8
+            approx = maxsim_ops.maxsim_scores_int8_pallas(
+                jnp.asarray(q[None, ...], jnp.float32), dq, ds, None, dl_eff,
+                interpret=jax.default_backend() != "tpu",
+            )
+            cv, ci = topk_ops.topk_with_stable_ties(approx, n_cand)
+            if rescore:
+                cand = jnp.take(d, ci[0], axis=0)
+                cand_lens = jnp.take(dl_eff, ci[0])
+                exact = maxsim_ops.maxsim_scores(qj, cand, None, cand_lens)
+                vv, vi = topk_ops.topk_with_stable_ties(exact, min(limit, n_cand))
+                vals = np.asarray(vv[0])
+                inds = np.asarray(ci[0])[np.asarray(vi[0])]
+            else:
+                vals = np.asarray(cv[0][:limit])
+                inds = np.asarray(ci[0][:limit])
+        elif self.mesh is not None:
+            vv, vi = topk_ops.sharded_maxsim_topk(
+                self.mesh, self.mesh_axis, qj, d, dl_eff, min(limit, d.shape[0])
+            )
+            vals, inds = np.asarray(vv[0]), np.asarray(vi[0])
+        else:
+            scores = maxsim_ops.maxsim_scores(qj, d, None, dl_eff)
+            vv, vi = topk_ops.topk_with_stable_ties(scores, min(limit, d.shape[0]))
+            vals, inds = np.asarray(vv[0]), np.asarray(vi[0])
+
+        points = []
+        for score, idx in zip(vals.tolist(), inds.tolist()):
+            if idx >= len(self._ids) or score < _FILTERED_SCORE_FLOOR:
+                continue  # padded or filtered-out page
+            points.append(
+                t.ScoredPoint(
+                    id=self._ids[idx],
+                    score=float(score),
+                    payload=dict(self._payloads[idx]),
+                    vector=(
+                        self._vectors[idx, : self._lens[idx]].tolist()
+                        if with_vectors else None
+                    ),
+                )
+            )
+        return t.QueryResponse(points=points[:limit])
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, directory: str) -> None:
+        os.makedirs(directory, exist_ok=True)
+        np.savez_compressed(
+            os.path.join(directory, "vectors.npz"),
+            vectors=self._vectors, lens=self._lens,
+        )
+        meta = {
+            "name": self.name, "dim": self.dim, "max_tokens": self.max_tokens,
+            "distance": self.distance.value, "quantized": self.quantized,
+            "kind": "multivector",
+            "ids": self._ids, "payloads": self._payloads,
+        }
+        with open(os.path.join(directory, "meta.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load(cls, directory: str, mesh: Optional[Mesh] = None,
+             mesh_axis: str = "corpus") -> "MultiVectorStore":
+        with open(os.path.join(directory, "meta.json")) as f:
+            meta = json.load(f)
+        store = cls(
+            name=meta["name"], dim=meta["dim"], max_tokens=meta["max_tokens"],
+            distance=t.Distance(meta["distance"]), quantized=meta["quantized"],
+            mesh=mesh, mesh_axis=mesh_axis,
+        )
+        data = np.load(os.path.join(directory, "vectors.npz"))
+        store._vectors = data["vectors"]
+        store._lens = data["lens"]
+        store._ids = meta["ids"]
+        store._payloads = meta["payloads"]
+        store._id_to_idx = {pid: i for i, pid in enumerate(store._ids)}
+        return store

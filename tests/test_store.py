@@ -1,0 +1,162 @@
+"""Vector store tests: CRUD, filtered search, two-stage search, persistence,
+and Qdrant-shaped client facade behavior."""
+
+import numpy as np
+import pytest
+
+from multimodal_colpali_tpu.store import (
+    DenseVectorStore, Distance, FieldCondition, Filter, MatchValue,
+    MultiVectorConfig, MultiVectorStore, PointStruct, QuantizationSearchParams,
+    SearchParams, VectorClient, VectorParams,
+)
+
+
+def _mv_points(rng, n, nt=6, dim=128, user=None):
+    pts = []
+    for i in range(n):
+        vec = rng.standard_normal((nt, dim)).astype(np.float32)
+        payload = {"index": i, "ref": f"doc_{i}_pg_{i}"}
+        if user is not None:
+            payload["username"] = user if i % 2 == 0 else "other"
+        pts.append(PointStruct(id=i, vector=vec, payload=payload))
+    return pts
+
+
+def test_multivector_upsert_query_roundtrip(rng):
+    store = MultiVectorStore("colpali", dim=128, max_tokens=8)
+    pts = _mv_points(rng, 12)
+    store.upsert(pts)
+    assert len(store) == 12
+    # Query with point 3's own (unnormalized) vectors: cosine MaxSim must
+    # rank point 3 first (self-similarity = n_tokens).
+    res = store.query(pts[3].vector, limit=4)
+    assert res.points[0].id == 3
+    assert res.points[0].payload["index"] == 3
+    assert res.points[0].score == pytest.approx(6.0, rel=1e-2)
+
+
+def test_multivector_filter(rng):
+    store = MultiVectorStore("colpali", dim=128, max_tokens=8)
+    store.upsert(_mv_points(rng, 10, user="alice"))
+    flt = Filter(must=[FieldCondition(key="username", match=MatchValue(value="alice"))])
+    res = store.query(rng.standard_normal((4, 128)).astype(np.float32), limit=10,
+                      query_filter=flt)
+    ids = {p.id for p in res.points}
+    assert ids == {0, 2, 4, 6, 8}
+    for p in res.points:
+        assert p.payload["username"] == "alice"
+
+
+def test_multivector_delete_and_overwrite(rng):
+    store = MultiVectorStore("c", dim=128, max_tokens=8)
+    pts = _mv_points(rng, 6)
+    store.upsert(pts)
+    store.delete(ids=[1, 3])
+    assert len(store) == 4
+    assert store.count() == 4
+    # Overwriting an existing id keeps the count stable.
+    store.upsert([PointStruct(id=0, vector=pts[5].vector, payload={"new": True})])
+    assert len(store) == 4
+    res = store.query(pts[5].vector, limit=1)
+    assert res.points[0].id in (0, 5)
+
+
+def test_multivector_two_stage_matches_exact(rng):
+    exact = MultiVectorStore("e", dim=128, max_tokens=8)
+    quant = MultiVectorStore("q", dim=128, max_tokens=8, quantized=True)
+    pts = _mv_points(rng, 32)
+    exact.upsert(pts)
+    quant.upsert(pts)
+    q = rng.standard_normal((4, 128)).astype(np.float32)
+    r_exact = exact.query(q, limit=5)
+    r_quant = quant.query(
+        q, limit=5,
+        search_params=SearchParams(
+            quantization=QuantizationSearchParams(ignore=False, rescore=True,
+                                                  oversampling=2.0)),
+    )
+    assert [p.id for p in r_exact.points] == [p.id for p in r_quant.points]
+    # Rescored scores are exact, so they match to bf16 tolerance.
+    for a, b in zip(r_exact.points, r_quant.points):
+        assert a.score == pytest.approx(b.score, rel=2e-2)
+
+
+def test_multivector_persistence_roundtrip(rng, tmp_path):
+    store = MultiVectorStore("c", dim=128, max_tokens=8)
+    pts = _mv_points(rng, 8)
+    store.upsert(pts)
+    store.save(str(tmp_path / "c"))
+    loaded = MultiVectorStore.load(str(tmp_path / "c"))
+    res_a = store.query(pts[2].vector, limit=3)
+    res_b = loaded.query(pts[2].vector, limit=3)
+    assert [p.id for p in res_a.points] == [p.id for p in res_b.points]
+
+
+def test_dense_store_cosine(rng):
+    store = DenseVectorStore("text", dim=64)
+    vecs = rng.standard_normal((20, 64)).astype(np.float32)
+    store.upsert([PointStruct(id=i, vector=vecs[i], payload={"i": i}) for i in range(20)])
+    res = store.query(vecs[7], limit=3)
+    assert res.points[0].id == 7
+    assert res.points[0].score == pytest.approx(1.0, abs=2e-2)  # cosine self-sim
+
+
+def test_dense_store_filter_and_scroll(rng):
+    store = DenseVectorStore("text", dim=32)
+    vecs = rng.standard_normal((10, 32)).astype(np.float32)
+    store.upsert([
+        PointStruct(id=i, vector=vecs[i], payload={"username": "u" + str(i % 2)})
+        for i in range(10)
+    ])
+    flt = Filter(must=[FieldCondition(key="username", match=MatchValue(value="u1"))])
+    res = store.query(vecs[0], limit=10, query_filter=flt)
+    assert all(p.payload["username"] == "u1" for p in res.points)
+    assert len(res.points) == 5
+    records, nxt = store.scroll(flt=flt, limit=3)
+    assert len(records) == 3 and nxt == 3
+    records2, nxt2 = store.scroll(flt=flt, limit=3, offset=3)
+    assert len(records2) == 2 and nxt2 is None
+
+
+def test_client_facade(rng, tmp_path):
+    client = VectorClient(path=str(tmp_path / "storage"))
+    client.create_collection(
+        "colpali_vd",
+        vectors_config=VectorParams(size=128, distance=Distance.COSINE,
+                                    multivector_config=MultiVectorConfig()),
+        max_tokens=8,
+    )
+    client.create_collection("RAG_TEXT", vectors_config=VectorParams(size=64))
+    assert client.collection_exists("colpali_vd")
+    assert {c.name for c in client.get_collections().collections} == {"colpali_vd", "RAG_TEXT"}
+
+    pts = _mv_points(rng, 6)
+    client.upsert("colpali_vd", pts)
+    assert client.count("colpali_vd").count == 6
+    res = client.query_points("colpali_vd", query=pts[1].vector, limit=2)
+    assert res.points[0].id == 1
+
+    client.delete("colpali_vd", points_selector=[1])
+    assert client.count("colpali_vd").count == 5
+
+    # Persistence: save, reopen, same results.
+    client.save()
+    client2 = VectorClient(path=str(tmp_path / "storage"))
+    assert client2.collection_exists("RAG_TEXT")
+    res2 = client2.query_points("colpali_vd", query=pts[2].vector, limit=1)
+    assert res2.points[0].id == 2
+
+    client2.delete_collection("RAG_TEXT")
+    assert not client2.collection_exists("RAG_TEXT")
+
+
+def test_sharded_store_query(mesh8, rng):
+    store = MultiVectorStore("c", dim=128, max_tokens=8, mesh=mesh8, mesh_axis="corpus")
+    pts = _mv_points(rng, 19)  # odd count: padding across 8 shards
+    store.upsert(pts)
+    res = store.query(pts[11].vector, limit=3)
+    assert res.points[0].id == 11
+    unsharded = MultiVectorStore("c2", dim=128, max_tokens=8)
+    unsharded.upsert(pts)
+    res2 = unsharded.query(pts[11].vector, limit=3)
+    assert [p.id for p in res.points] == [p.id for p in res2.points]
