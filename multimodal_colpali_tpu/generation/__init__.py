@@ -1,0 +1,22 @@
+from multimodal_colpali_tpu.generation.client import (  # noqa: F401
+    ERROR_SENTINEL,
+    get_responses,
+    mcq_response_format,
+    post_request_with_retries,
+    post_request_with_retries_raising,
+    resolve_endpoint,
+    run_inference,
+    run_sync,
+)
+from multimodal_colpali_tpu.generation.messages import (  # noqa: F401
+    build_choice_string,
+    build_instruction_block,
+    build_reference_from_metadata,
+    document_to_context_entry,
+    encode_image,
+    encode_image_to_data_url,
+    format_msgs,
+    image_context_messages,
+    pil_image_to_data_url,
+)
+from multimodal_colpali_tpu.generation.parse import response_real_out  # noqa: F401

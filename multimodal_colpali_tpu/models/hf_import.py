@@ -1,0 +1,159 @@
+"""HuggingFace checkpoint -> flax parameter conversion.
+
+Ports torch/safetensors weights of the reference's retrievers into the TPU
+models (the reference loads them with torch at functions.py:1464-1477 and
+01_create_context_qdrant.py:163-205). Conversion is pure array reshuffling:
+``nn.Linear.weight`` is ``[out, in]`` -> flax kernel ``[in, out]``;
+``Conv2d.weight`` is ``[out, in, kh, kw]`` -> flax ``[kh, kw, in, out]``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict
+
+import numpy as np
+
+from multimodal_colpali_tpu.models.configs import BertConfig, ColPaliModelConfig
+
+
+def _np(t: Any) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _lin(sd: Dict[str, Any], prefix: str, bias: bool = True) -> Dict[str, np.ndarray]:
+    out = {"kernel": _np(sd[prefix + ".weight"]).T}
+    if bias and prefix + ".bias" in sd:
+        out["bias"] = _np(sd[prefix + ".bias"])
+    return out
+
+
+def _ln(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"weight": _np(sd[prefix + ".weight"]), "bias": _np(sd[prefix + ".bias"])}
+
+
+def _rms(sd: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    return {"weight": _np(sd[prefix + ".weight"])}
+
+
+def colpali_params_from_hf(sd: Dict[str, Any], cfg: ColPaliModelConfig) -> Dict[str, Any]:
+    """Convert a ``ColPaliForRetrieval`` state dict to the flax param tree.
+
+    Accepts both the transformers layout (``vlm.model...``) and the
+    colpali-engine layout (``model...``) by normalizing prefixes first.
+    """
+    # Normalize key prefixes.
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        k = re.sub(r"^(vlm\.)?model\.", "", k)
+        k = re.sub(r"^custom_text_proj\.", "embedding_proj_layer.", k)
+        norm[k] = v
+    sd = norm
+
+    vt = "vision_tower.vision_model."
+    vision: Dict[str, Any] = {
+        "patch_embedding": {
+            "kernel": _np(sd[vt + "embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd[vt + "embeddings.patch_embedding.bias"]),
+        },
+        "position_embedding": _np(sd[vt + "embeddings.position_embedding.weight"]),
+        "post_layernorm": _ln(sd, vt + "post_layernorm"),
+    }
+    for i in range(cfg.vision.num_hidden_layers):
+        p = f"{vt}encoder.layers.{i}."
+        vision[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj"),
+                "k_proj": _lin(sd, p + "self_attn.k_proj"),
+                "v_proj": _lin(sd, p + "self_attn.v_proj"),
+                "out_proj": _lin(sd, p + "self_attn.out_proj"),
+            },
+            "layer_norm1": _ln(sd, p + "layer_norm1"),
+            "layer_norm2": _ln(sd, p + "layer_norm2"),
+            "mlp": {"fc1": _lin(sd, p + "mlp.fc1"), "fc2": _lin(sd, p + "mlp.fc2")},
+        }
+
+    lm = "language_model."
+    language: Dict[str, Any] = {"norm": _rms(sd, lm + "norm")}
+    for i in range(cfg.text.num_hidden_layers):
+        p = f"{lm}layers.{i}."
+        language[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj", bias=False),
+                "k_proj": _lin(sd, p + "self_attn.k_proj", bias=False),
+                "v_proj": _lin(sd, p + "self_attn.v_proj", bias=False),
+                "o_proj": _lin(sd, p + "self_attn.o_proj", bias=False),
+            },
+            "mlp": {
+                "gate_proj": _lin(sd, p + "mlp.gate_proj", bias=False),
+                "up_proj": _lin(sd, p + "mlp.up_proj", bias=False),
+                "down_proj": _lin(sd, p + "mlp.down_proj", bias=False),
+            },
+            "input_layernorm": _rms(sd, p + "input_layernorm"),
+            "post_attention_layernorm": _rms(sd, p + "post_attention_layernorm"),
+        }
+
+    return {
+        "embed": {"embed_tokens": _np(sd[lm + "embed_tokens.weight"])},
+        "vision_tower": vision,
+        "multi_modal_projector": _lin(sd, "multi_modal_projector.linear"),
+        "language_model": language,
+        "embedding_proj_layer": _lin(sd, "embedding_proj_layer"),
+    }
+
+
+def bert_params_from_hf(sd: Dict[str, Any], cfg: BertConfig) -> Dict[str, Any]:
+    """Convert a ``BertModel`` state dict (bge-base) to the flax param tree."""
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        norm[re.sub(r"^bert\.", "", k)] = v
+    sd = norm
+
+    params: Dict[str, Any] = {
+        "word_embeddings": _np(sd["embeddings.word_embeddings.weight"]),
+        "position_embeddings": _np(sd["embeddings.position_embeddings.weight"]),
+        "token_type_embeddings": _np(sd["embeddings.token_type_embeddings.weight"]),
+        "embeddings_layernorm": _ln(sd, "embeddings.LayerNorm"),
+    }
+    for i in range(cfg.num_hidden_layers):
+        p = f"encoder.layer.{i}."
+        params[f"layers_{i}"] = {
+            "attention": {
+                "query": _lin(sd, p + "attention.self.query"),
+                "key": _lin(sd, p + "attention.self.key"),
+                "value": _lin(sd, p + "attention.self.value"),
+            },
+            "attention_output": _lin(sd, p + "attention.output.dense"),
+            "attention_layernorm": _ln(sd, p + "attention.output.LayerNorm"),
+            "intermediate": _lin(sd, p + "intermediate.dense"),
+            "output": _lin(sd, p + "output.dense"),
+            "output_layernorm": _ln(sd, p + "output.LayerNorm"),
+        }
+    return params
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a checkpoint directory or file into a flat numpy state dict.
+
+    Supports ``*.safetensors`` (single or sharded) and torch ``*.bin``.
+    """
+    sd: Dict[str, np.ndarray] = {}
+    files = []
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith((".safetensors", ".bin"))
+        )
+    else:
+        files = [path]
+    for f in files:
+        if f.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+            sd.update(load_file(f))
+        else:
+            import torch
+            sd.update({k: _np(v) for k, v in torch.load(f, map_location="cpu").items()})
+    return sd

@@ -1,0 +1,118 @@
+"""Shared transformer building blocks (flax.linen), TPU conventions.
+
+All matmuls accumulate in fp32 (``preferred_element_type``); softmax runs in
+fp32 regardless of the activation dtype; parameters are stored fp32 and cast
+to the compute dtype at use, so a bf16 forward is numerically the standard
+mixed-precision recipe XLA fuses well on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def dense(x: jax.Array, kernel: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
+    """y = x @ kernel (+ bias) with fp32 accumulation, output in x.dtype."""
+    y = jax.lax.dot_general(
+        x, kernel.astype(x.dtype),
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+class DenseGeneral(nn.Module):
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32) if self.use_bias else None
+        return dense(x, kernel, bias)
+
+
+class RMSNorm(nn.Module):
+    """Gemma-style RMSNorm: y = x / rms(x) * (1 + weight), computed in fp32."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        w = self.param("weight", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.eps) * (1.0 + w)
+        return y.astype(dtype)
+
+
+class LayerNorm(nn.Module):
+    """Standard LayerNorm with weight+bias, fp32 math."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps) * w + b
+        return y.astype(dtype)
+
+
+def rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0) -> jax.Array:
+    """Rotary position embedding, HF half-split convention.
+
+    Args:
+      x: ``[B, S, H, D]``; positions: ``[B, S]`` int32.
+    """
+    d = x.shape[-1]
+    freq = 1.0 / (theta ** (jnp.arange(0, d // 2, dtype=jnp.float32) * 2.0 / d))
+    angles = positions[..., None].astype(jnp.float32) * freq  # [B, S, D/2]
+    cos = jnp.cos(angles)[:, :, None, :]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array],
+    scale: float,
+) -> jax.Array:
+    """Multi-head attention core with fp32 softmax.
+
+    q: [B, S, Hq, D]; k/v: [B, T, Hkv, D] (Hkv may be 1 for MQA, or divide Hq
+    for GQA); mask: broadcastable to [B, 1, S, T] with True = attend.
+    Returns [B, S, Hq, D].
+    """
+    hq, hkv = q.shape[2], k.shape[2]
+    if hkv != hq:
+        k = jnp.repeat(k, hq // hkv, axis=2)
+        v = jnp.repeat(v, hq // hkv, axis=2)
+    logits = jnp.einsum(
+        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhst,bthd->bshd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)

@@ -1,0 +1,233 @@
+"""Retriever registry: ``load_retriever(name)`` -> (model, processor).
+
+Keeps the surface of the reference's ``load_retriever``
+(01_create_context_qdrant.py:163-205, 05_experiment02.py:331-372) - a
+registry keyed by checkpoint name returning an encoder + processor pair -
+with a JAX engine underneath.
+
+Checkpoint resolution: if a local directory with the model's safetensors
+exists (``$COLPALI_TPU_CKPT_DIR/<name>`` or an explicit path), weights are
+ported via hf_import; otherwise the model initializes randomly (useful for
+benchmarks and air-gapped runs; a warning is printed once).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import warnings
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from multimodal_colpali_tpu.models import hf_import
+from multimodal_colpali_tpu.models.colpali import ColPaliModel
+from multimodal_colpali_tpu.models.configs import ColPaliModelConfig
+from multimodal_colpali_tpu.models.processing import ColPaliProcessor
+
+
+@dataclasses.dataclass
+class Retriever:
+    """A late-interaction encoder bound to params, ready to embed."""
+
+    name: str
+    model: ColPaliModel
+    params: Any
+    processor: ColPaliProcessor
+    dtype: Any = jnp.bfloat16
+    mesh: Optional[Mesh] = None
+
+    def __post_init__(self):
+        self._jit_cache: Dict[Any, Callable] = {}
+        import ml_dtypes
+
+        np_dtype = ml_dtypes.bfloat16 if self.dtype == jnp.bfloat16 else np.float32
+
+        def cast_and_put(p):
+            # Cast on the host first: a 3B model must never exist in fp32 in
+            # HBM (fp32 params + bf16 copy would exceed a v5e chip's 16 GB).
+            host = np.asarray(p).astype(np_dtype)
+            if self.mesh is not None:
+                return jax.device_put(host, NamedSharding(self.mesh, P()))
+            return jnp.asarray(host)
+
+        self.params = jax.tree.map(cast_and_put, self.params)
+
+    def _apply(self, with_image: bool) -> Callable:
+        if with_image not in self._jit_cache:
+            def fn(params, input_ids, attention_mask, pixel_values=None):
+                return self.model.apply(
+                    {"params": params}, input_ids, attention_mask, pixel_values
+                )
+            in_shardings = None
+            if self.mesh is not None:
+                rep = NamedSharding(self.mesh, P())
+                data = NamedSharding(self.mesh, P("data"))
+                if with_image:
+                    in_shardings = (rep, data, data, data)
+                else:
+                    in_shardings = (rep, data, data)
+            self._jit_cache[with_image] = jax.jit(
+                fn, in_shardings=in_shardings
+            ) if in_shardings else jax.jit(fn)
+        return self._jit_cache[with_image]
+
+    def _pad_batch(self, n: int) -> int:
+        """Round batch up so it divides the data axis (DP sharding)."""
+        if self.mesh is None:
+            return n
+        d = self.mesh.shape.get("data", 1)
+        return ((n + d - 1) // d) * d
+
+    def embed_images(self, images: Sequence[Any], batch_size: int = 32) -> List[np.ndarray]:
+        """Embed page images -> list of [n_tokens, dim] float32 arrays."""
+        out: List[np.ndarray] = []
+        for start in range(0, len(images), batch_size):
+            chunk = list(images[start: start + batch_size])
+            n = len(chunk)
+            n_pad = self._pad_batch(max(n, 1))
+            while len(chunk) < n_pad:
+                chunk.append(chunk[-1])
+            batch = self.processor.process_images(chunk)
+            emb = self._apply(True)(
+                self.params,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+                jnp.asarray(batch["pixel_values"], self.dtype),
+            )
+            emb = np.asarray(emb, np.float32)
+            mask = batch["attention_mask"]
+            for i in range(n):
+                out.append(emb[i][mask[i] == 1])
+        return out
+
+    def embed_queries(self, queries: Sequence[str], batch_size: int = 64) -> List[np.ndarray]:
+        out: List[np.ndarray] = []
+        for start in range(0, len(queries), batch_size):
+            chunk = list(queries[start: start + batch_size])
+            n = len(chunk)
+            n_pad = self._pad_batch(max(n, 1))
+            while len(chunk) < n_pad:
+                chunk.append(chunk[-1])
+            batch = self.processor.process_queries(chunk)
+            emb = self._apply(False)(
+                self.params,
+                jnp.asarray(batch["input_ids"]),
+                jnp.asarray(batch["attention_mask"]),
+            )
+            emb = np.asarray(emb, np.float32)
+            mask = batch["attention_mask"]
+            for i in range(n):
+                out.append(emb[i][mask[i] == 1])
+        return out
+
+    # torch-flavored compat: model(**processor.process_images(imgs)) shape.
+    def __call__(self, input_ids=None, attention_mask=None, pixel_values=None, **_):
+        emb = self._apply(pixel_values is not None)(
+            self.params,
+            jnp.asarray(input_ids),
+            jnp.asarray(attention_mask),
+            None if pixel_values is None else jnp.asarray(pixel_values, self.dtype),
+        )
+        return _RetrieverOutput(embeddings=emb)
+
+
+@dataclasses.dataclass
+class _RetrieverOutput:
+    embeddings: jax.Array
+
+
+def fast_random_params(model: ColPaliModel, cfg: ColPaliModelConfig, seed: int = 0):
+    """Random parameters via eval_shape + direct NumPy fill.
+
+    Real flax init of a 3B model on this host's single CPU core takes tens of
+    minutes; for random-weight runs (benchmarks, air-gapped e2e) the exact
+    init distribution is irrelevant, so fill N(0, fan_in^-0.5) directly.
+    """
+    c = cfg
+    ids = jnp.zeros((1, 8), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    pix = jnp.zeros((1, c.vision.image_size, c.vision.image_size, 3), jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), ids, mask, pix)
+    )["params"]
+    rng = np.random.default_rng(seed)
+
+    def fill(path, s):
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name in ("bias",) or "layernorm" in str(path).lower() or name == "weight":
+            # biases zero; LayerNorm weight=1 handled below, RMSNorm weight=0
+            if name == "weight":
+                parent = getattr(path[-2], "key", "") if len(path) > 1 else ""
+                if "layer_norm" in parent or "layernorm" in parent or parent == "post_layernorm":
+                    return np.ones(s.shape, np.float32)
+                return np.zeros(s.shape, np.float32)  # RMSNorm (1+w) -> w=0
+            return np.zeros(s.shape, np.float32)
+        fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+        scale = float(fan_in) ** -0.5
+        return rng.standard_normal(s.shape, dtype=np.float32) * scale
+
+    return jax.tree_util.tree_map_with_path(fill, shapes)
+
+
+# name -> (config factory, expected checkpoint subdir names)
+RETRIEVER_CONFIGS: Dict[str, Callable[[], ColPaliModelConfig]] = {
+    "vidore/colpali-v1.2": ColPaliModelConfig.colpali_v1_3,
+    "vidore/colpali-v1.3": ColPaliModelConfig.colpali_v1_3,
+    "vidore/colpali-v1.3-hf": ColPaliModelConfig.colpali_v1_3,
+    "vidore/colpali-v1.3-merged": ColPaliModelConfig.colpali_v1_3,
+    "tiny-colpali": lambda: ColPaliModelConfig.tiny(),
+}
+
+
+def _find_checkpoint(name: str, checkpoint_dir: Optional[str]) -> Optional[str]:
+    candidates = []
+    if checkpoint_dir:
+        candidates.append(checkpoint_dir)
+    env = os.environ.get("COLPALI_TPU_CKPT_DIR")
+    if env:
+        candidates.append(os.path.join(env, name.replace("/", "--")))
+        candidates.append(os.path.join(env, os.path.basename(name)))
+    for c in candidates:
+        if c and os.path.isdir(c) and any(
+            f.endswith((".safetensors", ".bin")) for f in os.listdir(c)
+        ):
+            return c
+    return None
+
+
+def load_retriever(
+    name: str,
+    device: Optional[str] = None,  # accepted for surface parity; unused (jax placement)
+    mesh: Optional[Mesh] = None,
+    checkpoint_dir: Optional[str] = None,
+    tokenizer: Optional[Any] = None,
+    dtype: Any = jnp.bfloat16,
+    seed: int = 0,
+) -> Retriever:
+    """Load a late-interaction retriever by name (reference surface)."""
+    if name not in RETRIEVER_CONFIGS:
+        raise KeyError(
+            f"unknown retriever {name!r}; known: {sorted(RETRIEVER_CONFIGS)}"
+        )
+    cfg = RETRIEVER_CONFIGS[name]()
+    model = ColPaliModel(cfg)
+    ckpt = _find_checkpoint(name, checkpoint_dir)
+    if ckpt is not None:
+        sd = hf_import.load_state_dict(ckpt)
+        params = hf_import.colpali_params_from_hf(sd, cfg)
+    else:
+        warnings.warn(
+            f"no local checkpoint for {name!r}; using random init "
+            f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
+            stacklevel=2,
+        )
+        params = fast_random_params(model, cfg, seed)
+    processor = ColPaliProcessor(cfg, tokenizer=tokenizer)
+    return Retriever(
+        name=name, model=model, params=params, processor=processor,
+        dtype=dtype, mesh=mesh,
+    )

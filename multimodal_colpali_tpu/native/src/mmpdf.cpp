@@ -1,0 +1,1103 @@
+// mmpdf: minimal host-side PDF parser/rasterizer/text-extractor.
+//
+// TPU-native replacement for the reference's poppler (pdf2image
+// convert_from_path, reference functions.py:678-713) and pypdfium2
+// (Docling's parse backend, reference functions.py:22). The ingestion hot
+// path needs: page count, page raster at a DPI scale (feeding the device
+// preprocessing/patchify pipeline), and the text layer (feeding the chunker
+// and the check_ocr "does this page have text?" probe, reference
+// functions.py:133-148).
+//
+// Scope (documented, tested): classic xref tables and xref streams, object
+// streams, FlateDecode (zlib) and DCTDecode (libjpeg) filters, page tree
+// with inheritance, content-stream interpreter for text (BT/ET, Tf, Td, TD,
+// Tm, T*, TL, Tj, TJ, ', ") and graphics (q/Q, cm, re+f fills, Do image
+// XObjects), DeviceRGB/DeviceGray 8-bit images, text rendered with a
+// built-in 8x13 bitmap font (layout-faithful, not glyph-faithful).
+// Encrypted PDFs and embedded vector fonts are out of scope; they degrade
+// gracefully (raster still shows images/boxes, text extraction may be empty).
+//
+// C API at the bottom; Python binds with ctypes (ingest/rasterize.py).
+
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <map>
+#include <memory>
+#include <string>
+#include <vector>
+#include <algorithm>
+#include <array>
+
+#include <zlib.h>
+
+extern "C" {
+#include <jpeglib.h>
+#include <setjmp.h>
+}
+
+namespace mmpdf {
+
+// ---------------------------------------------------------------------------
+// Object model
+// ---------------------------------------------------------------------------
+
+struct Obj;
+using ObjPtr = std::shared_ptr<Obj>;
+
+struct Obj {
+  enum Kind { Null, Bool, Num, Str, Name, Arr, Dict, Stream, Ref } kind = Null;
+  bool b = false;
+  double num = 0;
+  std::string str;                     // Str / Name payload
+  std::vector<ObjPtr> arr;
+  std::map<std::string, ObjPtr> dict;  // Dict / Stream
+  size_t stream_start = 0;             // offset of raw stream bytes in file
+  bool slash = false;                  // Name came from a /slash (operand, not operator)
+  int ref_num = 0, ref_gen = 0;
+
+  bool is(Kind k) const { return kind == k; }
+  double as_num(double d = 0) const { return kind == Num ? num : d; }
+};
+
+static ObjPtr mk(Obj::Kind k) { auto o = std::make_shared<Obj>(); o->kind = k; return o; }
+
+// ---------------------------------------------------------------------------
+// Lexer / parser
+// ---------------------------------------------------------------------------
+
+struct Lexer {
+  const uint8_t* d;
+  size_t n, p = 0;
+  Lexer(const uint8_t* data, size_t len, size_t pos = 0) : d(data), n(len), p(pos) {}
+
+  static bool is_ws(int c) { return c == ' ' || c == '\t' || c == '\r' || c == '\n' || c == '\f' || c == 0; }
+  static bool is_delim(int c) { return strchr("()<>[]{}/%", c) != nullptr; }
+
+  void skip_ws() {
+    while (p < n) {
+      if (is_ws(d[p])) { p++; }
+      else if (d[p] == '%') { while (p < n && d[p] != '\n' && d[p] != '\r') p++; }
+      else break;
+    }
+  }
+
+  bool match(const char* kw) {
+    skip_ws();
+    size_t len = strlen(kw);
+    if (p + len <= n && memcmp(d + p, kw, len) == 0) { p += len; return true; }
+    return false;
+  }
+
+  std::string token() {
+    skip_ws();
+    if (p >= n) return "";
+    size_t s = p;
+    if (is_delim(d[p])) {
+      if (d[p] == '<' && p + 1 < n && d[p + 1] == '<') { p += 2; return "<<"; }
+      if (d[p] == '>' && p + 1 < n && d[p + 1] == '>') { p += 2; return ">>"; }
+      p++;
+      return std::string(1, (char)d[s]);
+    }
+    while (p < n && !is_ws(d[p]) && !is_delim(d[p])) p++;
+    return std::string((const char*)d + s, p - s);
+  }
+};
+
+struct Parser {
+  Lexer lx;
+  explicit Parser(Lexer l) : lx(l) {}
+
+  ObjPtr parse() {
+    lx.skip_ws();
+    if (lx.p >= lx.n) return mk(Obj::Null);
+    uint8_t c = lx.d[lx.p];
+    if (c == '/') return parse_name();
+    if (c == '(') return parse_lit_string();
+    if (c == '<') {
+      if (lx.p + 1 < lx.n && lx.d[lx.p + 1] == '<') return parse_dict_or_stream();
+      return parse_hex_string();
+    }
+    if (c == '[') return parse_array();
+    std::string t = lx.token();
+    if (t == "true") { auto o = mk(Obj::Bool); o->b = true; return o; }
+    if (t == "false") { auto o = mk(Obj::Bool); o->b = false; return o; }
+    if (t == "null") return mk(Obj::Null);
+    if (!t.empty() && (isdigit((uint8_t)t[0]) || t[0] == '-' || t[0] == '+' || t[0] == '.')) {
+      if (isdigit((uint8_t)t[0])) {  // reference lookahead: "num gen R"
+        size_t save = lx.p;
+        std::string t2 = lx.token();
+        std::string t3 = lx.token();
+        if (t3 == "R" && !t2.empty() && isdigit((uint8_t)t2[0])) {
+          auto o = mk(Obj::Ref);
+          o->ref_num = atoi(t.c_str());
+          o->ref_gen = atoi(t2.c_str());
+          return o;
+        }
+        lx.p = save;
+      }
+      auto o = mk(Obj::Num);
+      o->num = atof(t.c_str());
+      return o;
+    }
+    auto o = mk(Obj::Name);  // bare keyword/operator; caller decides
+    o->str = t;
+    return o;
+  }
+
+  ObjPtr parse_name() {
+    lx.p++;
+    std::string s;
+    while (lx.p < lx.n && !Lexer::is_ws(lx.d[lx.p]) && !Lexer::is_delim(lx.d[lx.p])) {
+      char ch = (char)lx.d[lx.p++];
+      if (ch == '#' && lx.p + 1 < lx.n && isxdigit(lx.d[lx.p]) && isxdigit(lx.d[lx.p + 1])) {
+        auto hex = [](int c) { return c <= '9' ? c - '0' : (tolower(c) - 'a' + 10); };
+        ch = (char)(hex(lx.d[lx.p]) * 16 + hex(lx.d[lx.p + 1]));
+        lx.p += 2;
+      }
+      s += ch;
+    }
+    auto o = mk(Obj::Name);
+    o->str = s;
+    o->slash = true;
+    return o;
+  }
+
+  ObjPtr parse_lit_string() {
+    lx.p++;
+    std::string s;
+    int depth = 1;
+    while (lx.p < lx.n && depth > 0) {
+      char ch = (char)lx.d[lx.p++];
+      if (ch == '\\' && lx.p < lx.n) {
+        char e = (char)lx.d[lx.p++];
+        switch (e) {
+          case 'n': s += '\n'; break;
+          case 'r': s += '\r'; break;
+          case 't': s += '\t'; break;
+          case 'b': s += '\b'; break;
+          case 'f': s += '\f'; break;
+          case '\n': break;
+          case '\r': if (lx.p < lx.n && lx.d[lx.p] == '\n') lx.p++; break;
+          default:
+            if (e >= '0' && e <= '7') {
+              int v = e - '0';
+              for (int k = 0; k < 2 && lx.p < lx.n && lx.d[lx.p] >= '0' && lx.d[lx.p] <= '7'; k++)
+                v = v * 8 + (lx.d[lx.p++] - '0');
+              s += (char)v;
+            } else s += e;
+        }
+      } else if (ch == '(') { depth++; s += ch; }
+      else if (ch == ')') { if (--depth > 0) s += ch; }
+      else s += ch;
+    }
+    auto o = mk(Obj::Str);
+    o->str = s;
+    return o;
+  }
+
+  ObjPtr parse_hex_string() {
+    lx.p++;
+    std::string s;
+    int hi = -1;
+    while (lx.p < lx.n && lx.d[lx.p] != '>') {
+      int c = lx.d[lx.p++];
+      int v;
+      if (isdigit(c)) v = c - '0';
+      else if (isxdigit(c)) v = tolower(c) - 'a' + 10;
+      else continue;
+      if (hi < 0) hi = v;
+      else { s += (char)(hi * 16 + v); hi = -1; }
+    }
+    if (hi >= 0) s += (char)(hi * 16);
+    if (lx.p < lx.n) lx.p++;
+    auto o = mk(Obj::Str);
+    o->str = s;
+    return o;
+  }
+
+  ObjPtr parse_array() {
+    lx.p++;
+    auto o = mk(Obj::Arr);
+    while (true) {
+      lx.skip_ws();
+      if (lx.p >= lx.n || lx.d[lx.p] == ']') { if (lx.p < lx.n) lx.p++; break; }
+      o->arr.push_back(parse());
+    }
+    return o;
+  }
+
+  ObjPtr parse_dict_or_stream() {
+    lx.p += 2;
+    auto o = mk(Obj::Dict);
+    while (true) {
+      lx.skip_ws();
+      if (lx.p + 1 < lx.n && lx.d[lx.p] == '>' && lx.d[lx.p + 1] == '>') { lx.p += 2; break; }
+      if (lx.p >= lx.n) break;
+      ObjPtr key = parse();
+      if (!key->is(Obj::Name)) break;
+      o->dict[key->str] = parse();
+    }
+    size_t save = lx.p;
+    if (lx.match("stream")) {
+      if (lx.p < lx.n && lx.d[lx.p] == '\r') lx.p++;
+      if (lx.p < lx.n && lx.d[lx.p] == '\n') lx.p++;
+      o->kind = Obj::Stream;
+      o->stream_start = lx.p;
+    } else {
+      lx.p = save;
+    }
+    return o;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Filters
+// ---------------------------------------------------------------------------
+
+static bool flate_decode(const std::string& in, std::string& out) {
+  z_stream zs{};
+  if (inflateInit(&zs) != Z_OK) return false;
+  zs.next_in = (Bytef*)in.data();
+  zs.avail_in = (uInt)in.size();
+  char buf[1 << 15];
+  int rc;
+  do {
+    zs.next_out = (Bytef*)buf;
+    zs.avail_out = sizeof(buf);
+    rc = inflate(&zs, Z_NO_FLUSH);
+    if (rc != Z_OK && rc != Z_STREAM_END) { inflateEnd(&zs); return rc == Z_BUF_ERROR && zs.avail_in == 0; }
+    out.append(buf, sizeof(buf) - zs.avail_out);
+  } while (rc != Z_STREAM_END && zs.avail_in > 0);
+  inflateEnd(&zs);
+  return true;
+}
+
+// PNG predictors (used by xref streams and some images).
+static void png_unpredict(std::string& data, int columns, int colors) {
+  int bpp = colors;
+  int rowlen = columns * colors;
+  std::string out;
+  out.reserve(data.size());
+  std::vector<uint8_t> prev(rowlen, 0);
+  size_t pos = 0;
+  while (pos + 1 + rowlen <= data.size() + 1 && pos < data.size()) {
+    int ft = (uint8_t)data[pos++];
+    int avail = (int)std::min((size_t)rowlen, data.size() - pos);
+    std::vector<uint8_t> row((uint8_t*)data.data() + pos, (uint8_t*)data.data() + pos + avail);
+    row.resize(rowlen, 0);
+    pos += avail;
+    for (int i = 0; i < rowlen; i++) {
+      int a = i >= bpp ? row[i - bpp] : 0;
+      int b = prev[i];
+      int c = i >= bpp ? prev[i - bpp] : 0;
+      switch (ft) {
+        case 0: break;
+        case 1: row[i] = (uint8_t)(row[i] + a); break;
+        case 2: row[i] = (uint8_t)(row[i] + b); break;
+        case 3: row[i] = (uint8_t)(row[i] + (a + b) / 2); break;
+        case 4: {
+          int pp = a + b - c, pa = abs(pp - a), pb = abs(pp - b), pc = abs(pp - c);
+          row[i] = (uint8_t)(row[i] + (pa <= pb && pa <= pc ? a : (pb <= pc ? b : c)));
+          break;
+        }
+      }
+    }
+    out.append((char*)row.data(), rowlen);
+    prev = row;
+  }
+  data = out;
+}
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = (JpegErr*)cinfo->err;
+  longjmp(e->jb, 1);
+}
+
+// DCTDecode -> RGB8 (or Gray8 expanded to RGB by caller).
+static bool jpeg_decode(const std::string& in, std::vector<uint8_t>& rgb,
+                        int& w, int& h, int& channels) {
+  jpeg_decompress_struct cinfo{};
+  JpegErr jerr{};
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) { jpeg_destroy_decompress(&cinfo); return false; }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, (const unsigned char*)in.data(), in.size());
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  w = cinfo.output_width;
+  h = cinfo.output_height;
+  channels = 3;
+  rgb.resize((size_t)w * h * 3);
+  while ((int)cinfo.output_scanline < h) {
+    uint8_t* row = rgb.data() + (size_t)cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// Document: xref, object resolution
+// ---------------------------------------------------------------------------
+
+struct Document {
+  std::vector<uint8_t> data;
+  // obj num -> (offset, in_objstm?, objstm_num, idx)
+  struct XEntry { size_t off = 0; bool in_stm = false; int stm_num = 0; int idx = 0; };
+  std::map<int, XEntry> xref;
+  ObjPtr trailer;
+  std::map<int, ObjPtr> cache;
+  std::vector<ObjPtr> pages;
+  std::string error;
+
+  ObjPtr resolve(const ObjPtr& o) {
+    if (!o) return mk(Obj::Null);
+    if (o->is(Obj::Ref)) return get(o->ref_num);
+    return o;
+  }
+
+  ObjPtr dget(const ObjPtr& d, const std::string& k) {
+    if (!d || (!d->is(Obj::Dict) && !d->is(Obj::Stream))) return mk(Obj::Null);
+    auto it = d->dict.find(k);
+    if (it == d->dict.end()) return mk(Obj::Null);
+    return resolve(it->second);
+  }
+
+  std::string stream_bytes(const ObjPtr& s) {
+    if (!s || !s->is(Obj::Stream)) return "";
+    size_t len = (size_t)dget(s, "Length")->as_num(0);
+    if (s->stream_start + len > data.size()) len = data.size() - s->stream_start;
+    std::string raw((const char*)data.data() + s->stream_start, len);
+    // filter chain
+    std::vector<std::string> filters;
+    ObjPtr f = dget(s, "Filter");
+    if (f->is(Obj::Name)) filters.push_back(f->str);
+    else if (f->is(Obj::Arr)) for (auto& x : f->arr) { auto r = resolve(x); if (r->is(Obj::Name)) filters.push_back(r->str); }
+    for (auto& name : filters) {
+      if (name == "FlateDecode" || name == "Fl") {
+        std::string out;
+        if (!flate_decode(raw, out)) return "";
+        raw = out;
+        ObjPtr dp = dget(s, "DecodeParms");
+        if (dp->is(Obj::Dict)) {
+          int pred = (int)dget(dp, "Predictor")->as_num(1);
+          if (pred >= 10) {
+            int cols = (int)dget(dp, "Columns")->as_num(1);
+            int colors = (int)dget(dp, "Colors")->as_num(1);
+            png_unpredict(raw, cols, colors);
+          }
+        }
+      } else if (name == "DCTDecode" || name == "DCT") {
+        // leave encoded; image drawing decodes it
+        break;
+      } else if (name == "ASCIIHexDecode" || name == "AHx") {
+        std::string out;
+        int hi = -1;
+        for (char ch : raw) {
+          int v;
+          if (isdigit((uint8_t)ch)) v = ch - '0';
+          else if (isxdigit((uint8_t)ch)) v = tolower(ch) - 'a' + 10;
+          else if (ch == '>') break;
+          else continue;
+          if (hi < 0) hi = v; else { out += (char)(hi * 16 + v); hi = -1; }
+        }
+        raw = out;
+      } else {
+        return "";  // unsupported filter
+      }
+    }
+    return raw;
+  }
+
+  ObjPtr get(int num) {
+    auto c = cache.find(num);
+    if (c != cache.end()) return c->second;
+    auto it = xref.find(num);
+    if (it == xref.end()) return mk(Obj::Null);
+    ObjPtr result = mk(Obj::Null);
+    if (!it->second.in_stm) {
+      Lexer lx(data.data(), data.size(), it->second.off);
+      lx.token();  // obj number
+      lx.token();  // gen
+      lx.token();  // "obj"
+      Parser ps(lx);
+      result = ps.parse();
+    } else {
+      ObjPtr stm = get(it->second.stm_num);
+      if (stm->is(Obj::Stream)) {
+        std::string bytes = stream_bytes(stm);
+        int n = (int)dget(stm, "N")->as_num(0);
+        int first = (int)dget(stm, "First")->as_num(0);
+        Lexer hl((const uint8_t*)bytes.data(), bytes.size());
+        std::vector<std::pair<int, int>> offsets;
+        for (int i = 0; i < n; i++) {
+          int onum = atoi(hl.token().c_str());
+          int ooff = atoi(hl.token().c_str());
+          offsets.push_back({onum, ooff});
+        }
+        for (int i = 0; i < n; i++) {
+          if (offsets[i].first == num) {
+            Lexer ol((const uint8_t*)bytes.data(), bytes.size(), first + offsets[i].second);
+            Parser ps(ol);
+            result = ps.parse();
+            break;
+          }
+        }
+      }
+    }
+    cache[num] = result;
+    return result;
+  }
+
+  bool load(const uint8_t* bytes, size_t len) {
+    data.assign(bytes, bytes + len);
+    // find startxref
+    size_t tail = len > 2048 ? len - 2048 : 0;
+    std::string t((const char*)data.data() + tail, len - tail);
+    size_t sx = t.rfind("startxref");
+    if (sx == std::string::npos) { error = "no startxref"; return false; }
+    long off = atol(t.c_str() + sx + 9);
+    std::vector<long> seen;
+    while (off > 0 && (size_t)off < len) {
+      if (std::find(seen.begin(), seen.end(), off) != seen.end()) break;
+      seen.push_back(off);
+      off = load_xref_section((size_t)off);
+    }
+    if (!trailer) { error = "no trailer"; return false; }
+    ObjPtr root = dget(trailer, "Root");
+    ObjPtr page_tree = dget(root, "Pages");
+    collect_pages(page_tree, 0);
+    return !pages.empty();
+  }
+
+  // returns /Prev offset or 0
+  long load_xref_section(size_t off) {
+    Lexer lx(data.data(), data.size(), off);
+    if (lx.match("xref")) {
+      // classic table
+      while (true) {
+        lx.skip_ws();
+        if (lx.match("trailer")) {
+          Parser ps(lx);
+          ObjPtr tr = ps.parse();
+          if (!trailer) trailer = tr;
+          else for (auto& kv : tr->dict) if (!trailer->dict.count(kv.first)) trailer->dict[kv.first] = kv.second;
+          ObjPtr prev = dget(tr, "Prev");
+          // handle hybrid /XRefStm
+          ObjPtr xstm = dget(tr, "XRefStm");
+          if (xstm->is(Obj::Num)) load_xref_section((size_t)xstm->num);
+          return prev->is(Obj::Num) ? (long)prev->num : 0;
+        }
+        std::string a = lx.token(), b = lx.token();
+        if (a.empty()) return 0;
+        int start = atoi(a.c_str()), count = atoi(b.c_str());
+        for (int i = 0; i < count; i++) {
+          std::string o = lx.token(), g = lx.token(), ty = lx.token();
+          (void)g;
+          if (ty == "n" && !xref.count(start + i)) {
+            XEntry e;
+            e.off = (size_t)atol(o.c_str());
+            xref[start + i] = e;
+          }
+        }
+      }
+    }
+    // xref stream
+    Lexer lx2(data.data(), data.size(), off);
+    lx2.token(); lx2.token(); lx2.token();  // num gen obj
+    Parser ps(lx2);
+    ObjPtr s = ps.parse();
+    if (!s->is(Obj::Stream)) return 0;
+    if (!trailer) trailer = s;
+    else for (auto& kv : s->dict) if (!trailer->dict.count(kv.first)) trailer->dict[kv.first] = kv.second;
+    std::string bytes = stream_bytes(s);
+    ObjPtr wobj = dget(s, "W");
+    if (!wobj->is(Obj::Arr) || wobj->arr.size() < 3) return 0;
+    int w0 = (int)resolve(wobj->arr[0])->as_num(0);
+    int w1 = (int)resolve(wobj->arr[1])->as_num(0);
+    int w2 = (int)resolve(wobj->arr[2])->as_num(0);
+    int rowlen = w0 + w1 + w2;
+    std::vector<std::pair<int, int>> sections;  // (start, count)
+    ObjPtr idx = dget(s, "Index");
+    if (idx->is(Obj::Arr)) {
+      for (size_t i = 0; i + 1 < idx->arr.size(); i += 2)
+        sections.push_back({(int)resolve(idx->arr[i])->as_num(0), (int)resolve(idx->arr[i + 1])->as_num(0)});
+    } else {
+      sections.push_back({0, (int)dget(s, "Size")->as_num(0)});
+    }
+    auto read_field = [&](const uint8_t* p, int w, long dflt) -> long {
+      if (w == 0) return dflt;
+      long v = 0;
+      for (int i = 0; i < w; i++) v = (v << 8) | p[i];
+      return v;
+    };
+    size_t pos = 0;
+    for (auto& sec : sections) {
+      for (int i = 0; i < sec.second && pos + rowlen <= bytes.size(); i++, pos += rowlen) {
+        const uint8_t* p = (const uint8_t*)bytes.data() + pos;
+        long type = read_field(p, w0, 1);
+        long f2 = read_field(p + w0, w1, 0);
+        long f3 = read_field(p + w0 + w1, w2, 0);
+        int num = sec.first + i;
+        if (xref.count(num)) continue;
+        if (type == 1) { XEntry e; e.off = (size_t)f2; xref[num] = e; }
+        else if (type == 2) { XEntry e; e.in_stm = true; e.stm_num = (int)f2; e.idx = (int)f3; xref[num] = e; }
+      }
+    }
+    ObjPtr prev = dget(s, "Prev");
+    return prev->is(Obj::Num) ? (long)prev->num : 0;
+  }
+
+  void collect_pages(const ObjPtr& node, int depth) {
+    if (!node || depth > 64) return;
+    ObjPtr type = dget(node, "Type");
+    if (type->is(Obj::Name) && type->str == "Pages") {
+      ObjPtr kids = dget(node, "Kids");
+      if (kids->is(Obj::Arr))
+        for (auto& k : kids->arr) {
+          ObjPtr child = resolve(k);
+          // inherit Resources/MediaBox
+          for (const char* key : {"Resources", "MediaBox", "Rotate"}) {
+            if (!child->dict.count(key) && node->dict.count(key))
+              child->dict[key] = node->dict.at(key);
+          }
+          collect_pages(child, depth + 1);
+        }
+    } else if (type->is(Obj::Name) && type->str == "Page") {
+      pages.push_back(node);
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Built-in 8x13 bitmap font (ASCII 32..126) - coarse, layout-faithful glyphs.
+// Each glyph: 13 rows of 8 bits, generated from simple stroke rules.
+// ---------------------------------------------------------------------------
+
+struct Font8x13 {
+  uint8_t glyphs[95][13];
+  Font8x13() {
+    memset(glyphs, 0, sizeof(glyphs));
+    auto g = [&](char c) -> uint8_t* { return glyphs[c - 32]; };
+    auto hline = [&](uint8_t* gl, int row, int x0 = 1, int x1 = 6) {
+      for (int x = x0; x <= x1; x++) gl[row] |= (0x80 >> x);
+    };
+    auto vline = [&](uint8_t* gl, int col, int r0 = 1, int r1 = 11) {
+      for (int r = r0; r <= r1; r++) gl[r] |= (0x80 >> col);
+    };
+    auto px = [&](uint8_t* gl, int r, int c) { gl[r] |= (0x80 >> c); };
+    // Letters: box-ish skeleton forms. Enough for visual layout & OCR-free
+    // rasters; exact typography is out of scope.
+    for (char c = 'A'; c <= 'Z'; c++) {
+      uint8_t* gl = g(c);
+      switch (c) {
+        case 'A': vline(gl,1,3,11); vline(gl,6,3,11); hline(gl,2,2,5); hline(gl,6); break;
+        case 'B': vline(gl,1); hline(gl,1,1,5); hline(gl,6,1,5); hline(gl,11,1,5); vline(gl,6,2,5); vline(gl,6,7,10); break;
+        case 'C': hline(gl,1,2,6); hline(gl,11,2,6); vline(gl,1,2,10); break;
+        case 'D': vline(gl,1); hline(gl,1,1,5); hline(gl,11,1,5); vline(gl,6,2,10); break;
+        case 'E': vline(gl,1); hline(gl,1); hline(gl,6,1,4); hline(gl,11); break;
+        case 'F': vline(gl,1); hline(gl,1); hline(gl,6,1,4); break;
+        case 'G': hline(gl,1,2,6); vline(gl,1,2,10); hline(gl,11,2,6); vline(gl,6,7,10); hline(gl,7,4,6); break;
+        case 'H': vline(gl,1); vline(gl,6); hline(gl,6); break;
+        case 'I': hline(gl,1); hline(gl,11); vline(gl,4,2,10); break;
+        case 'J': hline(gl,1); vline(gl,5,1,10); px(gl,11,2); px(gl,11,3); px(gl,11,4); px(gl,10,1); break;
+        case 'K': vline(gl,1); px(gl,6,2); px(gl,5,3); px(gl,4,4); px(gl,3,5); px(gl,2,6); px(gl,7,3); px(gl,8,4); px(gl,9,5); px(gl,10,6); px(gl,11,6); break;
+        case 'L': vline(gl,1); hline(gl,11); break;
+        case 'M': vline(gl,1); vline(gl,7); px(gl,2,2); px(gl,3,3); px(gl,3,5); px(gl,2,6); px(gl,4,4); break;
+        case 'N': vline(gl,1); vline(gl,6); px(gl,3,2); px(gl,5,3); px(gl,7,4); px(gl,9,5); break;
+        case 'O': vline(gl,1,2,10); vline(gl,6,2,10); hline(gl,1,2,5); hline(gl,11,2,5); break;
+        case 'P': vline(gl,1); hline(gl,1,1,5); hline(gl,6,1,5); vline(gl,6,2,5); break;
+        case 'Q': vline(gl,1,2,9); vline(gl,6,2,8); hline(gl,1,2,5); hline(gl,10,2,5); px(gl,9,5); px(gl,10,6); px(gl,11,7); break;
+        case 'R': vline(gl,1); hline(gl,1,1,5); hline(gl,6,1,5); vline(gl,6,2,5); px(gl,7,4); px(gl,8,5); px(gl,9,5); px(gl,10,6); px(gl,11,6); break;
+        case 'S': hline(gl,1,2,6); vline(gl,1,2,5); hline(gl,6,2,5); vline(gl,6,7,10); hline(gl,11,1,5); break;
+        case 'T': hline(gl,1,0,7); vline(gl,4,2,11); break;
+        case 'U': vline(gl,1,1,10); vline(gl,6,1,10); hline(gl,11,2,5); break;
+        case 'V': vline(gl,1,1,7); vline(gl,7,1,7); px(gl,8,2); px(gl,9,3); px(gl,10,4); px(gl,9,5); px(gl,8,6); px(gl,11,4); break;
+        case 'W': vline(gl,1); vline(gl,7); px(gl,10,2); px(gl,9,3); px(gl,8,4); px(gl,9,5); px(gl,10,6); px(gl,7,4); break;
+        case 'X': px(gl,1,1); px(gl,2,2); px(gl,3,3); px(gl,4,4); px(gl,5,4); px(gl,6,4); px(gl,7,4); px(gl,8,3); px(gl,9,2); px(gl,10,1); px(gl,11,1);
+                  px(gl,1,7); px(gl,2,6); px(gl,3,5); px(gl,8,5); px(gl,9,6); px(gl,10,7); px(gl,11,7); break;
+        case 'Y': px(gl,1,1); px(gl,2,2); px(gl,3,3); px(gl,1,7); px(gl,2,6); px(gl,3,5); vline(gl,4,4,11); break;
+        case 'Z': hline(gl,1); hline(gl,11); px(gl,9,2); px(gl,7,3); px(gl,5,4); px(gl,3,5); px(gl,2,6); break;
+      }
+    }
+    for (char c = 'a'; c <= 'z'; c++)
+      memcpy(g(c), g((char)toupper(c)), 13);  // same skeleton, fine for layout
+    for (char c = '0'; c <= '9'; c++) {
+      uint8_t* gl = g(c);
+      vline(gl,1,3,9); vline(gl,6,3,9); hline(gl,2,2,5); hline(gl,10,2,5);
+      if (c == '1') { memset(gl, 0, 13); vline(gl,4,2,10); px(gl,3,3); hline(gl,11,2,6); }
+      if (c == '7') { memset(gl, 0, 13); hline(gl,2); px(gl,4,6); px(gl,6,5); px(gl,8,4); px(gl,10,3); }
+    }
+    { uint8_t* gl = g('.'); px(gl,10,3); px(gl,11,3); }
+    { uint8_t* gl = g(','); px(gl,10,3); px(gl,11,3); px(gl,12,2); }
+    { uint8_t* gl = g('-'); hline(gl,6,2,5); }
+    { uint8_t* gl = g('_'); hline(gl,12); }
+    { uint8_t* gl = g(':'); px(gl,4,3); px(gl,5,3); px(gl,9,3); px(gl,10,3); }
+    { uint8_t* gl = g(';'); px(gl,4,3); px(gl,5,3); px(gl,9,3); px(gl,10,3); px(gl,11,2); }
+    { uint8_t* gl = g('('); for (int r=2;r<=10;r++) px(gl,r, r<5?5-(r-2):(r>8?5-(10-r):2)); }
+    { uint8_t* gl = g(')'); for (int r=2;r<=10;r++) px(gl,r, r<5?2+(r-2):(r>8?2+(10-r):5)); }
+    { uint8_t* gl = g('/'); for (int r=1;r<=11;r++) px(gl,r, 7-(r*6)/11); }
+    { uint8_t* gl = g('%'); px(gl,2,1); px(gl,2,2); px(gl,3,1); px(gl,3,2);
+      for (int r=2;r<=10;r++) px(gl,r, 7-(r*6)/10);
+      px(gl,9,6); px(gl,9,7); px(gl,10,6); px(gl,10,7); }
+    { uint8_t* gl = g('?'); hline(gl,1,2,5); px(gl,2,6); px(gl,3,6); px(gl,5,5); px(gl,6,4); px(gl,7,4); px(gl,10,4); px(gl,11,4); }
+    { uint8_t* gl = g('!'); vline(gl,4,1,8); px(gl,10,4); px(gl,11,4); }
+    { uint8_t* gl = g('\''); px(gl,1,3); px(gl,2,3); }
+    { uint8_t* gl = g('"'); px(gl,1,2); px(gl,2,2); px(gl,1,5); px(gl,2,5); }
+    { uint8_t* gl = g('+'); hline(gl,6,2,6); vline(gl,4,4,8); }
+    { uint8_t* gl = g('='); hline(gl,5,2,6); hline(gl,8,2,6); }
+    { uint8_t* gl = g('*'); px(gl,4,4); px(gl,5,2); px(gl,5,6); px(gl,6,3); px(gl,6,5); px(gl,7,4); }
+  }
+};
+
+static const Font8x13 kFont;
+
+// ---------------------------------------------------------------------------
+// Content-stream interpreter: raster + text extraction
+// ---------------------------------------------------------------------------
+
+struct Mat {
+  // [a b 0; c d 0; e f 1]
+  double a = 1, b = 0, c = 0, d = 1, e = 0, f = 0;
+  static Mat mul(const Mat& m, const Mat& n) {
+    Mat r;
+    r.a = m.a * n.a + m.b * n.c;
+    r.b = m.a * n.b + m.b * n.d;
+    r.c = m.c * n.a + m.d * n.c;
+    r.d = m.c * n.b + m.d * n.d;
+    r.e = m.e * n.a + m.f * n.c + n.e;
+    r.f = m.e * n.b + m.f * n.d + n.f;
+    return r;
+  }
+  void apply(double x, double y, double& ox, double& oy) const {
+    ox = a * x + c * y + e;
+    oy = b * x + d * y + f;
+  }
+};
+
+struct TextRun {
+  double x, y, size;
+  std::string text;
+};
+
+struct Canvas {
+  int w = 0, h = 0;
+  std::vector<uint8_t> rgb;  // row-major, origin top-left
+  void init(int W, int H) { w = W; h = H; rgb.assign((size_t)w * h * 3, 255); }
+  void put(int x, int y, uint8_t r, uint8_t g, uint8_t b) {
+    if (x < 0 || y < 0 || x >= w || y >= h) return;
+    size_t i = ((size_t)y * w + x) * 3;
+    rgb[i] = r; rgb[i + 1] = g; rgb[i + 2] = b;
+  }
+};
+
+struct PageRender {
+  Document* doc;
+  ObjPtr page;
+  double scale;        // device pixels per PDF unit
+  double mb[4] = {0, 0, 612, 792};
+  Canvas canvas;
+  std::vector<TextRun> runs;
+  bool raster = true;
+
+  void load_mediabox() {
+    ObjPtr m = doc->dget(page, "MediaBox");
+    if (m->is(Obj::Arr) && m->arr.size() == 4)
+      for (int i = 0; i < 4; i++) mb[i] = doc->resolve(m->arr[i])->as_num();
+  }
+
+  // PDF y-up -> canvas y-down
+  void dev(const Mat& ctm, double x, double y, double& px, double& py) {
+    double ux, uy;
+    ctm.apply(x, y, ux, uy);
+    px = (ux - mb[0]) * scale;
+    py = (mb[3] - uy) * scale;
+  }
+
+  void run() {
+    load_mediabox();
+    if (raster) {
+      canvas.init((int)std::lround((mb[2] - mb[0]) * scale),
+                  (int)std::lround((mb[3] - mb[1]) * scale));
+    }
+    std::string content;
+    ObjPtr c = doc->dget(page, "Contents");
+    if (c->is(Obj::Stream)) content = doc->stream_bytes(c);
+    else if (c->is(Obj::Arr)) {
+      for (auto& x : c->arr) {
+        ObjPtr s = doc->resolve(x);
+        if (s->is(Obj::Stream)) { content += doc->stream_bytes(s); content += "\n"; }
+      }
+    }
+    interpret(content, doc->dget(page, "Resources"), 0);
+  }
+
+  void interpret(const std::string& content, ObjPtr resources, int depth) {
+    if (depth > 8) return;
+    std::vector<ObjPtr> stack;
+    std::vector<Mat> gs_stack;
+    Mat ctm;  // identity: PDF units
+    Mat tm, tlm;
+    double tfs = 12, leading = 0, char_spacing = 0, word_spacing = 0, tz = 100;
+    double fill_rgb[3] = {0, 0, 0};
+    bool in_text = false;
+    (void)in_text;
+
+    Lexer lx((const uint8_t*)content.data(), content.size());
+    Parser ps(lx);
+    while (ps.lx.p < ps.lx.n) {
+      ObjPtr o = ps.parse();
+      if (o->is(Obj::Null) && ps.lx.p >= ps.lx.n) break;
+      if (!o->is(Obj::Name) || o->str.empty() || o->slash) { stack.push_back(o); continue; }
+      // bare non-slash token = operator
+      const std::string& op = o->str;
+      auto popn = [&](int k) -> std::vector<ObjPtr> {
+        std::vector<ObjPtr> v;
+        for (int i = 0; i < k && !stack.empty(); i++) { v.push_back(stack.back()); stack.pop_back(); }
+        std::reverse(v.begin(), v.end());
+        return v;
+      };
+      if (op == "q") gs_stack.push_back(ctm);
+      else if (op == "Q") { if (!gs_stack.empty()) { ctm = gs_stack.back(); gs_stack.pop_back(); } }
+      else if (op == "cm") {
+        auto v = popn(6);
+        if (v.size() == 6) {
+          Mat m;
+          m.a = v[0]->as_num(); m.b = v[1]->as_num(); m.c = v[2]->as_num();
+          m.d = v[3]->as_num(); m.e = v[4]->as_num(); m.f = v[5]->as_num();
+          ctm = Mat::mul(m, ctm);
+        }
+      }
+      else if (op == "BT") { tm = Mat(); tlm = Mat(); in_text = true; }
+      else if (op == "ET") { in_text = false; }
+      else if (op == "Tf") { auto v = popn(2); if (v.size() == 2) tfs = v[1]->as_num(12); }
+      else if (op == "TL") { auto v = popn(1); if (!v.empty()) leading = v[0]->as_num(); }
+      else if (op == "Tc") { auto v = popn(1); if (!v.empty()) char_spacing = v[0]->as_num(); }
+      else if (op == "Tw") { auto v = popn(1); if (!v.empty()) word_spacing = v[0]->as_num(); }
+      else if (op == "Tz") { auto v = popn(1); if (!v.empty()) tz = v[0]->as_num(100); }
+      else if (op == "Td") {
+        auto v = popn(2);
+        if (v.size() == 2) {
+          Mat m; m.e = v[0]->as_num(); m.f = v[1]->as_num();
+          tlm = Mat::mul(m, tlm);
+          tm = tlm;
+        }
+      }
+      else if (op == "TD") {
+        auto v = popn(2);
+        if (v.size() == 2) {
+          leading = -v[1]->as_num();
+          Mat m; m.e = v[0]->as_num(); m.f = v[1]->as_num();
+          tlm = Mat::mul(m, tlm);
+          tm = tlm;
+        }
+      }
+      else if (op == "Tm") {
+        auto v = popn(6);
+        if (v.size() == 6) {
+          tlm.a = v[0]->as_num(); tlm.b = v[1]->as_num(); tlm.c = v[2]->as_num();
+          tlm.d = v[3]->as_num(); tlm.e = v[4]->as_num(); tlm.f = v[5]->as_num();
+          tm = tlm;
+        }
+      }
+      else if (op == "T*") {
+        Mat m; m.f = -leading;
+        tlm = Mat::mul(m, tlm);
+        tm = tlm;
+      }
+      else if (op == "Tj" || op == "'" || op == "\"") {
+        if (op != "Tj") { Mat m; m.f = -leading; tlm = Mat::mul(m, tlm); tm = tlm; }
+        auto v = popn(op == "\"" ? 3 : 1);
+        if (!v.empty() && v.back()->is(Obj::Str))
+          show_text(v.back()->str, ctm, tm, tfs, char_spacing, word_spacing, tz, fill_rgb);
+      }
+      else if (op == "TJ") {
+        auto v = popn(1);
+        if (!v.empty() && v[0]->is(Obj::Arr)) {
+          for (auto& el : v[0]->arr) {
+            if (el->is(Obj::Str))
+              show_text(el->str, ctm, tm, tfs, char_spacing, word_spacing, tz, fill_rgb);
+            else if (el->is(Obj::Num)) {
+              Mat m; m.e = -el->num / 1000.0 * tfs * (tz / 100.0);
+              tm = Mat::mul(m, tm);
+            }
+          }
+        }
+      }
+      else if (op == "rg" || op == "sc" || op == "scn") {
+        auto v = popn(3);
+        if (v.size() == 3)
+          for (int i = 0; i < 3; i++) fill_rgb[i] = v[i]->as_num();
+      }
+      else if (op == "g") {
+        auto v = popn(1);
+        if (!v.empty()) fill_rgb[0] = fill_rgb[1] = fill_rgb[2] = v[0]->as_num();
+      }
+      else if (op == "re") {
+        auto v = popn(4);
+        if (v.size() == 4) {
+          pending_rects.push_back({v[0]->as_num(), v[1]->as_num(), v[2]->as_num(), v[3]->as_num()});
+        }
+      }
+      else if (op == "f" || op == "F" || op == "f*" || op == "b" || op == "B") {
+        if (raster)
+          for (auto& r : pending_rects) fill_rect(r[0], r[1], r[2], r[3], ctm, fill_rgb);
+        pending_rects.clear();
+      }
+      else if (op == "n" || op == "S" || op == "s" || op == "W" || op == "W*") {
+        pending_rects.clear();
+      }
+      else if (op == "Do") {
+        auto v = popn(1);
+        if (!v.empty() && v[0]->is(Obj::Name)) {
+          ObjPtr xobjs = doc->dget(resources, "XObject");
+          ObjPtr xo = doc->dget(xobjs, v[0]->str);
+          if (xo->is(Obj::Stream)) {
+            ObjPtr st = doc->dget(xo, "Subtype");
+            if (st->is(Obj::Name) && st->str == "Image") {
+              if (raster) draw_image(xo, ctm);
+            } else if (st->is(Obj::Name) && st->str == "Form") {
+              ObjPtr res2 = doc->dget(xo, "Resources");
+              if (!res2->is(Obj::Dict)) res2 = resources;
+              std::vector<Mat> save = gs_stack;
+              Mat savectm = ctm;
+              ObjPtr mtx = doc->dget(xo, "Matrix");
+              if (mtx->is(Obj::Arr) && mtx->arr.size() == 6) {
+                Mat m;
+                m.a = doc->resolve(mtx->arr[0])->as_num(); m.b = doc->resolve(mtx->arr[1])->as_num();
+                m.c = doc->resolve(mtx->arr[2])->as_num(); m.d = doc->resolve(mtx->arr[3])->as_num();
+                m.e = doc->resolve(mtx->arr[4])->as_num(); m.f = doc->resolve(mtx->arr[5])->as_num();
+                ctm = Mat::mul(m, ctm);
+              }
+              interpret(doc->stream_bytes(xo), res2, depth + 1);
+              ctm = savectm;
+              gs_stack = save;
+            }
+          }
+        }
+      }
+      else {
+        // unknown operator: clear operand stack (keeps us in sync)
+        stack.clear();
+      }
+    }
+  }
+
+  std::vector<std::array<double, 4>> pending_rects;
+
+  void show_text(const std::string& s, const Mat& ctm, Mat& tm, double tfs,
+                 double cs, double ws, double tz, const double* rgb) {
+    // record run at current position
+    Mat trm = Mat::mul(tm, ctm);
+    double x0, y0;
+    dev(trm, 0, 0, x0, y0);
+    if (!s.empty()) {
+      runs.push_back({x0 / scale, y0 / scale, tfs, s});
+    }
+    double glyph_w = 0.5;  // Helvetica-ish average advance in text space
+    for (size_t i = 0; i < s.size(); i++) {
+      unsigned char ch = s[i];
+      if (raster && ch >= 32 && ch < 127) {
+        // draw glyph at current tm
+        Mat trm2 = Mat::mul(tm, ctm);
+        double gx, gy;
+        dev(trm2, 0, 0, gx, gy);
+        double px_size = tfs * scale * std::abs(trm2.d != 0 ? trm2.d : 1);
+        draw_glyph(ch, gx, gy, px_size, rgb);
+      }
+      double adv = glyph_w * tfs + cs + (ch == ' ' ? ws : 0);
+      Mat m; m.e = adv * (tz / 100.0);
+      tm = Mat::mul(m, tm);
+    }
+  }
+
+  void draw_glyph(unsigned char ch, double x, double baseline_y, double px_size,
+                  const double* rgb) {
+    if (ch < 32 || ch > 126) return;
+    const uint8_t* gl = kFont.glyphs[ch - 32];
+    // scale 8x13 cell to px_size (height ~ font size)
+    double cell_h = px_size;
+    double cell_w = px_size * 8.0 / 13.0;
+    int ih = std::max(1, (int)std::lround(cell_h));
+    int iw = std::max(1, (int)std::lround(cell_w));
+    uint8_t r = (uint8_t)std::lround(rgb[0] * 255), g = (uint8_t)std::lround(rgb[1] * 255),
+            b = (uint8_t)std::lround(rgb[2] * 255);
+    for (int py = 0; py < ih; py++) {
+      int srow = py * 13 / ih;
+      for (int px = 0; px < iw; px++) {
+        int scol = px * 8 / iw;
+        if (gl[srow] & (0x80 >> scol))
+          canvas.put((int)x + px, (int)(baseline_y - cell_h * 10.0 / 13.0) + py, r, g, b);
+      }
+    }
+  }
+
+  void fill_rect(double x, double y, double w, double h, const Mat& ctm, const double* rgb) {
+    double x0, y0, x1, y1;
+    dev(ctm, x, y, x0, y0);
+    dev(ctm, x + w, y + h, x1, y1);
+    if (x0 > x1) std::swap(x0, x1);
+    if (y0 > y1) std::swap(y0, y1);
+    uint8_t r = (uint8_t)std::lround(rgb[0] * 255), g = (uint8_t)std::lround(rgb[1] * 255),
+            b = (uint8_t)std::lround(rgb[2] * 255);
+    for (int py = (int)y0; py <= (int)y1; py++)
+      for (int px = (int)x0; px <= (int)x1; px++) canvas.put(px, py, r, g, b);
+  }
+
+  void draw_image(const ObjPtr& img, const Mat& ctm) {
+    int iw = (int)doc->dget(img, "Width")->as_num(0);
+    int ih = (int)doc->dget(img, "Height")->as_num(0);
+    if (iw <= 0 || ih <= 0) return;
+    int bpc = (int)doc->dget(img, "BitsPerComponent")->as_num(8);
+    ObjPtr cs = doc->dget(img, "ColorSpace");
+    int ncomp = (cs->is(Obj::Name) && cs->str == "DeviceGray") ? 1 : 3;
+
+    std::vector<uint8_t> pix;
+    // figure filter
+    bool is_jpeg = false;
+    ObjPtr f = doc->dget(img, "Filter");
+    auto has = [&](const char* n) {
+      if (f->is(Obj::Name)) return f->str == n;
+      if (f->is(Obj::Arr))
+        for (auto& x : f->arr) { auto rr = doc->resolve(x); if (rr->is(Obj::Name) && rr->str == n) return true; }
+      return false;
+    };
+    is_jpeg = has("DCTDecode") || has("DCT");
+    std::string bytes = doc->stream_bytes(img);
+    if (is_jpeg) {
+      int w2, h2, ch2;
+      if (!jpeg_decode(bytes, pix, w2, h2, ch2)) return;
+      iw = w2; ih = h2; ncomp = 3;
+    } else {
+      if (bpc != 8) return;  // 1-bit masks etc. unsupported
+      pix.assign(bytes.begin(), bytes.end());
+      if ((size_t)iw * ih * ncomp > pix.size()) return;
+    }
+
+    // image space (0..1)^2 maps through ctm; sample nearest-neighbor.
+    double x00, y00, x10, y10, x01, y01;
+    dev(ctm, 0, 0, x00, y00);
+    dev(ctm, 1, 0, x10, y10);
+    dev(ctm, 0, 1, x01, y01);
+    double minx = std::min({x00, x10, x01, x10 + x01 - x00});
+    double maxx = std::max({x00, x10, x01, x10 + x01 - x00});
+    double miny = std::min({y00, y10, y01, y10 + y01 - y00});
+    double maxy = std::max({y00, y10, y01, y10 + y01 - y00});
+    // inverse map: for axis-aligned ctm (b=c=0) this is exact; otherwise we
+    // approximate with the bounding box (rotation is rare in papers).
+    for (int py = std::max(0, (int)miny); py < std::min(canvas.h, (int)std::ceil(maxy)); py++) {
+      double v = (maxy - miny) > 0 ? ((double)py - miny) / (maxy - miny) : 0;
+      int sy = std::min(ih - 1, std::max(0, (int)(v * ih)));
+      for (int px = std::max(0, (int)minx); px < std::min(canvas.w, (int)std::ceil(maxx)); px++) {
+        double u = (maxx - minx) > 0 ? ((double)px - minx) / (maxx - minx) : 0;
+        int sx = std::min(iw - 1, std::max(0, (int)(u * iw)));
+        size_t si = ((size_t)sy * iw + sx) * ncomp;
+        uint8_t r = pix[si], g = ncomp == 3 ? pix[si + 1] : pix[si],
+                b = ncomp == 3 ? pix[si + 2] : pix[si];
+        canvas.put(px, py, r, g, b);
+      }
+    }
+  }
+};
+
+}  // namespace mmpdf
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct mmpdf_doc {
+  mmpdf::Document doc;
+};
+
+mmpdf_doc* mmpdf_open(const uint8_t* data, size_t len) {
+  auto* h = new mmpdf_doc();
+  if (!h->doc.load(data, len)) {
+    delete h;
+    return nullptr;
+  }
+  return h;
+}
+
+void mmpdf_close(mmpdf_doc* h) { delete h; }
+
+int mmpdf_page_count(mmpdf_doc* h) { return (int)h->doc.pages.size(); }
+
+// Returns malloc'd RGB8 buffer (caller frees with mmpdf_free); fills w/h.
+uint8_t* mmpdf_render_page(mmpdf_doc* h, int page, double dpi, int* w, int* out_h) {
+  if (page < 0 || page >= (int)h->doc.pages.size()) return nullptr;
+  mmpdf::PageRender pr;
+  pr.doc = &h->doc;
+  pr.page = h->doc.pages[page];
+  pr.scale = dpi / 72.0;
+  pr.raster = true;
+  pr.run();
+  *w = pr.canvas.w;
+  *out_h = pr.canvas.h;
+  uint8_t* buf = (uint8_t*)malloc(pr.canvas.rgb.size());
+  memcpy(buf, pr.canvas.rgb.data(), pr.canvas.rgb.size());
+  return buf;
+}
+
+// Returns malloc'd UTF-8-ish text (caller frees). Runs are emitted in
+// content order, newline-separated per run, double newline between y-jumps.
+char* mmpdf_extract_text(mmpdf_doc* h, int page) {
+  if (page < 0 || page >= (int)h->doc.pages.size()) return nullptr;
+  mmpdf::PageRender pr;
+  pr.doc = &h->doc;
+  pr.page = h->doc.pages[page];
+  pr.scale = 1.0;
+  pr.raster = false;
+  pr.run();
+  std::string out;
+  double last_y = 1e18;
+  double last_size = 12;
+  for (auto& r : pr.runs) {
+    if (!out.empty()) {
+      if (std::abs(r.y - last_y) > last_size * 1.6) out += "\n\n";
+      else if (std::abs(r.y - last_y) > 1e-6) out += "\n";
+      else out += " ";
+    }
+    out += r.text;
+    last_y = r.y;
+    last_size = r.size;
+  }
+  char* buf = (char*)malloc(out.size() + 1);
+  memcpy(buf, out.data(), out.size());
+  buf[out.size()] = 0;
+  return buf;
+}
+
+double mmpdf_page_width(mmpdf_doc* h, int page) {
+  if (page < 0 || page >= (int)h->doc.pages.size()) return 0;
+  mmpdf::PageRender pr;
+  pr.doc = &h->doc;
+  pr.page = h->doc.pages[page];
+  pr.load_mediabox();
+  return pr.mb[2] - pr.mb[0];
+}
+
+double mmpdf_page_height(mmpdf_doc* h, int page) {
+  if (page < 0 || page >= (int)h->doc.pages.size()) return 0;
+  mmpdf::PageRender pr;
+  pr.doc = &h->doc;
+  pr.page = h->doc.pages[page];
+  pr.load_mediabox();
+  return pr.mb[3] - pr.mb[1];
+}
+
+void mmpdf_free(void* p) { free(p); }
+
+}  // extern "C"

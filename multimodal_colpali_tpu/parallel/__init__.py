@@ -1,0 +1,6 @@
+from multimodal_colpali_tpu.parallel.mesh import (  # noqa: F401
+    get_mesh,
+    batch_sharding,
+    replicate,
+    shard_params_for_tp,
+)

@@ -1,0 +1,108 @@
+"""Ingestion tests: native PDF parse/raster/text, chunker, pdf_loader schema."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multimodal_colpali_tpu.documents import validate_metadata
+from multimodal_colpali_tpu.ingest import (
+    HybridChunker, PdfDocument, check_ocr, convert_pdfs_to_images,
+    convert_pdf_dir_to_images, pdf_loader, resize_image,
+)
+from multimodal_colpali_tpu.ingest.pdfwrite import PdfWriter, make_sample_pdf
+from multimodal_colpali_tpu.models.processing import SimpleTokenizer
+
+
+@pytest.fixture()
+def sample_pdf(tmp_path):
+    p = str(tmp_path / "paper.pdf")
+    make_sample_pdf(p, n_pages=3, lines_per_page=8, with_images=True, seed=1)
+    return p
+
+
+def test_pdf_roundtrip_pages_and_text(sample_pdf):
+    doc = PdfDocument(sample_pdf)
+    assert len(doc) == 3
+    t0 = doc.extract_text(0)
+    assert "page 1" in t0 and "glycans" in t0
+    assert doc.has_text(0)
+    w, h = doc.page_size(0)
+    assert (w, h) == (612.0, 792.0)
+
+
+def test_pdf_raster_contains_image_and_text(sample_pdf):
+    doc = PdfDocument(sample_pdf)
+    img = doc.render(0, dpi=72)
+    a = np.asarray(img)
+    assert a.shape == (792, 612, 3)
+    # the embedded random image occupies a 300x200pt rect -> lots of non-white
+    nonwhite = (a < 250).any(axis=-1).mean()
+    assert nonwhite > 0.05
+
+
+def test_text_only_pdf_and_ocr_probe(tmp_path):
+    w = PdfWriter()
+    w.add_page(text_lines=["hello world"])
+    p = str(tmp_path / "t.pdf")
+    w.save(p)
+    assert not check_ocr(p)  # has text -> no OCR needed
+    w2 = PdfWriter()
+    w2.add_page(image=np.zeros((10, 10, 3), np.uint8))  # scanned-style page
+    p2 = str(tmp_path / "s.pdf")
+    w2.save(p2)
+    assert check_ocr(p2)  # no text layer -> OCR needed
+
+
+def test_resize_image_reference_semantics():
+    # upscale short side to 224
+    small = Image.new("RGB", (100, 300))
+    out = resize_image(small)
+    assert min(out.size) == 224
+    # downscale long side to 1300
+    big = Image.new("RGB", (3000, 1000))
+    out = resize_image(big)
+    assert max(out.size) == 1300
+    # in-range image untouched
+    ok = Image.new("RGB", (500, 700))
+    assert resize_image(ok).size == (500, 700)
+
+
+def test_chunker_budget_and_refs():
+    tok = SimpleTokenizer(1000, 999)
+    ch = HybridChunker(tok, max_tokens=12)
+    pages = [
+        "one two three four five.\n\nsix seven eight nine ten eleven twelve thirteen.",
+        "second page text here.",
+    ]
+    chunks = ch.chunk_pages(pages)
+    assert all(len(tok.encode(c.text)) <= 12 for c in chunks)
+    assert chunks[0].page_no == 1
+    assert chunks[-1].page_no == 2
+    refs = [c.ref for c in chunks]
+    assert refs == [f"#/texts/{i}" for i in range(len(chunks))]
+
+
+def test_pdf_loader_schema_and_page_images(sample_pdf, tmp_path):
+    tok = SimpleTokenizer(1000, 999)
+    vd = str(tmp_path / "vd")
+    docs_multi, docs_text = pdf_loader(
+        [sample_pdf], ["https://doi.org/10.1/x"], ["paper.pdf"], vd, tok
+    )
+    assert docs_multi and docs_text
+    for d in docs_multi + docs_text:
+        assert validate_metadata(d.metadata) is None
+        assert d.metadata["document_link"] == "https://doi.org/10.1/x"
+    # page images saved with the reference layout
+    pngs = sorted(os.listdir(os.path.join(vd, "pg_images")))
+    assert pngs == ["paper_001.png", "paper_002.png", "paper_003.png"]
+
+
+def test_convert_pdfs_to_images_layout(sample_pdf, tmp_path):
+    vd = str(tmp_path / "vd2")
+    saved = convert_pdfs_to_images([sample_pdf], vd)
+    assert list(saved) == ["paper"]
+    assert all(os.path.exists(p) for p in saved["paper"])
+    in_mem = convert_pdf_dir_to_images(os.path.dirname(sample_pdf))
+    assert "paper.pdf" in in_mem and len(in_mem["paper.pdf"]) == 3

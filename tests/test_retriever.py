@@ -1,0 +1,77 @@
+"""End-to-end retriever tests: processor -> encoder -> MaxSim -> store."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from multimodal_colpali_tpu.models import load_retriever, ColPaliProcessor
+from multimodal_colpali_tpu.models.configs import ColPaliModelConfig
+from multimodal_colpali_tpu.store import (
+    MultiVectorStore, PointStruct,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_retriever():
+    with pytest.warns(UserWarning, match="random init"):
+        return load_retriever("tiny-colpali", seed=0)
+
+
+def _imgs(rng, n, size=28):
+    return [
+        Image.fromarray(rng.integers(0, 255, (size, size, 3), dtype=np.uint8), "RGB")
+        for _ in range(n)
+    ]
+
+
+def test_embed_images_shapes(tiny_retriever, rng):
+    embs = tiny_retriever.embed_images(_imgs(rng, 3))
+    assert len(embs) == 3
+    cfg = ColPaliModelConfig.tiny()
+    for e in embs:
+        assert e.shape[1] == cfg.embedding_dim
+        assert e.shape[0] >= cfg.vision.num_patches  # image tokens + text
+        norms = np.linalg.norm(e, axis=-1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)  # L2-normalized
+
+
+def test_embed_queries_deterministic(tiny_retriever):
+    a = tiny_retriever.embed_queries(["what is a glycan?"])[0]
+    b = tiny_retriever.embed_queries(["what is a glycan?", "other question"])[0]
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_self_retrieval_roundtrip(tiny_retriever, rng):
+    """A page should retrieve itself: embed pages, index, query with one
+    page's own embedding as the 'query'."""
+    images = _imgs(rng, 6)
+    embs = tiny_retriever.embed_images(images)
+    store = MultiVectorStore("c", dim=embs[0].shape[1],
+                             max_tokens=max(e.shape[0] for e in embs))
+    store.upsert([
+        PointStruct(id=i, vector=e, payload={"page": i}) for i, e in enumerate(embs)
+    ])
+    res = store.query(embs[4], limit=3)
+    assert res.points[0].id == 4
+
+
+def test_score_multi_vector_matches_store(tiny_retriever, rng):
+    images = _imgs(rng, 5)
+    embs = tiny_retriever.embed_images(images)
+    queries = tiny_retriever.embed_queries(["alpha beta", "gamma"])
+    proc = tiny_retriever.processor
+    scores = proc.score_multi_vector(queries, embs)
+    assert scores.shape == (2, 5)
+    # Compare against per-pair einsum.
+    q0, d2 = queries[0], embs[2]
+    want = float(np.sum(np.max(q0 @ d2.T, axis=1)))
+    assert scores[0, 2] == pytest.approx(want, rel=1e-4)
+
+
+def test_query_bucketing_stable(tiny_retriever):
+    """Short and long queries land in different buckets but stay correct."""
+    short = tiny_retriever.embed_queries(["a"])[0]
+    long = tiny_retriever.embed_queries(
+        ["a " + " ".join(f"w{i}" for i in range(30))]
+    )[0]
+    assert short.shape[0] < long.shape[0]
