@@ -5,7 +5,10 @@ from multimodal_colpali_tpu.store.types import (  # noqa: F401
     Distance,
     FieldCondition,
     Filter,
+    FilterSelector,
+    MatchAny,
     MatchValue,
+    PointIdsList,
     MultiVectorComparator,
     MultiVectorConfig,
     PointStruct,

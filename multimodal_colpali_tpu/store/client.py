@@ -139,11 +139,16 @@ class VectorClient:
         )
 
     def delete(self, collection_name: str,
-               points_selector: Union[Sequence[Union[int, str]], t.Filter, None] = None,
+               points_selector: Union[Sequence[Union[int, str]], t.Filter,
+                                      t.FilterSelector, t.PointIdsList, None] = None,
                **_: Any) -> t.UpdateResult:
         store = self._get(collection_name)
+        if isinstance(points_selector, t.FilterSelector):
+            return store.delete(flt=points_selector.filter)
         if isinstance(points_selector, t.Filter):
             return store.delete(flt=points_selector)
+        if isinstance(points_selector, t.PointIdsList):
+            return store.delete(ids=points_selector.points)
         return store.delete(ids=points_selector)
 
     def count(self, collection_name: str, count_filter: Optional[t.Filter] = None,

@@ -50,9 +50,21 @@ class MatchValue:
 
 
 @dataclasses.dataclass
+class MatchAny:
+    any: Sequence[Any]
+
+
+@dataclasses.dataclass
 class FieldCondition:
     key: str
-    match: MatchValue
+    match: Union[MatchValue, MatchAny]
+
+
+def _cond_matches(cond: FieldCondition, payload: Dict[str, Any]) -> bool:
+    val = _lookup(payload, cond.key)
+    if isinstance(cond.match, MatchAny):
+        return val in list(cond.match.any)
+    return val == cond.match.value
 
 
 @dataclasses.dataclass
@@ -62,12 +74,22 @@ class Filter:
 
     def matches(self, payload: Dict[str, Any]) -> bool:
         for cond in self.must:
-            if _lookup(payload, cond.key) != cond.match.value:
+            if not _cond_matches(cond, payload):
                 return False
         for cond in self.must_not:
-            if _lookup(payload, cond.key) == cond.match.value:
+            if _cond_matches(cond, payload):
                 return False
         return True
+
+
+@dataclasses.dataclass
+class FilterSelector:
+    filter: "Filter"
+
+
+@dataclasses.dataclass
+class PointIdsList:
+    points: Sequence[Union[int, str]]
 
 
 def _lookup(payload: Dict[str, Any], dotted_key: str) -> Any:
