@@ -19,4 +19,14 @@ See SURVEY.md for the structural analysis of the reference and the build plan.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("MMCP_JAX_PLATFORMS"):
+    # This environment's sitecustomize force-registers a remote TPU backend
+    # and overrides JAX_PLATFORMS; MMCP_JAX_PLATFORMS=cpu pins the framework
+    # to a platform regardless (tests/CI use it to stay off the tunnel).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["MMCP_JAX_PLATFORMS"])
+
 from multimodal_colpali_tpu.documents import Document  # noqa: F401

@@ -76,12 +76,19 @@ def create_document_embeddings(
 
 def upsert_to_qdrant(client: VectorClient, collection_name: str, points,
                      attempts: int = 3) -> bool:
-    """Retrying upsert (reference functions.py:814-825 used stamina)."""
+    """Retrying upsert (reference functions.py:814-825 used stamina).
+
+    Programming errors (dimension/shape mismatches -> ValueError, missing
+    collection -> KeyError) propagate immediately: retrying can't fix them
+    and swallowing them silently drops data.
+    """
     for i in range(attempts):
         try:
             client.upsert(collection_name, points)
             return True
-        except Exception as e:  # noqa: BLE001 - parity: print & retry
+        except (ValueError, KeyError):
+            raise
+        except Exception as e:  # noqa: BLE001 - transient: print & retry
             print(f"Error during upsert: {e}")
             if i == attempts - 1:
                 return False

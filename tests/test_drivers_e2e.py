@@ -1,0 +1,157 @@
+"""End-to-end driver pipeline test.
+
+Runs the real CLI drivers as subprocesses over a synthetic corpus with the
+tiny retriever and the in-process fake OpenAI server:
+
+  01 ingest -> 02 eval (no_RAG + colpali) -> 04 aggregate
+  05 grid eval -> 06 aggregate
+
+Asserts the artifact formats the reference aggregators rely on.
+"""
+
+import json
+import os
+import pickle
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from multimodal_colpali_tpu.ingest.pdfwrite import make_sample_pdf
+from tests.fake_openai import FakeOpenAIServer
+
+REPO = Path(__file__).resolve().parent.parent
+DRIVERS = REPO / "drivers"
+
+
+def _env(base_url):
+    env = dict(os.environ)
+    env["OPENAI_BASE_URL"] = base_url
+    env["OPENAI_API_KEY"] = "test-key"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MMCP_JAX_PLATFORMS"] = "cpu"  # the sitecustomize ignores JAX_PLATFORMS
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    return env
+
+
+def _run(cmd, env):
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, f"{cmd}\nSTDOUT:{r.stdout[-2000:]}\nSTDERR:{r.stderr[-2000:]}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("e2e")
+    papers = ws / "papers"
+    papers.mkdir()
+    for i, name in enumerate(["Paper01", "Paper02"]):
+        make_sample_pdf(str(papers / f"{name}.pdf"), n_pages=2, lines_per_page=5, seed=i)
+    # benchmark with the placeholder schema (benchmark_placeholder.csv)
+    bench = pd.DataFrame({
+        "Question_nr": [1, 2, 3],
+        "Paper_id": ["Paper01", "Paper02", "Paper01"],
+        "Nr_data_suppl": [0, 0, 0],
+        "doi": ["d1", "d2", "d1"],
+        "title": ["t1", "t2", "t1"],
+        "question": ["What binds selectins?", "What is page two about?", "Name a glycan."],
+        "A": ["sialyl-Lewis-x", "glycans", "chitin"],
+        "B": ["starch", "metals", "sialic acid"],
+        "C": ["iron", "planets", "iron"],
+        "D": ["nothing", "nothing", "starch"],
+        "Correct": ["A", "A", "B"],
+        "Difficulty": ["Easy", "Medium", "Hard"],
+    })
+    bench.to_csv(ws / "benchmark.csv", index=False)
+    models_cfg = [{
+        "model_name": "fake-gemma", "model_short": "gemma3", "port": 1,
+        "text_vd": "RAG_TEXT", "mm_vd": "RAG_MM_gemma3",
+        "late_inter": "tiny-colpali", "late_inter_short": "colpali",
+    }]
+    (ws / "models.json").write_text(json.dumps(models_cfg))
+    return ws
+
+
+@pytest.mark.e2e
+def test_full_pipeline(workspace):
+    ws = workspace
+    with FakeOpenAIServer(lambda req: json.dumps({"answer": "A"})
+                          if req.get("response_format") else "A") as srv:
+        env = _env(srv.base_url)
+        # 01: ingest + index
+        _run([sys.executable, str(DRIVERS / "01_create_context.py"),
+              "--papers-dir", str(ws / "papers"),
+              "--vd-dir", str(ws / "vd"),
+              "--models-config", str(ws / "models.json"),
+              "--prompts-path", ""], env)
+        storage = ws / "vd" / "storage"
+        assert (storage / "RAG_TEXT" / "meta.json").exists()
+        assert (storage / "colpali" / "meta.json").exists()
+        assert sorted(os.listdir(ws / "vd" / "pg_images")) == [
+            "Paper01_001.png", "Paper01_002.png", "Paper02_001.png", "Paper02_002.png",
+        ]
+
+        # 02: one run per mode (no_RAG + colpali)
+        results = ws / "results" / "eval"
+        results.mkdir(parents=True)
+        for label, vdb, typ in [("no_RAG", "", ""), ("colpali", "colpali", "colpali")]:
+            _run([sys.executable, str(DRIVERS / "02_experiment01.py"),
+                  "--vllm_port", "1", "--model_name", "gpt-5",
+                  "--filepath_output", str(results / f"eval_gpt5_{label}_no_perm_benchmark"),
+                  "--vector_db", vdb, "--type", typ,
+                  "--qa_path", str(ws / "benchmark.csv"),
+                  "--storage-path", str(storage),
+                  "--retriever", "tiny-colpali",
+                  "--base-url", srv.base_url, "--seed", "0"], env)
+        pkls = sorted(results.glob("*.pkl"))
+        assert len(pkls) == 2
+        blob = pickle.load(open(pkls[0], "rb"))
+        assert set(blob) == {"model", "evaluation", "elapsed_time", "timestamp",
+                             "permuted_answers"}
+        assert {r["Question_nr"] for r in blob["evaluation"]} == {1, 2, 3}
+        assert all(r["answer"] == "A" for r in blob["evaluation"])
+
+        # 04: aggregate
+        _run([sys.executable, str(DRIVERS / "04_experiment01_eval.py"),
+              "--eval-dir", str(results),
+              "--benchmark-path", str(ws / "benchmark.csv"),
+              "--summary-path", str(ws / "results" / "eval_results.xlsx"),
+              "--majority-path", str(ws / "results" / "eval_maj_results.xlsx"),
+              "--full-path", str(ws / "results" / "eval_full_results.xlsx")], env)
+        summary = pd.read_csv(ws / "results" / "eval_results.csv")
+        assert {"Easy", "Medium", "Hard"} <= set(summary.columns)
+        maj = pd.read_csv(ws / "results" / "eval_maj_results.csv")
+        # model answered A everywhere; Q1/Q2 correct, Q3 wrong -> maj 2/3
+        assert maj["Maj_vote"].iloc[0] == pytest.approx(2 / 3)
+
+        # 05: exp02 grid with context
+        _run([sys.executable, str(DRIVERS / "05_experiment02.py"),
+              "--qa_path", str(ws / "benchmark.csv"),
+              "--pdf_dir", str(ws / "papers"),
+              "--results_dir", str(ws / "results" / "evals"),
+              "--cache_dir", str(ws / "cache"),
+              "--models", "gpt-5",
+              "--retrievers", "tiny-colpali",
+              "--iterations", "2", "--top_k", "2", "--context",
+              "--base-url", srv.base_url, "--seed", "0"], env)
+        csvs = sorted((ws / "results" / "evals").glob("eval_*.csv"))
+        assert len(csvs) == 2  # two iterations
+        df = pd.read_csv(csvs[0])
+        assert {"Model", "Model_ret", "Answer", "Context_papers", "Cor_answer"} <= set(df.columns)
+        refs = eval(df["Context_papers"].iloc[0])
+        assert all("_pg_" in r for r in refs)
+        # embedding cache created and reused
+        assert (ws / "cache" / "tiny-colpali_pdf_emb.pkl").exists()
+
+        # 06: aggregate
+        _run([sys.executable, str(DRIVERS / "06_experiment02_eval.py"),
+              "--results_dir", str(ws / "results" / "evals"),
+              "--output", str(ws / "results" / "summary.xlsx"),
+              "--models", "gpt-5", "--retrievers", "tiny-colpali"], env)
+        summary2 = pd.read_csv(ws / "results" / "summary.csv")
+        assert "Cor_answer_summary" in summary2.columns
+        assert "is_paper_id_in_context_summary" in summary2.columns
+        assert "(SD=" in str(summary2["Cor_answer_summary"].iloc[0])
