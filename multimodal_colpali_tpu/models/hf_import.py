@@ -105,6 +105,66 @@ def colpali_params_from_hf(sd: Dict[str, Any], cfg: ColPaliModelConfig) -> Dict[
     }
 
 
+def colqwen2_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Convert a ``ColQwen2ForRetrieval`` state dict to the flax param tree."""
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        k = re.sub(r"^(vlm\.)?model\.", "", k)
+        k = re.sub(r"^custom_text_proj\.", "embedding_proj_layer.", k)
+        norm[k] = v
+    sd = norm
+
+    is_25 = getattr(cfg.vision, "variant", "qwen2") == "qwen2_5"
+    norm_fn = _rms if is_25 else _ln
+    visual: Dict[str, Any] = {
+        "patch_embed": {"kernel": _np(sd["visual.patch_embed.proj.weight"])
+                        .reshape(cfg.vision.embed_dim, -1).T},
+        "ln_q": norm_fn(sd, "visual.merger.ln_q"),
+        "merger_fc1": _lin(sd, "visual.merger.mlp.0"),
+        "merger_fc2": _lin(sd, "visual.merger.mlp.2"),
+    }
+    for i in range(cfg.vision.depth):
+        p = f"visual.blocks.{i}."
+        block = {
+            "norm1": norm_fn(sd, p + "norm1"),
+            "norm2": norm_fn(sd, p + "norm2"),
+            "qkv": _lin(sd, p + "attn.qkv"),
+            "attn_proj": _lin(sd, p + "attn.proj"),
+        }
+        if is_25:
+            block["gate_proj"] = _lin(sd, p + "mlp.gate_proj")
+            block["up_proj"] = _lin(sd, p + "mlp.up_proj")
+            block["down_proj"] = _lin(sd, p + "mlp.down_proj")
+        else:
+            block["fc1"] = _lin(sd, p + "mlp.fc1")
+            block["fc2"] = _lin(sd, p + "mlp.fc2")
+        visual[f"blocks_{i}"] = block
+
+    params: Dict[str, Any] = {
+        "embed_tokens": _np(sd["language_model.embed_tokens.weight"]),
+        "visual": visual,
+        "norm": _rms(sd, "language_model.norm"),
+    }
+    if "embedding_proj_layer.weight" in sd:
+        params["embedding_proj_layer"] = _lin(sd, "embedding_proj_layer")
+    for i in range(cfg.text.num_hidden_layers):
+        p = f"language_model.layers.{i}."
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj"),
+                "k_proj": _lin(sd, p + "self_attn.k_proj"),
+                "v_proj": _lin(sd, p + "self_attn.v_proj"),
+                "o_proj": _lin(sd, p + "self_attn.o_proj", bias=False),
+            },
+            "gate_proj": _lin(sd, p + "mlp.gate_proj", bias=False),
+            "up_proj": _lin(sd, p + "mlp.up_proj", bias=False),
+            "down_proj": _lin(sd, p + "mlp.down_proj", bias=False),
+            "input_layernorm": _rms(sd, p + "input_layernorm"),
+            "post_attention_layernorm": _rms(sd, p + "post_attention_layernorm"),
+        }
+    return params
+
+
 def bert_params_from_hf(sd: Dict[str, Any], cfg: BertConfig) -> Dict[str, Any]:
     """Convert a ``BertModel`` state dict (bge-base) to the flax param tree."""
     norm: Dict[str, Any] = {}

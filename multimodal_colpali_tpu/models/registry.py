@@ -31,14 +31,20 @@ from multimodal_colpali_tpu.models.processing import ColPaliProcessor
 
 @dataclasses.dataclass
 class Retriever:
-    """A late-interaction encoder bound to params, ready to embed."""
+    """A late-interaction encoder bound to params, ready to embed.
+
+    ``family`` selects the forward signature: "colpali" models take
+    (ids, mask, pixels); "colqwen2" models additionally take mrope
+    position_ids, which their processor emits in every batch.
+    """
 
     name: str
-    model: ColPaliModel
+    model: Any
     params: Any
-    processor: ColPaliProcessor
+    processor: Any
     dtype: Any = jnp.bfloat16
     mesh: Optional[Mesh] = None
+    family: str = "colpali"
 
     def __post_init__(self):
         self._jit_cache: Dict[Any, Callable] = {}
@@ -58,22 +64,43 @@ class Retriever:
 
     def _apply(self, with_image: bool) -> Callable:
         if with_image not in self._jit_cache:
-            def fn(params, input_ids, attention_mask, pixel_values=None):
-                return self.model.apply(
-                    {"params": params}, input_ids, attention_mask, pixel_values
-                )
+            if self.family == "colqwen2":
+                def fn(params, input_ids, attention_mask, position_ids,
+                       pixel_values=None):
+                    return self.model.apply(
+                        {"params": params}, input_ids, attention_mask,
+                        position_ids, pixel_values,
+                    )
+                n_data = 3 + int(with_image)
+                mrope = True
+            else:
+                def fn(params, input_ids, attention_mask, pixel_values=None):
+                    return self.model.apply(
+                        {"params": params}, input_ids, attention_mask, pixel_values
+                    )
+                n_data = 2 + int(with_image)
+                mrope = False
             in_shardings = None
             if self.mesh is not None:
                 rep = NamedSharding(self.mesh, P())
                 data = NamedSharding(self.mesh, P("data"))
-                if with_image:
-                    in_shardings = (rep, data, data, data)
-                else:
-                    in_shardings = (rep, data, data)
+                shards = [rep] + [data] * n_data
+                if mrope:
+                    # position_ids are [3, B, S]: batch axis is dim 1.
+                    shards[3] = NamedSharding(self.mesh, P(None, "data"))
+                in_shardings = tuple(shards)
             self._jit_cache[with_image] = jax.jit(
                 fn, in_shardings=in_shardings
             ) if in_shardings else jax.jit(fn)
         return self._jit_cache[with_image]
+
+    def _batch_args(self, batch: Dict[str, Any], with_image: bool):
+        args = [jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])]
+        if self.family == "colqwen2":
+            args.append(jnp.asarray(batch["position_ids"]))
+        if with_image:
+            args.append(jnp.asarray(batch["pixel_values"], self.dtype))
+        return args
 
     def _pad_batch(self, n: int) -> int:
         """Round batch up so it divides the data axis (DP sharding)."""
@@ -92,12 +119,7 @@ class Retriever:
             while len(chunk) < n_pad:
                 chunk.append(chunk[-1])
             batch = self.processor.process_images(chunk)
-            emb = self._apply(True)(
-                self.params,
-                jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["attention_mask"]),
-                jnp.asarray(batch["pixel_values"], self.dtype),
-            )
+            emb = self._apply(True)(self.params, *self._batch_args(batch, True))
             emb = np.asarray(emb, np.float32)
             mask = batch["attention_mask"]
             for i in range(n):
@@ -113,11 +135,7 @@ class Retriever:
             while len(chunk) < n_pad:
                 chunk.append(chunk[-1])
             batch = self.processor.process_queries(chunk)
-            emb = self._apply(False)(
-                self.params,
-                jnp.asarray(batch["input_ids"]),
-                jnp.asarray(batch["attention_mask"]),
-            )
+            emb = self._apply(False)(self.params, *self._batch_args(batch, False))
             emb = np.asarray(emb, np.float32)
             mask = batch["attention_mask"]
             for i in range(n):
@@ -125,13 +143,12 @@ class Retriever:
         return out
 
     # torch-flavored compat: model(**processor.process_images(imgs)) shape.
-    def __call__(self, input_ids=None, attention_mask=None, pixel_values=None, **_):
-        emb = self._apply(pixel_values is not None)(
-            self.params,
-            jnp.asarray(input_ids),
-            jnp.asarray(attention_mask),
-            None if pixel_values is None else jnp.asarray(pixel_values, self.dtype),
-        )
+    def __call__(self, input_ids=None, attention_mask=None, pixel_values=None,
+                 position_ids=None, **_):
+        batch = {"input_ids": input_ids, "attention_mask": attention_mask,
+                 "pixel_values": pixel_values, "position_ids": position_ids}
+        with_image = pixel_values is not None
+        emb = self._apply(with_image)(self.params, *self._batch_args(batch, with_image))
         return _RetrieverOutput(embeddings=emb)
 
 
@@ -140,47 +157,74 @@ class _RetrieverOutput:
     embeddings: jax.Array
 
 
-def fast_random_params(model: ColPaliModel, cfg: ColPaliModelConfig, seed: int = 0):
+def _example_inputs(family: str, cfg) -> tuple:
+    ids = jnp.zeros((1, 8), jnp.int32)
+    mask = jnp.ones((1, 8), jnp.int32)
+    if family == "colqwen2":
+        pos = jnp.zeros((3, 1, 8), jnp.int32)
+        pix = jnp.zeros((1, cfg.grid_h * cfg.grid_w, cfg.vision.patch_dim),
+                        jnp.float32)
+        return (ids, mask, pos, pix)
+    pix = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
+                    jnp.float32)
+    return (ids, mask, pix)
+
+
+def fast_random_params(model, cfg, seed: int = 0, family: str = "colpali"):
     """Random parameters via eval_shape + direct NumPy fill.
 
     Real flax init of a 3B model on this host's single CPU core takes tens of
     minutes; for random-weight runs (benchmarks, air-gapped e2e) the exact
     init distribution is irrelevant, so fill N(0, fan_in^-0.5) directly.
+
+    Norm-weight convention differs per family: Gemma RMSNorm is (1+w) -> w=0;
+    Qwen2 RMSNorm and LayerNorms are plain-multiply -> w=1.
     """
-    c = cfg
-    ids = jnp.zeros((1, 8), jnp.int32)
-    mask = jnp.ones((1, 8), jnp.int32)
-    pix = jnp.zeros((1, c.vision.image_size, c.vision.image_size, 3), jnp.float32)
+    args = _example_inputs(family, cfg)
     shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), ids, mask, pix)
+        lambda: model.init(jax.random.PRNGKey(0), *args)
     )["params"]
     rng = np.random.default_rng(seed)
+    # Gemma-style (1+w) RMSNorms exist only in the colpali family.
+    gemma_rms_parents = {"input_layernorm", "post_attention_layernorm", "norm"}
 
     def fill(path, s):
         name = getattr(path[-1], "key", str(path[-1]))
-        if name in ("bias",) or "layernorm" in str(path).lower() or name == "weight":
-            # biases zero; LayerNorm weight=1 handled below, RMSNorm weight=0
-            if name == "weight":
-                parent = getattr(path[-2], "key", "") if len(path) > 1 else ""
-                if "layer_norm" in parent or "layernorm" in parent or parent == "post_layernorm":
-                    return np.ones(s.shape, np.float32)
-                return np.zeros(s.shape, np.float32)  # RMSNorm (1+w) -> w=0
+        parent = getattr(path[-2], "key", "") if len(path) > 1 else ""
+        if name == "bias":
             return np.zeros(s.shape, np.float32)
+        if name == "weight":
+            if family == "colpali" and parent in gemma_rms_parents:
+                return np.zeros(s.shape, np.float32)  # (1+w) -> w=0
+            return np.ones(s.shape, np.float32)       # plain norms -> 1
         fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
-        scale = float(fan_in) ** -0.5
-        return rng.standard_normal(s.shape, dtype=np.float32) * scale
+        return rng.standard_normal(s.shape, dtype=np.float32) * float(fan_in) ** -0.5
 
     return jax.tree_util.tree_map_with_path(fill, shapes)
 
 
-# name -> (config factory, expected checkpoint subdir names)
-RETRIEVER_CONFIGS: Dict[str, Callable[[], ColPaliModelConfig]] = {
-    "vidore/colpali-v1.2": ColPaliModelConfig.colpali_v1_3,
-    "vidore/colpali-v1.3": ColPaliModelConfig.colpali_v1_3,
-    "vidore/colpali-v1.3-hf": ColPaliModelConfig.colpali_v1_3,
-    "vidore/colpali-v1.3-merged": ColPaliModelConfig.colpali_v1_3,
-    "tiny-colpali": lambda: ColPaliModelConfig.tiny(),
+# name -> (family, config factory)
+RETRIEVER_CONFIGS: Dict[str, tuple] = {
+    "vidore/colpali-v1.2": ("colpali", ColPaliModelConfig.colpali_v1_3),
+    "vidore/colpali-v1.3": ("colpali", ColPaliModelConfig.colpali_v1_3),
+    "vidore/colpali-v1.3-hf": ("colpali", ColPaliModelConfig.colpali_v1_3),
+    "vidore/colpali-v1.3-merged": ("colpali", ColPaliModelConfig.colpali_v1_3),
+    "tiny-colpali": ("colpali", ColPaliModelConfig.tiny),
 }
+
+
+def _register_qwen():
+    from multimodal_colpali_tpu.models.qwen2vl import ColQwen2ModelConfig as QCfg
+
+    RETRIEVER_CONFIGS.update({
+        "vidore/colqwen2-v1.0": ("colqwen2", QCfg.colqwen2_v1),
+        "vidore/colqwen2.5-v0.2": ("colqwen2", QCfg.colqwen2_5_v0_2),
+        "tiny-colqwen2": ("colqwen2", QCfg.tiny),
+        "tiny-colqwen2.5": ("colqwen2", QCfg.tiny_25),
+    })
+
+
+_register_qwen()
 
 
 def _find_checkpoint(name: str, checkpoint_dir: Optional[str]) -> Optional[str]:
@@ -213,21 +257,32 @@ def load_retriever(
         raise KeyError(
             f"unknown retriever {name!r}; known: {sorted(RETRIEVER_CONFIGS)}"
         )
-    cfg = RETRIEVER_CONFIGS[name]()
-    model = ColPaliModel(cfg)
+    family, cfg_factory = RETRIEVER_CONFIGS[name]
+    cfg = cfg_factory()
+    if family == "colqwen2":
+        from multimodal_colpali_tpu.models.processing_qwen2vl import ColQwen2Processor
+        from multimodal_colpali_tpu.models.qwen2vl import ColQwen2Model
+
+        model: Any = ColQwen2Model(cfg)
+        processor: Any = ColQwen2Processor(cfg, tokenizer=tokenizer)
+        convert = hf_import.colqwen2_params_from_hf
+    else:
+        model = ColPaliModel(cfg)
+        processor = ColPaliProcessor(cfg, tokenizer=tokenizer)
+        convert = hf_import.colpali_params_from_hf
+
     ckpt = _find_checkpoint(name, checkpoint_dir)
     if ckpt is not None:
         sd = hf_import.load_state_dict(ckpt)
-        params = hf_import.colpali_params_from_hf(sd, cfg)
+        params = convert(sd, cfg)
     else:
         warnings.warn(
             f"no local checkpoint for {name!r}; using random init "
             f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
             stacklevel=2,
         )
-        params = fast_random_params(model, cfg, seed)
-    processor = ColPaliProcessor(cfg, tokenizer=tokenizer)
+        params = fast_random_params(model, cfg, seed, family=family)
     return Retriever(
         name=name, model=model, params=params, processor=processor,
-        dtype=dtype, mesh=mesh,
+        dtype=dtype, mesh=mesh, family=family,
     )

@@ -75,3 +75,25 @@ def test_query_bucketing_stable(tiny_retriever):
         ["a " + " ".join(f"w{i}" for i in range(30))]
     )[0]
     assert short.shape[0] < long.shape[0]
+
+
+@pytest.mark.parametrize("name", ["tiny-colqwen2", "tiny-colqwen2.5"])
+def test_colqwen_retriever_swap(name, rng):
+    """Retriever-swap capability: the Qwen families drive through the same
+    Retriever/store surface as ColPali (BASELINE configs #3/#4)."""
+    with pytest.warns(UserWarning, match="random init"):
+        r = load_retriever(name, seed=1)
+    size = r.model.cfg.grid_h * r.model.cfg.vision.patch_size
+    images = _imgs(rng, 4, size=size)
+    embs = r.embed_images(images)
+    assert len(embs) == 4
+    assert embs[0].shape[1] == r.model.cfg.embedding_dim
+    np.testing.assert_allclose(np.linalg.norm(embs[0], axis=-1), 1.0, atol=1e-3)
+    queries = r.embed_queries(["find the glycan page"])
+    store = MultiVectorStore("c", dim=embs[0].shape[1],
+                             max_tokens=max(e.shape[0] for e in embs))
+    store.upsert([PointStruct(id=i, vector=e, payload={}) for i, e in enumerate(embs)])
+    res = store.query(embs[2], limit=2)
+    assert res.points[0].id == 2
+    scores = r.processor.score_multi_vector(queries, embs)
+    assert scores.shape == (1, 4)
