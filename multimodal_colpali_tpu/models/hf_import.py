@@ -165,6 +165,87 @@ def colqwen2_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     return params
 
 
+def colflor_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Convert a Florence-2 / ColFlor state dict to the flax param tree.
+
+    Consumes the encoder stack only (vision tower, projector, BART encoder);
+    decoder/lm_head keys are ignored. The retrieval head is accepted under
+    either ``embedding_proj_layer`` or colpali-engine's ``custom_text_proj``.
+    """
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        k = re.sub(r"^(vlm\.)?model\.", "", k)
+        k = re.sub(r"^custom_text_proj\.", "embedding_proj_layer.", k)
+        norm[k] = v
+    sd = norm
+
+    def conv(prefix):
+        return {"kernel": _np(sd[prefix + ".weight"]).transpose(2, 3, 1, 0),
+                "bias": _np(sd[prefix + ".bias"])}
+
+    v = cfg.vision
+    vision: Dict[str, Any] = {}
+    for stage in range(len(v.depths)):
+        vision[f"convs_{stage}"] = {
+            "conv": conv(f"vision_tower.convs.{stage}.conv"),
+            "norm": _ln(sd, f"vision_tower.convs.{stage}.norm"),
+        }
+        for d in range(v.depths[stage]):
+            for kind, attn_key, attn_name in (
+                ("spatial", "window_attn", "window_attn"),
+                ("channel", "channel_attn", "channel_attn"),
+            ):
+                p = f"vision_tower.blocks.{stage}.{d}.{kind}_block."
+                vision[f"blocks_{stage}_{d}_{kind}"] = {
+                    "conv1": {"conv": conv(p + "conv1")},
+                    "norm1": _ln(sd, p + "norm1"),
+                    attn_name: {
+                        "qkv": _lin(sd, p + f"{attn_key}.qkv"),
+                        "proj": _lin(sd, p + f"{attn_key}.proj"),
+                    },
+                    "conv2": {"conv": conv(p + "conv2")},
+                    "norm2": _ln(sd, p + "norm2"),
+                    "ffn": {"fc1": _lin(sd, p + "ffn.fc1"),
+                            "fc2": _lin(sd, p + "ffn.fc2")},
+                }
+
+    projector = {
+        "image_projection": _lin(sd, "multi_modal_projector.image_projection",
+                                 bias=False),
+        "image_proj_norm": _ln(sd, "multi_modal_projector.image_proj_norm"),
+        "row_embeddings": _np(
+            sd["multi_modal_projector.image_position_embed.row_embeddings.weight"]),
+        "column_embeddings": _np(
+            sd["multi_modal_projector.image_position_embed.column_embeddings.weight"]),
+    }
+
+    enc = "language_model.encoder."
+    params: Dict[str, Any] = {
+        "embed_tokens": _np(sd[enc + "embed_tokens.weight"]),
+        "embed_positions": _np(sd[enc + "embed_positions.weight"]),
+        "layernorm_embedding": _ln(sd, enc + "layernorm_embedding"),
+        "vision_tower": vision,
+        "multi_modal_projector": projector,
+    }
+    for i in range(cfg.text.encoder_layers):
+        p = f"{enc}layers.{i}."
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj"),
+                "k_proj": _lin(sd, p + "self_attn.k_proj"),
+                "v_proj": _lin(sd, p + "self_attn.v_proj"),
+                "out_proj": _lin(sd, p + "self_attn.out_proj"),
+            },
+            "self_attn_layer_norm": _ln(sd, p + "self_attn_layer_norm"),
+            "fc1": _lin(sd, p + "fc1"),
+            "fc2": _lin(sd, p + "fc2"),
+            "final_layer_norm": _ln(sd, p + "final_layer_norm"),
+        }
+    if "embedding_proj_layer.weight" in sd:
+        params["embedding_proj_layer"] = _lin(sd, "embedding_proj_layer")
+    return params
+
+
 def bert_params_from_hf(sd: Dict[str, Any], cfg: BertConfig) -> Dict[str, Any]:
     """Convert a ``BertModel`` state dict (bge-base) to the flax param tree."""
     norm: Dict[str, Any] = {}

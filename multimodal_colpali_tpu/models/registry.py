@@ -165,6 +165,9 @@ def _example_inputs(family: str, cfg) -> tuple:
         pix = jnp.zeros((1, cfg.grid_h * cfg.grid_w, cfg.vision.patch_dim),
                         jnp.float32)
         return (ids, mask, pos, pix)
+    if family == "colflor":
+        pix = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+        return (ids, mask, pix)
     pix = jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
                     jnp.float32)
     return (ids, mask, pix)
@@ -224,7 +227,17 @@ def _register_qwen():
     })
 
 
+def _register_colflor():
+    from multimodal_colpali_tpu.models.florence2 import ColFlorModelConfig as FCfg
+
+    RETRIEVER_CONFIGS.update({
+        "ahmed-masry/ColFlor": ("colflor", FCfg.colflor),
+        "tiny-colflor": ("colflor", FCfg.tiny),
+    })
+
+
 _register_qwen()
+_register_colflor()
 
 
 def _find_checkpoint(name: str, checkpoint_dir: Optional[str]) -> Optional[str]:
@@ -266,6 +279,13 @@ def load_retriever(
         model: Any = ColQwen2Model(cfg)
         processor: Any = ColQwen2Processor(cfg, tokenizer=tokenizer)
         convert = hf_import.colqwen2_params_from_hf
+    elif family == "colflor":
+        from multimodal_colpali_tpu.models.florence2 import ColFlorModel
+        from multimodal_colpali_tpu.models.processing_florence2 import ColFlorProcessor
+
+        model = ColFlorModel(cfg)
+        processor = ColFlorProcessor(cfg, tokenizer=tokenizer)
+        convert = hf_import.colflor_params_from_hf
     else:
         model = ColPaliModel(cfg)
         processor = ColPaliProcessor(cfg, tokenizer=tokenizer)
