@@ -246,6 +246,65 @@ def colflor_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     return params
 
 
+def colidefics3_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Convert an Idefics3/SmolVLM (ColIdefics3) state dict to flax params."""
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        k = re.sub(r"^(vlm\.)?model\.", "", k)
+        k = re.sub(r"^custom_text_proj\.", "embedding_proj_layer.", k)
+        norm[k] = v
+    sd = norm
+
+    vt = "vision_model."
+    vision: Dict[str, Any] = {
+        "patch_embedding": {
+            "kernel": _np(sd[vt + "embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd[vt + "embeddings.patch_embedding.bias"]),
+        },
+        "position_embedding": _np(sd[vt + "embeddings.position_embedding.weight"]),
+        "post_layernorm": _ln(sd, vt + "post_layernorm"),
+    }
+    for i in range(cfg.vision.num_hidden_layers):
+        p = f"{vt}encoder.layers.{i}."
+        vision[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj"),
+                "k_proj": _lin(sd, p + "self_attn.k_proj"),
+                "v_proj": _lin(sd, p + "self_attn.v_proj"),
+                "out_proj": _lin(sd, p + "self_attn.out_proj"),
+            },
+            "layer_norm1": _ln(sd, p + "layer_norm1"),
+            "layer_norm2": _ln(sd, p + "layer_norm2"),
+            "mlp": {"fc1": _lin(sd, p + "mlp.fc1"), "fc2": _lin(sd, p + "mlp.fc2")},
+        }
+
+    params: Dict[str, Any] = {
+        "embed_tokens": _np(sd["text_model.embed_tokens.weight"]),
+        "vision_model": vision,
+        "modality_projection": _lin(sd, "connector.modality_projection.proj",
+                                    bias=False),
+        "norm": _rms(sd, "text_model.norm"),
+    }
+    for i in range(cfg.text.num_hidden_layers):
+        p = f"text_model.layers.{i}."
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj", bias=False),
+                "k_proj": _lin(sd, p + "self_attn.k_proj", bias=False),
+                "v_proj": _lin(sd, p + "self_attn.v_proj", bias=False),
+                "o_proj": _lin(sd, p + "self_attn.o_proj", bias=False),
+            },
+            "gate_proj": _lin(sd, p + "mlp.gate_proj", bias=False),
+            "up_proj": _lin(sd, p + "mlp.up_proj", bias=False),
+            "down_proj": _lin(sd, p + "mlp.down_proj", bias=False),
+            "input_layernorm": _rms(sd, p + "input_layernorm"),
+            "post_attention_layernorm": _rms(sd, p + "post_attention_layernorm"),
+        }
+    if "embedding_proj_layer.weight" in sd:
+        params["embedding_proj_layer"] = _lin(sd, "embedding_proj_layer")
+    return params
+
+
 def bert_params_from_hf(sd: Dict[str, Any], cfg: BertConfig) -> Dict[str, Any]:
     """Convert a ``BertModel`` state dict (bge-base) to the flax param tree."""
     norm: Dict[str, Any] = {}

@@ -236,8 +236,19 @@ def _register_colflor():
     })
 
 
+def _register_colidefics3():
+    from multimodal_colpali_tpu.models.idefics3 import ColIdefics3ModelConfig as ICfg
+
+    RETRIEVER_CONFIGS.update({
+        "vidore/colSmol-256M": ("colidefics3", ICfg.colsmol_256m),
+        "vidore/colidefics3-v1.0": ("colidefics3", ICfg.colsmol_256m),
+        "tiny-colidefics3": ("colidefics3", ICfg.tiny),
+    })
+
+
 _register_qwen()
 _register_colflor()
+_register_colidefics3()
 
 
 def _find_checkpoint(name: str, checkpoint_dir: Optional[str]) -> Optional[str]:
@@ -286,6 +297,13 @@ def load_retriever(
         model = ColFlorModel(cfg)
         processor = ColFlorProcessor(cfg, tokenizer=tokenizer)
         convert = hf_import.colflor_params_from_hf
+    elif family == "colidefics3":
+        from multimodal_colpali_tpu.models.idefics3 import ColIdefics3Model
+        from multimodal_colpali_tpu.models.processing_idefics3 import ColIdefics3Processor
+
+        model = ColIdefics3Model(cfg)
+        processor = ColIdefics3Processor(cfg, tokenizer=tokenizer)
+        convert = hf_import.colidefics3_params_from_hf
     else:
         model = ColPaliModel(cfg)
         processor = ColPaliProcessor(cfg, tokenizer=tokenizer)

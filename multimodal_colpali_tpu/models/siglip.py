@@ -59,9 +59,15 @@ class SiglipEncoderLayer(nn.Module):
 
 
 class SiglipVisionTower(nn.Module):
-    """pixel_values [B, H, W, 3] (NHWC, already normalized) -> [B, P, hidden]."""
+    """pixel_values [B, H, W, 3] (NHWC, already normalized) -> [B, P, hidden].
+
+    ``pos_index``: optional static per-patch index into the position table.
+    SigLIP/PaliGemma uses sequential positions (None); Idefics3/SmolVLM uses
+    bucketized fractional coordinates, which its caller precomputes.
+    """
 
     cfg: SiglipVisionConfig
+    pos_index: tuple = ()
 
     @nn.compact
     def __call__(self, pixel_values):
@@ -81,6 +87,8 @@ class SiglipVisionTower(nn.Module):
             "position_embedding", nn.initializers.normal(0.02),
             (c.num_patches, c.hidden_size), jnp.float32,
         )
+        if self.pos_index:
+            pos = pos[jnp.asarray(self.pos_index)]
         x = x + pos.astype(x.dtype)[None]
         for i in range(c.num_hidden_layers):
             x = SiglipEncoderLayer(c, name=f"layers_{i}")(x)

@@ -77,14 +77,16 @@ def test_query_bucketing_stable(tiny_retriever):
     assert short.shape[0] < long.shape[0]
 
 
-@pytest.mark.parametrize("name", ["tiny-colqwen2", "tiny-colqwen2.5", "tiny-colflor"])
+@pytest.mark.parametrize("name", ["tiny-colqwen2", "tiny-colqwen2.5", "tiny-colflor", "tiny-colidefics3"])
 def test_colqwen_retriever_swap(name, rng):
     """Retriever-swap capability: the Qwen families drive through the same
     Retriever/store surface as ColPali (BASELINE configs #3/#4)."""
     with pytest.warns(UserWarning, match="random init"):
         r = load_retriever(name, seed=1)
     cfg = r.model.cfg
-    size = getattr(cfg, 'image_size', 0) or cfg.grid_h * cfg.vision.patch_size
+    size = (getattr(cfg, 'image_size', 0)
+            or getattr(cfg.vision, 'image_size', 0)
+            or cfg.grid_h * cfg.vision.patch_size)
     images = _imgs(rng, 4, size=size)
     embs = r.embed_images(images)
     assert len(embs) == 4
