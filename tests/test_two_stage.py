@@ -109,3 +109,45 @@ def test_train_step_reduces_loss(rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_pallas_normalize_matches_reference(rng):
+    from multimodal_colpali_tpu.ops.preprocess import (
+        normalize_images, normalize_images_reference)
+
+    u8 = jnp.asarray(rng.integers(0, 256, (2, 16, 128, 3)), jnp.uint8)
+    got = normalize_images(u8, interpret=True)
+    want = normalize_images_reference(u8)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=1e-2)
+    # CLIP stats too
+    got2 = normalize_images(u8, mean=(0.481, 0.457, 0.408),
+                            std=(0.268, 0.261, 0.275), interpret=True)
+    want2 = normalize_images_reference(u8, mean=(0.481, 0.457, 0.408),
+                                       std=(0.268, 0.261, 0.275))
+    np.testing.assert_allclose(np.asarray(got2, np.float32),
+                               np.asarray(want2, np.float32), atol=2e-2)
+
+
+def test_train_checkpoint_roundtrip(rng, tmp_path):
+    import optax
+    from multimodal_colpali_tpu.models.configs import ColPaliModelConfig
+    from multimodal_colpali_tpu.models.colpali import ColPaliModel
+    from multimodal_colpali_tpu.models.registry import fast_random_params
+    from multimodal_colpali_tpu.training import make_training_setup
+    from multimodal_colpali_tpu.training.checkpoint import (
+        make_checkpoint_manager, restore_train_state, save_train_state)
+
+    cfg = ColPaliModelConfig.tiny()
+    model = ColPaliModel(cfg)
+    params = jax.tree.map(jnp.asarray, fast_random_params(model, cfg, 0))
+    params, opt_state, _ = make_training_setup(model, params)
+
+    mgr = make_checkpoint_manager(str(tmp_path / "ckpt"))
+    save_train_state(mgr, 7, params, opt_state)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    step, p2, o2 = restore_train_state(mgr, zeros, jax.tree.map(jnp.zeros_like, opt_state))
+    assert step == 7
+    a = jax.tree.leaves(params)[0]
+    b = jax.tree.leaves(p2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
