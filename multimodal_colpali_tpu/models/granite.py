@@ -1,0 +1,206 @@
+"""ColGranite retrieval model: granite-vision (LLaVA-Next) + 128-d head.
+
+TPU-native (flax) equivalent of ``ibm-granite/granite-vision-3.3-2b-embedding``
+(the reference's fifth retriever, 01_create_context_qdrant.py:188-194):
+a LLaVA-Next architecture - SigLIP vision tower (features taken from a
+configurable encoder layer, pre-post-layernorm, as LLaVA-Next does), 2-layer
+GELU projector, anyres tile packing with per-row ``image_newline`` tokens,
+and a Granite LM (Llama-family decoder with Granite's embedding / attention /
+residual multipliers) - followed by a linear 128-d projection + L2 norm.
+
+For jit-stable shapes the framework pins images to the base square
+resolution with a single tile (pinpoint == base size), so the packed image
+token count is static: g^2 (base) + g*(g+1) (tile rows + newline column),
+g = image_size / patch_size. The tile equals the base image at this
+resolution, so the vision tower runs once and its features are reused.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_colpali_tpu.models import layers as L
+from multimodal_colpali_tpu.models.configs import SiglipVisionConfig
+from multimodal_colpali_tpu.models.idefics3 import LlamaAttention, LlamaTextConfig
+from multimodal_colpali_tpu.models.qwen2vl import Qwen2RMSNorm
+from multimodal_colpali_tpu.models.siglip import SiglipEncoderLayer
+
+
+@dataclasses.dataclass(frozen=True)
+class GraniteTextConfig(LlamaTextConfig):
+    embedding_multiplier: float = 12.0
+    attention_multiplier: float = 0.015625
+    residual_multiplier: float = 0.22
+
+
+@dataclasses.dataclass(frozen=True)
+class ColGraniteModelConfig:
+    vision: SiglipVisionConfig = dataclasses.field(default_factory=lambda: SiglipVisionConfig(
+        hidden_size=1152, intermediate_size=4304, num_hidden_layers=27,
+        num_attention_heads=16, image_size=384, patch_size=14))
+    text: GraniteTextConfig = dataclasses.field(default_factory=lambda: GraniteTextConfig(
+        vocab_size=49156, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=40, num_attention_heads=32, num_key_value_heads=8,
+        rope_theta=300_000.0))
+    embedding_dim: int = 128
+    image_token_id: int = 49155
+    vision_feature_layer: int = -1  # pre-post-layernorm encoder layer output
+
+    @property
+    def grid(self) -> int:
+        return self.vision.image_size // self.vision.patch_size
+
+    @property
+    def n_image_tokens(self) -> int:
+        g = self.grid
+        return g * g + g * (g + 1)
+
+    @classmethod
+    def granite_vision_3(cls) -> "ColGraniteModelConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 64) -> "ColGraniteModelConfig":
+        return cls(
+            vision=SiglipVisionConfig(hidden_size=32, intermediate_size=64,
+                                      num_hidden_layers=2, num_attention_heads=2,
+                                      image_size=32, patch_size=8),
+            text=GraniteTextConfig(vocab_size=vocab_size, hidden_size=24,
+                                   intermediate_size=48, num_hidden_layers=2,
+                                   num_attention_heads=2, num_key_value_heads=1,
+                                   rope_theta=10000.0, embedding_multiplier=2.0,
+                                   attention_multiplier=0.5,
+                                   residual_multiplier=0.8),
+            embedding_dim=8,
+            image_token_id=vocab_size - 1,
+        )
+
+
+class SiglipFeatureTower(nn.Module):
+    """SigLIP encoder emitting the ``vision_feature_layer`` hidden states
+    (LLaVA-Next takes them BEFORE post_layernorm; the post_layernorm params
+    exist in checkpoints but are unused for feature extraction)."""
+
+    cfg: SiglipVisionConfig
+    feature_layer: int = -1
+
+    @nn.compact
+    def __call__(self, pixel_values):
+        c = self.cfg
+        x = nn.Conv(features=c.hidden_size,
+                    kernel_size=(c.patch_size,) * 2, strides=(c.patch_size,) * 2,
+                    padding="VALID", name="patch_embedding",
+                    dtype=pixel_values.dtype, param_dtype=jnp.float32)(pixel_values)
+        b = x.shape[0]
+        x = x.reshape(b, -1, c.hidden_size)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (c.num_patches, c.hidden_size), jnp.float32)
+        x = x + pos.astype(x.dtype)[None]
+        n = c.num_hidden_layers
+        stop = n + 1 + self.feature_layer if self.feature_layer < 0 else self.feature_layer
+        for i in range(min(stop, n)):
+            x = SiglipEncoderLayer(c, name=f"layers_{i}")(x)
+        return x
+
+
+class GraniteDecoderLayer(nn.Module):
+    cfg: GraniteTextConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask):
+        c = self.cfg
+        y = Qwen2RMSNorm(eps=c.rms_norm_eps, name="input_layernorm")(x)
+        attn = GraniteAttention(c, name="self_attn")(y, positions, mask)
+        x = x + attn * c.residual_multiplier
+        y = Qwen2RMSNorm(eps=c.rms_norm_eps, name="post_attention_layernorm")(x)
+        gate = L.DenseGeneral(c.intermediate_size, use_bias=False, name="gate_proj")(y)
+        up = L.DenseGeneral(c.intermediate_size, use_bias=False, name="up_proj")(y)
+        down = L.DenseGeneral(c.hidden_size, use_bias=False, name="down_proj")(
+            jax.nn.silu(gate) * up)
+        return x + down * c.residual_multiplier
+
+
+class GraniteAttention(nn.Module):
+    cfg: GraniteTextConfig
+
+    @nn.compact
+    def __call__(self, x, positions, mask):
+        c = self.cfg
+        b, s, _ = x.shape
+        q = L.DenseGeneral(c.num_attention_heads * c.head_dim, use_bias=False, name="q_proj")(x)
+        k = L.DenseGeneral(c.num_key_value_heads * c.head_dim, use_bias=False, name="k_proj")(x)
+        v = L.DenseGeneral(c.num_key_value_heads * c.head_dim, use_bias=False, name="v_proj")(x)
+        q = q.reshape(b, s, c.num_attention_heads, c.head_dim)
+        k = k.reshape(b, s, c.num_key_value_heads, c.head_dim)
+        v = v.reshape(b, s, c.num_key_value_heads, c.head_dim)
+        q = L.rope(q, positions, theta=c.rope_theta)
+        k = L.rope(k, positions, theta=c.rope_theta)
+        # Granite replaces 1/sqrt(head_dim) with a fixed attention multiplier.
+        out = L.attention(q, k, v, mask=mask, scale=c.attention_multiplier)
+        out = out.reshape(b, s, c.num_attention_heads * c.head_dim)
+        return L.DenseGeneral(c.hidden_size, use_bias=False, name="o_proj")(out)
+
+
+class ColGraniteModel(nn.Module):
+    cfg: ColGraniteModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jax.Array,                 # [B, S]
+        attention_mask: jax.Array,            # [B, S]
+        pixel_values: Optional[jax.Array] = None,  # [B, H, W, 3]
+    ) -> jax.Array:
+        c = self.cfg
+        t = c.text
+        table = self.param("embed_tokens", nn.initializers.normal(0.02),
+                           (t.vocab_size, t.hidden_size), jnp.float32)
+        dtype = pixel_values.dtype if pixel_values is not None else jnp.float32
+        embeds = jnp.take(
+            table, jnp.where(input_ids == c.image_token_id, 0, input_ids), axis=0
+        ).astype(dtype)
+
+        if pixel_values is not None:
+            vis = SiglipFeatureTower(c.vision, c.vision_feature_layer,
+                                     name="vision_tower")(pixel_values)
+            h = L.DenseGeneral(t.hidden_size, name="projector_linear_1")(vis)
+            h = nn.gelu(h, approximate=False)
+            proj = L.DenseGeneral(t.hidden_size, name="projector_linear_2")(h)
+            # anyres pack, single tile == base image (static square layout):
+            # base tokens [g*g], then tile rows with a newline token per row.
+            g = c.grid
+            bsz = proj.shape[0]
+            newline = self.param("image_newline", nn.initializers.normal(0.02),
+                                 (t.hidden_size,), jnp.float32).astype(proj.dtype)
+            tile = proj.reshape(bsz, g, g, t.hidden_size)
+            nl = jnp.broadcast_to(newline[None, None, None, :], (bsz, g, 1, t.hidden_size))
+            tile = jnp.concatenate([tile, nl], axis=2).reshape(bsz, g * (g + 1),
+                                                               t.hidden_size)
+            feats = jnp.concatenate([proj, tile], axis=1)  # [B, n_image_tokens, D]
+            is_img = input_ids == c.image_token_id
+            img_pos = jnp.clip(jnp.cumsum(is_img, axis=1) - 1, 0, feats.shape[1] - 1)
+            gathered = jnp.take_along_axis(feats, img_pos[..., None], axis=1)
+            embeds = jnp.where(is_img[..., None], gathered, embeds)
+
+        embeds = embeds * jnp.asarray(t.embedding_multiplier, embeds.dtype)
+
+        positions = jnp.cumsum(attention_mask, axis=1) - 1
+        s = input_ids.shape[1]
+        causal = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        mask = causal & attention_mask[:, None, None, :].astype(bool)
+
+        x = embeds
+        for i in range(t.num_hidden_layers):
+            x = GraniteDecoderLayer(t, name=f"layers_{i}")(x, positions, mask)
+        x = Qwen2RMSNorm(eps=t.rms_norm_eps, name="norm")(x)
+
+        proj_out = L.DenseGeneral(c.embedding_dim, name="embedding_proj_layer")(x)
+        proj_out = proj_out.astype(jnp.float32)
+        proj_out = proj_out / jnp.maximum(
+            jnp.linalg.norm(proj_out, axis=-1, keepdims=True), 1e-12)
+        return proj_out * attention_mask[..., None].astype(proj_out.dtype)

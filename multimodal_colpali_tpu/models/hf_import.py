@@ -305,6 +305,72 @@ def colidefics3_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     return params
 
 
+def colgranite_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Convert a granite-vision / LLaVA-Next state dict to flax params.
+
+    The SigLIP post_layernorm and attention-pool head are skipped: LLaVA-Next
+    extracts features from an encoder layer before them.
+    """
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        k = re.sub(r"^(vlm\.)?model\.", "", k)
+        k = re.sub(r"^custom_text_proj\.", "embedding_proj_layer.", k)
+        norm[k] = v
+    sd = norm
+
+    vt = "vision_tower.vision_model."
+    vision: Dict[str, Any] = {
+        "patch_embedding": {
+            "kernel": _np(sd[vt + "embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd[vt + "embeddings.patch_embedding.bias"]),
+        },
+        "position_embedding": _np(sd[vt + "embeddings.position_embedding.weight"]),
+    }
+    n_layers = cfg.vision.num_hidden_layers
+    stop = (n_layers + 1 + cfg.vision_feature_layer
+            if cfg.vision_feature_layer < 0 else cfg.vision_feature_layer)
+    for i in range(min(stop, n_layers)):
+        p = f"{vt}encoder.layers.{i}."
+        vision[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj"),
+                "k_proj": _lin(sd, p + "self_attn.k_proj"),
+                "v_proj": _lin(sd, p + "self_attn.v_proj"),
+                "out_proj": _lin(sd, p + "self_attn.out_proj"),
+            },
+            "layer_norm1": _ln(sd, p + "layer_norm1"),
+            "layer_norm2": _ln(sd, p + "layer_norm2"),
+            "mlp": {"fc1": _lin(sd, p + "mlp.fc1"), "fc2": _lin(sd, p + "mlp.fc2")},
+        }
+
+    params: Dict[str, Any] = {
+        "embed_tokens": _np(sd["language_model.embed_tokens.weight"]),
+        "vision_tower": vision,
+        "projector_linear_1": _lin(sd, "multi_modal_projector.linear_1"),
+        "projector_linear_2": _lin(sd, "multi_modal_projector.linear_2"),
+        "image_newline": _np(sd["image_newline"]),
+        "norm": _rms(sd, "language_model.norm"),
+    }
+    for i in range(cfg.text.num_hidden_layers):
+        p = f"language_model.layers.{i}."
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj", bias=False),
+                "k_proj": _lin(sd, p + "self_attn.k_proj", bias=False),
+                "v_proj": _lin(sd, p + "self_attn.v_proj", bias=False),
+                "o_proj": _lin(sd, p + "self_attn.o_proj", bias=False),
+            },
+            "gate_proj": _lin(sd, p + "mlp.gate_proj", bias=False),
+            "up_proj": _lin(sd, p + "mlp.up_proj", bias=False),
+            "down_proj": _lin(sd, p + "mlp.down_proj", bias=False),
+            "input_layernorm": _rms(sd, p + "input_layernorm"),
+            "post_attention_layernorm": _rms(sd, p + "post_attention_layernorm"),
+        }
+    if "embedding_proj_layer.weight" in sd:
+        params["embedding_proj_layer"] = _lin(sd, "embedding_proj_layer")
+    return params
+
+
 def bert_params_from_hf(sd: Dict[str, Any], cfg: BertConfig) -> Dict[str, Any]:
     """Convert a ``BertModel`` state dict (bge-base) to the flax param tree."""
     norm: Dict[str, Any] = {}

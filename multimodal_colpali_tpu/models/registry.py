@@ -246,9 +246,19 @@ def _register_colidefics3():
     })
 
 
+def _register_colgranite():
+    from multimodal_colpali_tpu.models.granite import ColGraniteModelConfig as GCfg
+
+    RETRIEVER_CONFIGS.update({
+        "ibm-granite/granite-vision-3.3-2b-embedding": ("colgranite", GCfg.granite_vision_3),
+        "tiny-colgranite": ("colgranite", GCfg.tiny),
+    })
+
+
 _register_qwen()
 _register_colflor()
 _register_colidefics3()
+_register_colgranite()
 
 
 def _find_checkpoint(name: str, checkpoint_dir: Optional[str]) -> Optional[str]:
@@ -304,6 +314,13 @@ def load_retriever(
         model = ColIdefics3Model(cfg)
         processor = ColIdefics3Processor(cfg, tokenizer=tokenizer)
         convert = hf_import.colidefics3_params_from_hf
+    elif family == "colgranite":
+        from multimodal_colpali_tpu.models.granite import ColGraniteModel
+        from multimodal_colpali_tpu.models.processing_granite import ColGraniteProcessor
+
+        model = ColGraniteModel(cfg)
+        processor = ColGraniteProcessor(cfg, tokenizer=tokenizer)
+        convert = hf_import.colgranite_params_from_hf
     else:
         model = ColPaliModel(cfg)
         processor = ColPaliProcessor(cfg, tokenizer=tokenizer)

@@ -77,7 +77,7 @@ def test_query_bucketing_stable(tiny_retriever):
     assert short.shape[0] < long.shape[0]
 
 
-@pytest.mark.parametrize("name", ["tiny-colqwen2", "tiny-colqwen2.5", "tiny-colflor", "tiny-colidefics3"])
+@pytest.mark.parametrize("name", ["tiny-colqwen2", "tiny-colqwen2.5", "tiny-colflor", "tiny-colidefics3", "tiny-colgranite"])
 def test_colqwen_retriever_swap(name, rng):
     """Retriever-swap capability: the Qwen families drive through the same
     Retriever/store surface as ColPali (BASELINE configs #3/#4)."""
