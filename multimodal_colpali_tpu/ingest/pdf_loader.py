@@ -84,11 +84,39 @@ def data_preparation(
             print(f"For {filename} there were {len(texts)} texts processed only_text={only_text}.")
             continue
 
-        # Figure/table extraction requires layout models (Docling's
-        # TableFormer/granite stack); the native parser contributes the page
-        # rasters, and annotations arrive through the hook below.
+        # Figures: embedded raster images extracted natively by mmpdf, saved
+        # as images/{stem}_img_{idx:03d}.png (reference functions.py:292-297).
+        # VLM descriptions are filled in later by process_models (the
+        # reference's flow); table structure still needs a layout model and
+        # arrives through the picture_annotations hook.
         pictures: List[Document] = []
-        for idx, ann in enumerate(el.get("picture_annotations", []), start=1):
+        images_dir = save_root / "images"
+        picture_counter = 0
+        if hasattr(doc, "extract_images"):
+            for page_no in range(1, len(doc) + 1):
+                for img, _bbox in doc.extract_images(page_no - 1):
+                    if min(img.size) < 16:
+                        continue  # decorative strips/icons
+                    picture_counter += 1
+                    if picture_counter == 1:
+                        images_dir.mkdir(parents=True, exist_ok=True)
+                    link = images_dir / f"{doc_stem}_img_{picture_counter:03d}.png"
+                    resize_image(img).save(link, format="PNG")
+                    pictures.append(Document(
+                        page_content="",
+                        metadata={
+                            "document_name": doc.name,
+                            "document_id": document_id,
+                            "document_link": filename_link,
+                            "type": "image",
+                            "page_no": page_no,
+                            "ref": f"#/pictures/{picture_counter - 1}",
+                            "caption": "",
+                            "img_link": str(link),
+                        },
+                    ))
+        for ann in el.get("picture_annotations", []):
+            picture_counter += 1
             pictures.append(Document(
                 page_content=ann.get("text", "") if isinstance(ann, dict) else str(ann),
                 metadata={
@@ -97,7 +125,7 @@ def data_preparation(
                     "document_link": filename_link,
                     "type": "image",
                     "page_no": int(ann.get("page_no", 1)) if isinstance(ann, dict) else 1,
-                    "ref": f"#/pictures/{idx - 1}",
+                    "ref": f"#/pictures/{picture_counter - 1}",
                     "caption": ann.get("caption", "") if isinstance(ann, dict) else "",
                     "img_link": ann.get("img_link", "") if isinstance(ann, dict) else "",
                 },

@@ -63,6 +63,18 @@ def get_lib() -> ctypes.CDLL:
         lib.mmpdf_page_height.restype = ctypes.c_double
         lib.mmpdf_page_height.argtypes = [ctypes.c_void_p, ctypes.c_int]
         lib.mmpdf_free.argtypes = [ctypes.c_void_p]
+
+        class _ImageDesc(ctypes.Structure):
+            _fields_ = [("w", ctypes.c_int), ("h", ctypes.c_int),
+                        ("x0", ctypes.c_double), ("y0", ctypes.c_double),
+                        ("x1", ctypes.c_double), ("y1", ctypes.c_double),
+                        ("rgb", ctypes.POINTER(ctypes.c_uint8))]
+
+        lib._ImageDesc = _ImageDesc
+        lib.mmpdf_extract_images.restype = ctypes.POINTER(_ImageDesc)
+        lib.mmpdf_extract_images.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                             ctypes.POINTER(ctypes.c_int)]
+        lib.mmpdf_free_images.argtypes = [ctypes.POINTER(_ImageDesc), ctypes.c_int]
         _LIB = lib
     return _LIB
 
@@ -117,6 +129,22 @@ class PdfDocument:
             return ctypes.string_at(ptr).decode("utf-8", "replace")
         finally:
             self._lib.mmpdf_free(ptr)
+
+    def extract_images(self, index: int):
+        """Embedded raster figures of a page -> [(PIL.Image, bbox)], bbox in
+        PDF units (x0, y0, x1, y1, top-left origin)."""
+        count = ctypes.c_int(0)
+        arr = self._lib.mmpdf_extract_images(self._h, index, ctypes.byref(count))
+        out = []
+        try:
+            for i in range(count.value):
+                d = arr[i]
+                buf = np.ctypeslib.as_array(d.rgb, shape=(d.h, d.w, 3)).copy()
+                out.append((Image.fromarray(buf, "RGB"), (d.x0, d.y0, d.x1, d.y1)))
+        finally:
+            if count.value:
+                self._lib.mmpdf_free_images(arr, count.value)
+        return out
 
     def has_text(self, index: int = 0) -> bool:
         """check_ocr probe: does page ``index`` carry a text layer?

@@ -261,6 +261,30 @@ _register_colidefics3()
 _register_colgranite()
 
 
+def _load_tokenizer_from(ckpt_dir: str) -> Optional[Any]:
+    """Load the checkpoint's tokenizer (tokenizer.json via transformers)."""
+    try:
+        import transformers
+
+        tok = transformers.AutoTokenizer.from_pretrained(ckpt_dir)
+    except Exception:  # noqa: BLE001 - missing files/offline: fall back
+        return None
+
+    class _Wrapped:
+        """Adds the special-id attributes the processors expect."""
+
+        def __init__(self, t):
+            self._t = t
+            self.pad_id = t.pad_token_id if t.pad_token_id is not None else 0
+            self.bos_id = t.bos_token_id if t.bos_token_id is not None else 2
+            self.eos_id = t.eos_token_id if t.eos_token_id is not None else 1
+
+        def encode(self, text, add_special_tokens=False):
+            return self._t.encode(text, add_special_tokens=add_special_tokens)
+
+    return _Wrapped(tok)
+
+
 def _find_checkpoint(name: str, checkpoint_dir: Optional[str]) -> Optional[str]:
     candidates = []
     if checkpoint_dir:
@@ -328,6 +352,10 @@ def load_retriever(
 
     ckpt = _find_checkpoint(name, checkpoint_dir)
     if ckpt is not None:
+        if tokenizer is None:
+            tok = _load_tokenizer_from(ckpt)
+            if tok is not None:
+                processor.tokenizer = tok
         sd = hf_import.load_state_dict(ckpt)
         params = convert(sd, cfg)
     else:

