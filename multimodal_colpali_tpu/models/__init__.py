@@ -12,4 +12,9 @@ from multimodal_colpali_tpu.models.processing import (  # noqa: F401
     SimpleTokenizer,
     pad_multivectors,
 )
-from multimodal_colpali_tpu.models.registry import Retriever, load_retriever  # noqa: F401
+from multimodal_colpali_tpu.models.registry import (  # noqa: F401
+    RETRIEVER_CONFIGS,
+    Retriever,
+    load_retriever,
+)
+from multimodal_colpali_tpu.models.text_encoder import BgeEmbeddings  # noqa: F401
