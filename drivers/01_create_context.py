@@ -19,7 +19,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from multimodal_colpali_tpu import api
-from multimodal_colpali_tpu.config import EMB_DIM, EMBED_MODEL_ID, load_models_config
+from multimodal_colpali_tpu.config import EMBED_MODEL_ID, load_models_config
 from multimodal_colpali_tpu.generation import run_sync
 from multimodal_colpali_tpu.ingest import convert_pdfs_to_images, pdf_loader
 from multimodal_colpali_tpu.models import load_retriever
@@ -48,6 +48,8 @@ def parse_args() -> argparse.Namespace:
                    help="Skip the VLM image-summary stage (no generation endpoint).")
     p.add_argument("--base-url", default=os.environ.get("OPENAI_BASE_URL"))
     p.add_argument("--dpi", type=float, default=144.0)
+    p.add_argument("--text-encoder-config", default="bge-base",
+                   choices=["bge-base", "tiny"])
     return p.parse_args()
 
 
@@ -84,7 +86,11 @@ def main() -> None:
     prompts = load_prompts(args.prompts_path)
     models_cfg = load_models_config(args.models_config)
 
-    embeddings = BgeEmbeddings(model_name=EMBED_MODEL_ID)
+    if args.text_encoder_config == "tiny":
+        from multimodal_colpali_tpu.models.configs import BertConfig
+        embeddings = BgeEmbeddings(cfg=BertConfig.tiny())
+    else:
+        embeddings = BgeEmbeddings(model_name=EMBED_MODEL_ID)
     tokenizer = embeddings.tokenizer
 
     processed_multi, processed_text = pdf_loader(
@@ -104,14 +110,15 @@ def main() -> None:
 
     client = VectorClient(path=str(vd_dir / "storage"))
 
+    emb_dim = embeddings.cfg.hidden_size  # EMB_DIM (768) for bge-base
     text_loaded = False
     for model_cfg in models_cfg:
         if not text_loaded:
             api.qdrant_process(model_outputs["text_only"], client,
-                               model_cfg["text_vd"], EMB_DIM, embeddings)
+                               model_cfg["text_vd"], emb_dim, embeddings)
             text_loaded = True
         api.qdrant_process(model_outputs[model_cfg["model_short"]], client,
-                           model_cfg["mm_vd"], EMB_DIM, embeddings)
+                           model_cfg["mm_vd"], emb_dim, embeddings)
 
     # Page rasters + ColPali collections.
     page_cache = vd_dir / "pg_images"
@@ -132,10 +139,13 @@ def main() -> None:
     for model_cfg in models_cfg:
         retriever = load_retriever(model_cfg["late_inter"])
         cfg = retriever.model.cfg
+        # Probe the processor for the page-sequence length (family-agnostic).
+        probe = retriever.processor.process_images([dataset[0]["image"]])
+        seq_len = int(probe["input_ids"].shape[1])
         api.ensure_colpali_collection(
             client, model_cfg["late_inter_short"],
             vector_size=cfg.embedding_dim,
-            max_tokens=((cfg.vision.num_patches + 32 + 7) // 8) * 8,
+            max_tokens=((seq_len + 7) // 8) * 8,
         )
         api.colpali_qdrant(
             dataset, [str(p) for p in papers], doi_links,

@@ -68,6 +68,9 @@ def parse_args() -> argparse.Namespace:
                         help="Override generation endpoint (e.g. a local fake).")
     parser.add_argument("--seed", type=int, default=None,
                         help="Seed question shuffling/permutations (reference is unseeded).")
+    parser.add_argument("--text-encoder-config", default="bge-base",
+                        choices=["bge-base", "tiny"],
+                        help="Dense text encoder size for mm_RAG/text_RAG mode.")
     return parser.parse_args()
 
 
@@ -85,7 +88,8 @@ class RetrievalManager:
     rebuilt on the in-process TPU stores."""
 
     def __init__(self, retrieval_type: str, vector_db: str, top_k: int,
-                 storage_path: str, retriever_name: str):
+                 storage_path: str, retriever_name: str,
+                 text_encoder_config: str = "bge-base"):
         self.retrieval_type = retrieval_type
         self.vector_db = vector_db
         self.top_k = top_k
@@ -96,8 +100,12 @@ class RetrievalManager:
         if retrieval_type and vector_db:
             self.client = VectorClient(path=storage_path)
         if retrieval_type == "mm_RAG" and vector_db:
-            self.vector_store = api.TpuVectorStore(
-                self.client, vector_db, BgeEmbeddings())
+            if text_encoder_config == "tiny":
+                from multimodal_colpali_tpu.models.configs import BertConfig
+                emb = BgeEmbeddings(cfg=BertConfig.tiny())
+            else:
+                emb = BgeEmbeddings()
+            self.vector_store = api.TpuVectorStore(self.client, vector_db, emb)
         elif retrieval_type == "colpali" and vector_db:
             self.colpali = load_retriever(retriever_name)
 
@@ -218,7 +226,8 @@ def main() -> None:
     qa_table = load_questions(Path(args.qa_path), seed=args.seed)
     permute_answers = should_permute(args.perm_quest)
     retrieval = RetrievalManager(args.type, args.vector_db, args.top_k,
-                                 args.storage_path, args.retriever)
+                                 args.storage_path, args.retriever,
+                                 text_encoder_config=args.text_encoder_config)
     messages_list, records = prepare_requests(qa_table, retrieval, permute_answers, rng)
 
     if args.base_url:

@@ -37,7 +37,7 @@ class BgeEmbeddings:
     ):
         self.model_name = model_name
         self.cfg = cfg or BertConfig.bge_base()
-        self.max_length = max_length
+        self.max_length = min(max_length, self.cfg.max_position_embeddings)
         self.dtype = dtype
         self.tokenizer = tokenizer or SimpleTokenizer(self.cfg.vocab_size, 0)
         self.model = BertEncoder(self.cfg)

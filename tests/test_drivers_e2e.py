@@ -86,7 +86,8 @@ def test_full_pipeline(workspace):
               "--papers-dir", str(ws / "papers"),
               "--vd-dir", str(ws / "vd"),
               "--models-config", str(ws / "models.json"),
-              "--prompts-path", ""], env)
+              "--prompts-path", "",
+              "--text-encoder-config", "tiny"], env)
         storage = ws / "vd" / "storage"
         assert (storage / "RAG_TEXT" / "meta.json").exists()
         assert (storage / "colpali" / "meta.json").exists()
@@ -97,7 +98,8 @@ def test_full_pipeline(workspace):
         # 02: one run per mode (no_RAG + colpali)
         results = ws / "results" / "eval"
         results.mkdir(parents=True)
-        for label, vdb, typ in [("no_RAG", "", ""), ("colpali", "colpali", "colpali")]:
+        for label, vdb, typ in [("no_RAG", "", ""), ("colpali", "colpali", "colpali"),
+                                ("text_RAG", "RAG_TEXT", "mm_RAG")]:
             _run([sys.executable, str(DRIVERS / "02_experiment01.py"),
                   "--vllm_port", "1", "--model_name", "gpt-5",
                   "--filepath_output", str(results / f"eval_gpt5_{label}_no_perm_benchmark"),
@@ -105,9 +107,10 @@ def test_full_pipeline(workspace):
                   "--qa_path", str(ws / "benchmark.csv"),
                   "--storage-path", str(storage),
                   "--retriever", "tiny-colpali",
+                  "--text-encoder-config", "tiny",
                   "--base-url", srv.base_url, "--seed", "0"], env)
         pkls = sorted(results.glob("*.pkl"))
-        assert len(pkls) == 2
+        assert len(pkls) == 3
         blob = pickle.load(open(pkls[0], "rb"))
         assert set(blob) == {"model", "evaluation", "elapsed_time", "timestamp",
                              "permuted_answers"}

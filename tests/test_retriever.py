@@ -100,3 +100,26 @@ def test_colqwen_retriever_swap(name, rng):
     assert res.points[0].id == 2
     scores = r.processor.score_multi_vector(queries, embs)
     assert scores.shape == (1, 4)
+
+
+def test_dp_sharded_embedding_matches_unsharded(mesh8, rng):
+    """DP over the 8-device mesh ('data' axis) must not change embeddings."""
+    from jax.sharding import Mesh
+    import jax
+    import numpy as np2
+
+    devs = np2.array(jax.devices()[:8]).reshape(8, 1)
+    mesh = Mesh(devs, ("data", "model"))
+    with pytest.warns(UserWarning):
+        r_plain = load_retriever("tiny-colpali", seed=0)
+    with pytest.warns(UserWarning):
+        r_dp = load_retriever("tiny-colpali", seed=0, mesh=mesh)
+    imgs = _imgs(rng, 5)  # odd count: forces batch padding to 8
+    a = r_plain.embed_images(imgs)
+    b = r_dp.embed_images(imgs)
+    assert len(a) == len(b) == 5
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-2)
+    qa = r_plain.embed_queries(["one question"])
+    qb = r_dp.embed_queries(["one question"])
+    np.testing.assert_allclose(qa[0], qb[0], atol=2e-2)
