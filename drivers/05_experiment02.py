@@ -166,7 +166,11 @@ def eval_fn(model_name, retriever_name, qa_data, iterations, topk, chunk,
         with cache_path.open("rb") as fp:
             dataset = pickle.load(fp)
     else:
-        dataset = api.create_document_embeddings(str(pdf_dir), retriever, batch_size=32)
+        # Overlapped rasterize/preprocess/forward pipeline keeps the chip fed
+        # (same entry schema as api.create_document_embeddings).
+        from multimodal_colpali_tpu.ingest.pipeline import PipelinedEmbedder
+
+        dataset = PipelinedEmbedder(retriever, batch_size=32).embed_pdf_dir(str(pdf_dir))
         with cache_path.open("wb") as fp:
             pickle.dump(dataset, fp)
 

@@ -1,0 +1,120 @@
+"""Overlapped host->device embedding pipeline.
+
+SURVEY.md §7 hard part: keeping chips fed during corpus embedding. The
+reference's DataLoader(batch=2..4) loop (functions.py:784-796) serializes
+rasterize -> preprocess -> forward; here the host stages run in background
+threads with a bounded queue (double buffering), so PDF rasterization (C++
+mmpdf) and image preprocessing overlap the device forward of the previous
+batch.
+
+    loader = PipelinedEmbedder(retriever)
+    entries = loader.embed_pdf_dir(pdf_dir)   # create_document_embeddings schema
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+
+class _PrefetchIterator:
+    """Run ``producer`` in a thread, yield its items through a bounded queue."""
+
+    _SENTINEL = object()
+
+    def __init__(self, producer: Iterator, depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: List[BaseException] = []
+
+        def run():
+            try:
+                for item in producer:
+                    self._q.put(item)
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                self._err.append(e)
+            finally:
+                self._q.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err:
+                raise self._err[0]
+            raise StopIteration
+        return item
+
+
+class PipelinedEmbedder:
+    """Corpus embedding with prefetched host stages.
+
+    Stage 1 (thread): rasterize pages from PDFs (native mmpdf).
+    Stage 2 (thread): processor preprocessing into model input batches.
+    Stage 3 (main):   device forward + unpad, overlapping stage 1/2.
+    """
+
+    def __init__(self, retriever: Any, batch_size: int = 32, dpi: float = 144.0,
+                 prefetch_depth: int = 2):
+        self.retriever = retriever
+        self.batch_size = batch_size
+        self.dpi = dpi
+        self.prefetch_depth = prefetch_depth
+
+    # -- stage 1: pages -------------------------------------------------------
+
+    def _iter_pages(self, pdf_dir: str) -> Iterator[Tuple[int, int, str, Any]]:
+        import os
+
+        from multimodal_colpali_tpu.ingest.preprocess import resize_image
+        from multimodal_colpali_tpu.ingest.rasterize import PdfDocument
+
+        names = sorted(f for f in os.listdir(pdf_dir) if f.lower().endswith(".pdf"))
+        for doc_idx, name in enumerate(names):
+            doc = PdfDocument(os.path.join(pdf_dir, name))
+            for page_id in range(len(doc)):
+                yield doc_idx, page_id, name, resize_image(doc.render(page_id, dpi=self.dpi))
+
+    # -- stage 2: batches ------------------------------------------------------
+
+    def _iter_batches(self, pages: Iterator) -> Iterator[Tuple[List[Tuple], Dict]]:
+        buf: List[Tuple] = []
+        for rec in pages:
+            buf.append(rec)
+            if len(buf) == self.batch_size:
+                yield buf, self.retriever.processor.process_images([r[3] for r in buf])
+                buf = []
+        if buf:
+            yield buf, self.retriever.processor.process_images([r[3] for r in buf])
+
+    # -- stage 3: device -------------------------------------------------------
+
+    def embed_pdf_dir(self, pdf_dir: str) -> List[Dict[str, Any]]:
+        """-> entries {embedding, doc_id, page_id, file_name} (the
+        create_document_embeddings schema, reference functions.py:765-809)."""
+        import jax.numpy as jnp
+
+        pages = _PrefetchIterator(self._iter_pages(pdf_dir), depth=self.prefetch_depth * self.batch_size)
+        batches = _PrefetchIterator(self._iter_batches(pages), depth=self.prefetch_depth)
+
+        out: List[Dict[str, Any]] = []
+        for records, batch in batches:
+            args = self.retriever._batch_args(batch, True)
+            emb = self.retriever._apply(True)(self.retriever.params, *args)
+            emb = np.asarray(emb, np.float32)
+            mask = batch["attention_mask"]
+            for i, (doc_idx, page_id, name, _img) in enumerate(records):
+                out.append({
+                    "embedding": emb[i][mask[i] == 1],
+                    "doc_id": doc_idx,
+                    "page_id": page_id,
+                    "file_name": name,
+                })
+        return out

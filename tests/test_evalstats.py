@@ -136,3 +136,23 @@ def test_paired_wilcoxon():
     assert r["n_items"] == n
     assert r["mean_b"] >= r["mean_a"] or r["mean_a"] >= r["mean_b"]
     assert 0 <= r["p_value"] <= 1
+
+
+def test_wilcoxon_driver_cli(tmp_path):
+    import subprocess, sys, os
+    from pathlib import Path
+
+    path = _fake_eval_csvs(tmp_path / "evals" if (tmp_path / "evals").mkdir() or True else None)
+    env = dict(os.environ)
+    repo = Path(__file__).resolve().parent.parent
+    env["PYTHONPATH"] = f"{repo}:{env.get('PYTHONPATH','')}"
+    env["MMCP_JAX_PLATFORMS"] = "cpu"
+    out = tmp_path / "stats.xlsx"
+    r = subprocess.run([sys.executable, str(repo / "drivers" / "02a_stat_test.py"),
+                        "--input", str(tmp_path / "evals"),
+                        "--output", str(out)],
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-1500:]
+    df = pd.read_csv(tmp_path / "stats.csv")
+    assert {"Model", "group_a", "group_b", "p_value", "p_bonferroni"} <= set(df.columns)
+    assert len(df) == 1  # one model, one augmentation pair

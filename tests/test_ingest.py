@@ -134,3 +134,29 @@ def test_pdf_loader_emits_image_docs(sample_pdf, tmp_path):
         assert d.metadata["img_link"].endswith(f"paper_img_{i:03d}.png")
         assert os.path.exists(d.metadata["img_link"])
         assert d.metadata["ref"] == f"#/pictures/{i - 1}"
+
+
+def test_pipelined_embedder_matches_sequential(tmp_path, rng):
+    """The overlapped pipeline must produce the same entries as the
+    sequential create_document_embeddings path."""
+    import warnings
+
+    from multimodal_colpali_tpu import api
+    from multimodal_colpali_tpu.ingest.pipeline import PipelinedEmbedder
+    from multimodal_colpali_tpu.models import load_retriever
+
+    pdf_dir = tmp_path / "papers"
+    pdf_dir.mkdir()
+    for i, name in enumerate(["a", "b"]):
+        make_sample_pdf(str(pdf_dir / f"{name}.pdf"), n_pages=2, lines_per_page=3, seed=i)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r = load_retriever("tiny-colpali", seed=0)
+    want = api.create_document_embeddings(str(pdf_dir), r, batch_size=3)
+    got = PipelinedEmbedder(r, batch_size=3).embed_pdf_dir(str(pdf_dir))
+    assert len(got) == len(want) == 4
+    for g, w in zip(got, want):
+        assert (g["doc_id"], g["page_id"], g["file_name"]) == (
+            w["doc_id"], w["page_id"], w["file_name"])
+        np.testing.assert_allclose(g["embedding"], w["embedding"], atol=2e-2)
