@@ -88,28 +88,56 @@ def rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0) -> jax.Arra
     return out.astype(x.dtype)
 
 
+# Global toggle for the fused Pallas attention kernel (ops/attention.py).
+# Off by default; flip with set_fused_attention(True) on validated hardware.
+_FUSED_ATTENTION = False
+
+
+def set_fused_attention(enabled: bool) -> None:
+    global _FUSED_ATTENTION
+    _FUSED_ATTENTION = bool(enabled)
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     mask: Optional[jax.Array],
     scale: float,
+    kv_lens: Optional[jax.Array] = None,
+    causal: bool = False,
 ) -> jax.Array:
     """Multi-head attention core with fp32 softmax.
 
     q: [B, S, Hq, D]; k/v: [B, T, Hkv, D] (Hkv may be 1 for MQA, or divide Hq
     for GQA); mask: broadcastable to [B, 1, S, T] with True = attend.
     Returns [B, S, Hq, D].
+
+    When the fused kernel is enabled and the mask is expressible as
+    (kv_lens, causal), the Pallas kernel runs instead of the einsum chain
+    (callers that pass an explicit ``mask`` keep the einsum path).
     """
     hq, hkv = q.shape[2], k.shape[2]
     if hkv != hq:
         k = jnp.repeat(k, hq // hkv, axis=2)
         v = jnp.repeat(v, hq // hkv, axis=2)
+    if _FUSED_ATTENTION and mask is None and q.shape[1] == k.shape[1]:
+        from multimodal_colpali_tpu.ops.attention import fused_attention
+
+        return fused_attention(q, k, v, kv_lens, scale=scale, causal=causal)
     logits = jnp.einsum(
         "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
     ) * scale
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    if kv_lens is not None:
+        t = k.shape[1]
+        valid = jnp.arange(t)[None, None, None, :] < kv_lens[:, None, None, None]
+        logits = jnp.where(valid, logits, jnp.float32(-1e30))
+    if causal:
+        s, t = q.shape[1], k.shape[1]
+        cm = jnp.tril(jnp.ones((s, t), bool))[None, None]
+        logits = jnp.where(cm, logits, jnp.float32(-1e30))
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum(
         "bhst,bthd->bshd", probs.astype(v.dtype), v,

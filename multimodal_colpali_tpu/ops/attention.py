@@ -1,0 +1,106 @@
+"""Fused attention Pallas kernel for the encoder hot path.
+
+The einsum attention in models/layers.py materializes the [B, H, S, S]
+probability tensor in HBM between the two matmuls (~550 MB per Gemma layer
+at B=16, S=1040); this kernel keeps logits/probabilities in VMEM per query
+block, reading K/V once. At the encoders' sequence lengths (<=1056) a full
+K/V per (batch, head) fits VMEM, so the kernel uses exact row-block softmax
+(single K pass, no online rescaling needed).
+
+Opt-in via models.layers.set_fused_attention(True) (default off until
+validated on hardware); numerics are interpret-tested against the einsum
+reference for bidirectional, padded-KV, and causal cases.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _attn_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, causal, bq):
+    """Grid: (B*H, S/BQ). Blocks: q [1, BQ, D]; k/v [1, S, D]; o [1, BQ, D]."""
+    bh = pl.program_id(0)
+    qb = pl.program_id(1)
+    nh = None  # batch index comes via kv_lens indexing below
+
+    q = q_ref[0]                      # [BQ, D]
+    k = k_ref[0]                      # [S, D]
+    v = v_ref[0]
+    s = k.shape[0]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                          # [BQ, S]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
+    kv_len = kv_lens_ref[bh]
+    logits = jnp.where(col < kv_len, logits, NEG)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 0) + qb * bq
+        logits = jnp.where(col <= row, logits, NEG)
+
+    m = jnp.max(logits, axis=1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=1, keepdims=True)
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / denom
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "causal", "block_q", "interpret"))
+def fused_attention(
+    q: jax.Array,                     # [B, S, H, D]
+    k: jax.Array,                     # [B, S, H, D] (repeat KV heads first for GQA)
+    v: jax.Array,
+    kv_lens: Optional[jax.Array] = None,   # [B] valid key lengths
+    *,
+    scale: float,
+    causal: bool = False,
+    block_q: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    b, s, h, d = q.shape
+    if kv_lens is None:
+        kv_lens = jnp.full((b,), s, jnp.int32)
+
+    bq = min(block_q, s)
+    s_pad = ((s + bq - 1) // bq) * bq
+    qt = jnp.swapaxes(q, 1, 2).reshape(b * h, s, d)
+    kt = jnp.swapaxes(k, 1, 2).reshape(b * h, s, d)
+    vt = jnp.swapaxes(v, 1, 2).reshape(b * h, s, d)
+    if s_pad != s:
+        qt = jnp.pad(qt, ((0, 0), (0, s_pad - s), (0, 0)))
+
+    kv_lens_bh = jnp.repeat(kv_lens.astype(jnp.int32), h)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b * h, s_pad // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale, causal=causal, bq=bq),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
+        interpret=interpret,
+    )(kv_lens_bh, qt, kt, vt)
+    out = out[:, :s].reshape(b, h, s, d)
+    return jnp.swapaxes(out, 1, 2)
