@@ -68,6 +68,7 @@ class VectorClient:
         collection_name: str,
         vectors_config: t.VectorParams,
         quantized: bool = False,
+        prefilter: str = "int8",
         max_tokens: int = 1056,
         **_: Any,
     ) -> bool:
@@ -78,6 +79,7 @@ class VectorClient:
                 max_tokens=max_tokens,
                 distance=vectors_config.distance,
                 quantized=quantized,
+                prefilter=prefilter,
                 mesh=self.mesh,
                 mesh_axis=self.mesh_axis,
             )

@@ -51,15 +51,21 @@ class MultiVectorStore:
         distance: t.Distance = t.Distance.COSINE,
         dtype: Any = jnp.bfloat16,
         quantized: bool = False,
+        prefilter: str = "int8",
         mesh: Optional[Mesh] = None,
         mesh_axis: str = "corpus",
     ):
+        """``prefilter`` selects the quantized first stage: "int8" scans the
+        full int8 token corpus (recall-safe, HBM-bound); "pooled" scans
+        mean-pooled page vectors + rescores oversampled candidates exactly
+        from the int8 codes (the <10 ms @1M-pages path; see ops/two_stage)."""
         self.name = name
         self.dim = dim
         self.max_tokens = max_tokens
         self.distance = distance
         self.dtype = dtype
         self.quantized = quantized
+        self.prefilter = prefilter
         self.mesh = mesh
         self.mesh_axis = mesh_axis
 
@@ -71,6 +77,7 @@ class MultiVectorStore:
 
         self._device_cache: Optional[Tuple[jax.Array, jax.Array]] = None
         self._device_cache_int8: Optional[Tuple[jax.Array, jax.Array]] = None
+        self._device_cache_pooled: Optional[jax.Array] = None
         self._dirty = True
 
     # -- mutation ----------------------------------------------------------
@@ -188,6 +195,13 @@ class MultiVectorStore:
                 dq = jax.device_put(dq, shard_v)
                 ds = jax.device_put(ds, self._sharding(P(self.mesh_axis)))
             self._device_cache_int8 = (dq, ds)
+            if self.prefilter == "pooled":
+                from multimodal_colpali_tpu.ops.two_stage import pool_corpus
+
+                pooled = pool_corpus(jnp.asarray(vecs, self.dtype), dl)
+                if shard_v:
+                    pooled = jax.device_put(pooled, self._sharding(P(self.mesh_axis)))
+                self._device_cache_pooled = pooled
         self._dirty = False
         return self._device_cache
 
@@ -232,7 +246,20 @@ class MultiVectorStore:
             and self._device_cache_int8 is not None
             and not (quant and quant.ignore)
         )
-        if use_two_stage:
+        if use_two_stage and self.prefilter == "pooled":
+            from multimodal_colpali_tpu.ops.two_stage import two_stage_maxsim_topk
+
+            oversampling = quant.oversampling if quant else 2.0
+            n_cand = min(max(int(np.ceil(limit * max(oversampling, 1.0))), limit),
+                         d.shape[0])
+            dq, ds = self._device_cache_int8
+            vv, vi = two_stage_maxsim_topk(
+                jnp.asarray(q, jnp.float32), jnp.int32(q.shape[0]),
+                self._device_cache_pooled, dq, ds, dl_eff,
+                k=min(limit, d.shape[0]), n_candidates=n_cand,
+            )
+            vals, inds = np.asarray(vv), np.asarray(vi)
+        elif use_two_stage:
             oversampling = quant.oversampling if quant else 2.0
             rescore = quant.rescore if quant else True
             n_cand = min(int(np.ceil(limit * max(oversampling, 1.0))), d.shape[0])

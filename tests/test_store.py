@@ -160,3 +160,32 @@ def test_sharded_store_query(mesh8, rng):
     unsharded.upsert(pts)
     res2 = unsharded.query(pts[11].vector, limit=3)
     assert [p.id for p in res.points] == [p.id for p in res2.points]
+
+
+def test_pooled_two_stage_store(rng):
+    """prefilter='pooled' store returns the exact ranking on clustered data
+    and respects payload filters."""
+    p, nt, dim = 40, 8, 128
+    centers = rng.standard_normal((p, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    pts = []
+    for i in range(p):
+        vec = centers[i][None] + 0.05 * rng.standard_normal((nt, dim)).astype(np.float32)
+        pts.append(PointStruct(id=i, vector=vec,
+                               payload={"username": "a" if i % 2 == 0 else "b"}))
+    exact = MultiVectorStore("e", dim=dim, max_tokens=nt)
+    pooled = MultiVectorStore("p", dim=dim, max_tokens=nt,
+                              quantized=True, prefilter="pooled")
+    exact.upsert(pts)
+    pooled.upsert(pts)
+    q = centers[23][None].repeat(4, axis=0) + 0.02 * rng.standard_normal((4, dim)).astype(np.float32)
+    r_exact = exact.query(q, limit=5)
+    r_pooled = pooled.query(q, limit=5, search_params=SearchParams(
+        quantization=QuantizationSearchParams(ignore=False, oversampling=4.0)))
+    assert [pt.id for pt in r_pooled.points] == [pt.id for pt in r_exact.points]
+    assert r_pooled.points[0].id == 23
+    # filter: only even ids (username 'a')
+    flt = Filter(must=[FieldCondition(key="username", match=MatchValue(value="a"))])
+    r_f = pooled.query(q, limit=5, query_filter=flt, search_params=SearchParams(
+        quantization=QuantizationSearchParams(ignore=False, oversampling=4.0)))
+    assert all(pt.id % 2 == 0 for pt in r_f.points)
