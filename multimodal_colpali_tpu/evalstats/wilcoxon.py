@@ -47,7 +47,14 @@ def paired_wilcoxon_table(
                 stat, p = np.nan, 1.0
             else:
                 try:
-                    stat, p = stats.wilcoxon(x, y, zero_method="wilcox")
+                    # Match R's wilcox.test(paired=TRUE, exact=FALSE): the
+                    # normal approximation WITH continuity correction
+                    # (02a_stat_test.R:70-89). scipy's defaults (exact test
+                    # for small n, no correction) would deviate.
+                    stat, p = stats.wilcoxon(
+                        x, y, zero_method="wilcox", correction=True,
+                        method="approx",
+                    )
                 except ValueError:
                     stat, p = np.nan, 1.0
             rows.append({

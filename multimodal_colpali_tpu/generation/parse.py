@@ -4,6 +4,16 @@ Behavior parity with reference ``response_real_out`` (functions.py:1721-1763):
 three-stage letter extraction (exact match / JSON + regex / cleanup + regex),
 then de-permutation through the per-question answer order ``perm_q`` to
 recover the true answer letter.
+
+Behavioral deviations (intentional fixes, per the repo's parity convention):
+
+- The stage-2/3 regexes add a ``$`` alternative after the letter, so a bare
+  trailing letter ("The answer is: B") parses. The reference's
+  ``(A|B|C|D)(\\s|.)`` requires a character AFTER the letter and returns ""
+  for such responses (functions.py:1739,1752), silently scoring them wrong.
+- Stage 2 additionally accepts ``{"answer": "X"}`` dicts (the structured
+  output the clients actually produce) and returns from stage 2 instead of
+  falling through; the reference only handles JSON-encoded strings.
 """
 
 from __future__ import annotations

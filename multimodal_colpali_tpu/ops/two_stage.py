@@ -10,12 +10,25 @@ scalable layout is:
            one [1, DIM] x [DIM, P] matvec over 2 bytes/page-dim -> microseconds
            per 100k pages.
   stage 2: gather the top (k * oversampling) candidates' full token tensors
-           (int8 codes + scales) and rescore with exact MaxSim; return top-k.
+           and rescore with exact MaxSim; return top-k. The rescore source is
+           the bf16 originals when available (``d_full``, matching the int8
+           path's bf16 rescore and Qdrant's rescore-from-originals semantics)
+           and the int8 codes + scales otherwise (the 1M-page configuration,
+           where the bf16 corpus cannot fit in HBM).
 
 This mirrors the role of Qdrant's quantized scan + ``rescore=True,
 oversampling=2.0`` (reference functions.py:897-903) with the stage-1
 quantization pushed all the way to pooling. Recall is a function of the
-oversampling factor; tests measure it against the exact scan.
+oversampling factor; tests measure it against the exact scan on clustered
+corpora (tests/test_two_stage.py).
+
+``sharded_two_stage_maxsim_topk`` runs the same algorithm over a corpus
+sharded on the page axis (the 1M-page configuration: pooled prefilter AND
+corpus sharding together): per-shard pooled top-C, all-gather of (score,
+global id) candidates over ICI, a global top-C re-selection that reproduces
+``lax.top_k`` tie semantics exactly, owner-computed exact rescore combined
+with ``pmax``, and the same stable final top-k - so the result is
+bit-identical to the single-device function on the same corpus.
 """
 
 from __future__ import annotations
@@ -25,8 +38,9 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
-from multimodal_colpali_tpu.ops.maxsim import MASK_VALUE
+from multimodal_colpali_tpu.ops.maxsim import MASK_VALUE, NEG_INF
 from multimodal_colpali_tpu.ops.topk import topk_with_stable_ties
 
 
@@ -39,47 +53,136 @@ def pool_corpus(d: jax.Array, d_lens: jax.Array) -> jax.Array:
     return (summed / denom).astype(d.dtype)
 
 
+def _coarse_scores(q: jax.Array, q_len: jax.Array, pooled: jax.Array,
+                   d_lens: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Stage-1 pooled scores. Returns (coarse [P], qf [NQ,DIM] fp32, qmask)."""
+    nq = q.shape[0]
+    qf = q.astype(jnp.float32)
+    qmask = (jnp.arange(nq) < q_len).astype(jnp.float32)
+    qsum = jnp.einsum("qd,q->d", qf, qmask)
+    coarse = jnp.einsum(
+        "d,pd->p", qsum.astype(pooled.dtype), pooled,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.where(d_lens > 0, coarse, MASK_VALUE), qf, qmask
+
+
+def _exact_rescore(
+    qf: jax.Array,          # [NQ, DIM] fp32
+    qmask: jax.Array,       # [NQ]
+    cand: jax.Array,        # [C] page indices into the local arrays
+    d_int8: jax.Array,
+    d_scale: jax.Array,
+    d_lens: jax.Array,
+    d_full: Optional[jax.Array],
+) -> jax.Array:
+    """Exact MaxSim of the candidate pages, in candidate order -> [C] fp32."""
+    if d_full is not None:
+        dc = jnp.take(d_full, cand, axis=0).astype(jnp.float32)   # [C, NT, DIM]
+        sim = jnp.einsum("qd,ctd->cqt", qf, dc,
+                         preferred_element_type=jnp.float32)
+    else:
+        dc = jnp.take(d_int8, cand, axis=0).astype(jnp.float32)
+        sc = jnp.take(d_scale, cand, axis=0).astype(jnp.float32)  # [C, NT]
+        sim = jnp.einsum("qd,ctd->cqt", qf, dc,
+                         preferred_element_type=jnp.float32) * sc[:, None, :]
+    lc = jnp.take(d_lens, cand, axis=0)
+    nt = dc.shape[1]
+    tok_valid = jnp.arange(nt)[None, None, :] < lc[:, None, None]
+    sim = jnp.where(tok_valid, sim, MASK_VALUE)
+    per_q = jnp.max(sim, axis=-1)                                 # [C, NQ]
+    return jnp.einsum("cq,q->c", per_q, qmask)                    # [C]
+
+
 @functools.partial(jax.jit, static_argnames=("k", "n_candidates"))
 def two_stage_maxsim_topk(
     q: jax.Array,            # [NQ, DIM] single query's tokens (fp32/bf16)
     q_len: jax.Array,        # scalar int32
     pooled: jax.Array,       # [P, DIM] stage-1 page embeddings
     d_int8: jax.Array,       # [P, NT, DIM] int8 token codes
-    d_scale: jax.Array,      # [P, NT] fp32 scales
+    d_scale: jax.Array,      # [P, NT] scales
     d_lens: jax.Array,       # [P] int32
     k: int = 5,
     n_candidates: int = 32,
+    d_full: Optional[jax.Array] = None,  # [P, NT, DIM] bf16 originals
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (scores [k], page indices [k]) for one query."""
-    nq, dim = q.shape
-    qf = q.astype(jnp.float32)
-    qmask = (jnp.arange(nq) < q_len).astype(jnp.float32)
-    qsum = jnp.einsum("qd,q->d", qf, qmask)
-
-    # Stage 1: one matvec over the pooled corpus.
-    coarse = jnp.einsum(
-        "d,pd->p", qsum.astype(pooled.dtype), pooled,
-        preferred_element_type=jnp.float32,
-    )
-    coarse = jnp.where(d_lens > 0, coarse, MASK_VALUE)
-    # lax.top_k (not the stable-tie variant): stage-1 order is irrelevant -
-    # the exact rescore re-ranks - and a full argsort of a 1M-wide vector
-    # would dominate the query latency.
+    coarse, qf, qmask = _coarse_scores(q, q_len, pooled, d_lens)
+    # lax.top_k (not the stable-tie variant): among equal coarse scores it
+    # still returns the lower index first, and a full argsort of a 1M-wide
+    # vector would dominate the query latency.
     _, cand = jax.lax.top_k(coarse, n_candidates)
-
-    # Stage 2: gather candidates and rescore exactly.
-    dc = jnp.take(d_int8, cand, axis=0).astype(jnp.float32)      # [C, NT, DIM]
-    sc = jnp.take(d_scale, cand, axis=0)                          # [C, NT]
-    lc = jnp.take(d_lens, cand, axis=0)                           # [C]
-    sim = jnp.einsum("qd,ctd->cqt", qf, dc,
-                     preferred_element_type=jnp.float32) * sc[:, None, :]
-    nt = dc.shape[1]
-    tok_valid = jnp.arange(nt)[None, None, :] < lc[:, None, None]
-    sim = jnp.where(tok_valid, sim, MASK_VALUE)
-    per_q = jnp.max(sim, axis=-1)                                 # [C, NQ]
-    exact = jnp.einsum("cq,q->c", per_q, qmask)                   # [C]
+    exact = _exact_rescore(qf, qmask, cand, d_int8, d_scale, d_lens, d_full)
     vals, order = topk_with_stable_ties(exact[None, :], k)
     return vals[0], jnp.take(cand, order[0])
+
+
+def sharded_two_stage_maxsim_topk(
+    mesh: Mesh,
+    axis: str,
+    q: jax.Array,            # [NQ, DIM] (replicated)
+    q_len: jax.Array,        # scalar int32
+    pooled: jax.Array,       # [P, DIM] sharded on pages
+    d_int8: jax.Array,       # [P, NT, DIM] sharded on pages
+    d_scale: jax.Array,      # [P, NT] sharded on pages
+    d_lens: jax.Array,       # [P] sharded on pages
+    k: int = 5,
+    n_candidates: int = 32,
+    d_full: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage MaxSim over a page-sharded corpus; bit-matches the
+    single-device ``two_stage_maxsim_topk`` on the same (unsharded) corpus.
+
+    Communication: one all-gather of ``min(C, P/S)`` (score, id) pairs per
+    shard plus one pmax over the C exact candidate scores - O(C) over ICI,
+    independent of corpus size. This is BASELINE config #5, the actual
+    1M-page configuration (pooled prefilter AND corpus sharding together).
+    """
+    n_shards = mesh.shape[axis]
+    p_total = pooled.shape[0]
+    p_local = p_total // n_shards
+    c_local = min(n_candidates, p_local)
+    c_global = min(n_candidates, p_total)
+
+    def local_fn(qq, ql, pl, di, ds, dl, *rest):
+        df = rest[0] if rest else None
+        shard_id = jax.lax.axis_index(axis)
+        coarse, qf, qmask = _coarse_scores(qq, ql, pl, dl)
+        lv, li = jax.lax.top_k(coarse, c_local)
+        gid = li + shard_id * p_local
+        gv = jax.lax.all_gather(lv, axis).reshape(-1)   # [S * c_local]
+        gi = jax.lax.all_gather(gid, axis).reshape(-1)
+        # Global top-C with lax.top_k's tie rule (lower global index wins):
+        # stable sort by id, then stable sort by -score. Every id is unique,
+        # so this reproduces top_k over the full coarse vector exactly.
+        id_order = jnp.argsort(gi, stable=True)
+        gv, gi = gv[id_order], gi[id_order]
+        val_order = jnp.argsort(-gv, stable=True)
+        cand_g = gi[val_order][:c_global]               # [C] global page ids
+
+        # Stage 2: the owning shard rescores; others contribute -inf; pmax.
+        start = shard_id * p_local
+        owned = (cand_g >= start) & (cand_g < start + p_local)
+        local_idx = jnp.clip(cand_g - start, 0, p_local - 1)
+        exact = _exact_rescore(qf, qmask, local_idx, di, ds, dl, df)
+        exact = jnp.where(owned, exact, NEG_INF)
+        exact = jax.lax.pmax(exact, axis)               # [C], replicated
+
+        vals, order = topk_with_stable_ties(exact[None, :], k)
+        return vals[0], jnp.take(cand_g, order[0])
+
+    spec_p = P(axis)
+    in_specs = [P(), P(), spec_p, spec_p, spec_p, spec_p]
+    args = [q, q_len, pooled, d_int8, d_scale, d_lens]
+    if d_full is not None:
+        in_specs.append(spec_p)
+        args.append(d_full)
+    fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=tuple(in_specs), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(*args)
 
 
 def build_two_stage_index(

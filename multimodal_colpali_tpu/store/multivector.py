@@ -247,17 +247,30 @@ class MultiVectorStore:
             and not (quant and quant.ignore)
         )
         if use_two_stage and self.prefilter == "pooled":
-            from multimodal_colpali_tpu.ops.two_stage import two_stage_maxsim_topk
+            from multimodal_colpali_tpu.ops.two_stage import (
+                sharded_two_stage_maxsim_topk, two_stage_maxsim_topk,
+            )
 
             oversampling = quant.oversampling if quant else 2.0
             n_cand = min(max(int(np.ceil(limit * max(oversampling, 1.0))), limit),
                          d.shape[0])
             dq, ds = self._device_cache_int8
-            vv, vi = two_stage_maxsim_topk(
-                jnp.asarray(q, jnp.float32), jnp.int32(q.shape[0]),
-                self._device_cache_pooled, dq, ds, dl_eff,
-                k=min(limit, d.shape[0]), n_candidates=n_cand,
-            )
+            # Rescore from the bf16 originals (d), matching the int8 path
+            # below and Qdrant's rescore-from-originals semantics; the int8
+            # codes are only the stage-1/fallback representation.
+            if self.mesh is not None:
+                vv, vi = sharded_two_stage_maxsim_topk(
+                    self.mesh, self.mesh_axis,
+                    jnp.asarray(q, jnp.float32), jnp.int32(q.shape[0]),
+                    self._device_cache_pooled, dq, ds, dl_eff,
+                    k=min(limit, d.shape[0]), n_candidates=n_cand, d_full=d,
+                )
+            else:
+                vv, vi = two_stage_maxsim_topk(
+                    jnp.asarray(q, jnp.float32), jnp.int32(q.shape[0]),
+                    self._device_cache_pooled, dq, ds, dl_eff,
+                    k=min(limit, d.shape[0]), n_candidates=n_cand, d_full=d,
+                )
             vals, inds = np.asarray(vv), np.asarray(vi)
         elif use_two_stage:
             oversampling = quant.oversampling if quant else 2.0
@@ -317,6 +330,8 @@ class MultiVectorStore:
         meta = {
             "name": self.name, "dim": self.dim, "max_tokens": self.max_tokens,
             "distance": self.distance.value, "quantized": self.quantized,
+            "prefilter": self.prefilter,
+            "dtype": jnp.dtype(self.dtype).name,
             "kind": "multivector",
             "ids": self._ids, "payloads": self._payloads,
         }
@@ -331,6 +346,8 @@ class MultiVectorStore:
         store = cls(
             name=meta["name"], dim=meta["dim"], max_tokens=meta["max_tokens"],
             distance=t.Distance(meta["distance"]), quantized=meta["quantized"],
+            prefilter=meta.get("prefilter", "int8"),
+            dtype=jnp.dtype(meta["dtype"]) if "dtype" in meta else jnp.bfloat16,
             mesh=mesh, mesh_axis=mesh_axis,
         )
         data = np.load(os.path.join(directory, "vectors.npz"))

@@ -189,3 +189,50 @@ def test_pooled_two_stage_store(rng):
     r_f = pooled.query(q, limit=5, query_filter=flt, search_params=SearchParams(
         quantization=QuantizationSearchParams(ignore=False, oversampling=4.0)))
     assert all(pt.id % 2 == 0 for pt in r_f.points)
+
+
+def test_sharded_pooled_two_stage_store(mesh8, rng):
+    """mesh + prefilter='pooled' (BASELINE config #5): the sharded two-stage
+    query must match the unsharded pooled store exactly."""
+    p, nt, dim = 37, 8, 128  # odd count: padding across 8 shards
+    centers = rng.standard_normal((p, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    pts = []
+    for i in range(p):
+        vec = centers[i][None] + 0.05 * rng.standard_normal((nt, dim)).astype(np.float32)
+        pts.append(PointStruct(id=i, vector=vec,
+                               payload={"username": "a" if i % 2 == 0 else "b"}))
+    sharded = MultiVectorStore("s", dim=dim, max_tokens=nt, quantized=True,
+                               prefilter="pooled", mesh=mesh8, mesh_axis="corpus")
+    plain = MultiVectorStore("u", dim=dim, max_tokens=nt, quantized=True,
+                             prefilter="pooled")
+    sharded.upsert(pts)
+    plain.upsert(pts)
+    q = centers[19][None].repeat(4, axis=0) + 0.02 * rng.standard_normal((4, dim)).astype(np.float32)
+    params = SearchParams(quantization=QuantizationSearchParams(
+        ignore=False, oversampling=4.0))
+    r_s = sharded.query(q, limit=5, search_params=params)
+    r_u = plain.query(q, limit=5, search_params=params)
+    assert [pt.id for pt in r_s.points] == [pt.id for pt in r_u.points]
+    assert r_s.points[0].id == 19
+    for a, b in zip(r_s.points, r_u.points):
+        assert a.score == b.score  # identical fp32 rescore math
+    # payload filter folds into token counts on the sharded path too
+    flt = Filter(must=[FieldCondition(key="username", match=MatchValue(value="a"))])
+    r_f = sharded.query(q, limit=5, query_filter=flt, search_params=params)
+    assert r_f.points and all(pt.id % 2 == 0 for pt in r_f.points)
+
+
+def test_persistence_preserves_prefilter_and_dtype(rng, tmp_path):
+    """ADVICE r1: a pooled store must reload as a pooled store (the <10 ms
+    query path survived a save/load round trip)."""
+    import jax.numpy as jnp
+
+    store = MultiVectorStore("c", dim=128, max_tokens=8, quantized=True,
+                             prefilter="pooled", dtype=jnp.float32)
+    store.upsert(_mv_points(rng, 8))
+    store.save(str(tmp_path / "c"))
+    loaded = MultiVectorStore.load(str(tmp_path / "c"))
+    assert loaded.prefilter == "pooled"
+    assert loaded.quantized is True
+    assert loaded.dtype == jnp.float32

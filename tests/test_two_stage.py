@@ -63,6 +63,112 @@ def test_two_stage_zero_len_pages_never_win(rng):
     assert all(int(i) >= 8 for i in np.asarray(idx))
 
 
+def test_two_stage_bf16_rescore_matches_exact_scan(rng):
+    """With ``d_full`` the rescore reads the originals, so candidate scores
+    equal the exact scan's scores (no int8 quantization error)."""
+    p, nt, dim, nq = 48, 8, 128, 4
+    d = _normed(rng, (p, nt, dim))
+    d_lens = np.full(p, nt, np.int32)
+    q = _normed(rng, (nq, dim))
+
+    exact = maxsim_scores_reference(jnp.asarray(q[None]), jnp.asarray(d),
+                                    None, jnp.asarray(d_lens))
+    want_v, want_i = topk_with_stable_ties(exact, 5)
+
+    pooled, codes, scales = build_two_stage_index(jnp.asarray(d), jnp.asarray(d_lens))
+    got_v, got_i = two_stage_maxsim_topk(
+        jnp.asarray(q), jnp.int32(nq), pooled, codes, scales,
+        jnp.asarray(d_lens), k=5, n_candidates=p, d_full=jnp.asarray(d),
+    )
+    # candidates == whole corpus, rescore from originals -> identical ranking
+    # AND identical scores (both fp32 einsum over the same data).
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i[0]))
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v[0]),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("with_full", [False, True])
+def test_sharded_two_stage_bitmatches_single_device(mesh8, rng, with_full):
+    """BASELINE config #5: pooled prefilter AND corpus sharding together.
+
+    The 8-device result must be bit-identical to the single-device two-stage
+    result (same candidate set, same tie rules, same fp32 rescore)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_colpali_tpu.ops.two_stage import sharded_two_stage_maxsim_topk
+
+    p, nt, dim, nq, k, cand = 64, 6, 128, 5, 5, 16
+    # Clustered corpus with duplicated pages -> exercises tie handling.
+    centers = _normed(rng, (8, dim))
+    d = centers[rng.integers(0, 8, p)][:, None, :] \
+        + 0.02 * rng.standard_normal((p, nt, dim)).astype(np.float32)
+    d[10] = d[3]  # exact duplicate -> exact-score tie
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    d_lens = np.full(p, nt, np.int32)
+    d_lens[7] = 0  # a masked page
+    q = _normed(rng, (nq, dim))
+
+    pooled, codes, scales = build_two_stage_index(jnp.asarray(d), jnp.asarray(d_lens))
+    args = dict(k=k, n_candidates=cand)
+    d_full = jnp.asarray(d) if with_full else None
+    want_v, want_i = two_stage_maxsim_topk(
+        jnp.asarray(q), jnp.int32(nq), pooled, codes, scales,
+        jnp.asarray(d_lens), d_full=d_full, **args)
+
+    sh = NamedSharding(mesh8, P("corpus"))
+    put = lambda x: jax.device_put(x, sh)
+    got_v, got_i = sharded_two_stage_maxsim_topk(
+        mesh8, "corpus", jnp.asarray(q), jnp.int32(nq),
+        put(pooled), put(codes), put(scales), put(jnp.asarray(d_lens)),
+        d_full=put(d_full) if with_full else None, **args)
+
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_pooled_prefilter_recall_on_clustered_corpus(rng):
+    """Recall@5 vs the exact scan on a realistically *clustered* corpus
+    (pages share cluster structure, so pooled scores collide), across
+    oversampling factors. Documents the basis for the store's default
+    oversampling=2.0: recall must rise with oversampling and be high by 4x.
+    """
+    p, nt, dim, k = 256, 8, 128, 5
+    centers = _normed(rng, (12, dim))
+    assign = rng.integers(0, 12, p)
+    d = centers[assign][:, None, :] \
+        + 0.15 * rng.standard_normal((p, nt, dim)).astype(np.float32)
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    d_lens = np.full(p, nt, np.int32)
+    pooled, codes, scales = build_two_stage_index(jnp.asarray(d), jnp.asarray(d_lens))
+
+    n_queries = 16
+    recalls = {}
+    for oversampling in (1, 2, 4, 8):
+        hits = total = 0
+        for qi in range(n_queries):
+            qrng = np.random.default_rng(100 + qi)
+            c = centers[qrng.integers(0, 12)]
+            q = c[None, :] + 0.3 * qrng.standard_normal((4, dim)).astype(np.float32)
+            q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+            exact = maxsim_scores_reference(
+                jnp.asarray(q[None]), jnp.asarray(d), None, jnp.asarray(d_lens))
+            _, want = topk_with_stable_ties(exact, k)
+            _, got = two_stage_maxsim_topk(
+                jnp.asarray(q), jnp.int32(4), pooled, codes, scales,
+                jnp.asarray(d_lens), k=k, n_candidates=k * oversampling,
+                d_full=jnp.asarray(d))
+            hits += len(set(np.asarray(want[0]).tolist())
+                        & set(np.asarray(got).tolist()))
+            total += k
+        recalls[oversampling] = hits / total
+    # Monotone (within noise) and high once oversampled.
+    assert recalls[8] >= recalls[2] - 0.02
+    assert recalls[2] >= recalls[1] - 0.02
+    assert recalls[4] >= 0.9, recalls
+    assert recalls[8] >= 0.95, recalls
+
+
 def test_colbert_loss_prefers_matched_pairs(rng):
     from multimodal_colpali_tpu.training import colbert_loss
 
