@@ -158,3 +158,38 @@ def test_full_pipeline(workspace):
         assert "Cor_answer_summary" in summary2.columns
         assert "is_paper_id_in_context_summary" in summary2.columns
         assert "(SD=" in str(summary2["Cor_answer_summary"].iloc[0])
+
+
+def test_sweep_matrix_stub_matches_aggregator_regex():
+    """Driver 03's run matrix and filename stubs must stay consumable by
+    driver 04's filename parser (the artifact contract between them)."""
+    import argparse
+    import importlib.util
+
+    def load(name):
+        spec = importlib.util.spec_from_file_location(name, DRIVERS / f"{name}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod  # dataclasses resolves cls.__module__ here
+        spec.loader.exec_module(mod)
+        return mod
+
+    d03 = load("03_experiment01_run")
+    d04 = load("04_experiment01_eval")
+
+    args = argparse.Namespace(
+        vd_text_name="RAG_TEXT", vd_mm_name="RAG_MM", vd_colpali_name="colpali",
+        repeats=2, top_k=5)
+    matrix = d03.build_matrix(args)
+    # 2 perms x 2 repeats x 4 modes, every mode covered in both perm settings
+    assert len(matrix) == 16
+    assert {(s.mode, s.eval_type) for s in matrix} == {
+        ("no_RAG", ""), ("text_RAG", "mm_RAG"), ("mm_RAG", "mm_RAG"),
+        ("colpali", "colpali")}
+    assert {(s.permute, s.repeat) for s in matrix} == {
+        (p, r) for p in (True, False) for r in (1, 2)}
+    for spec in matrix:
+        stem = spec.output_stub("gpt5").name + "_20260816-120000"
+        m = d04.RUN_STEM.match(stem)
+        assert m, stem
+        assert m["vd_name"] == spec.mode
+        assert m["perm_flag"] == spec.perm_label
