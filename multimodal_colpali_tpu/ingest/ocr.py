@@ -1,0 +1,246 @@
+"""Template-correlation OCR for scanned (image-only) PDF pages.
+
+Fills the capability the reference gets from EasyOCR inside Docling
+(reference functions.py:78-80, gated by ``check_ocr`` at
+functions.py:133-148): when a PDF has no text layer, recover machine-printed
+text from the page raster so text chunks still reach the text/multimodal
+collections. Without this, a scanned PDF silently degrades text_RAG/mm_RAG
+to nothing.
+
+Design - classical matched-filter OCR for machine-rendered glyphs:
+
+1. binarize the page raster;
+2. segment lines by row-ink projection, characters by column-ink projection
+   (with pitch-based splitting of touching glyphs - the renderer's cell is
+   wider than its advance, so tall glyphs like T/X/V can touch);
+3. classify every character patch against a glyph atlas in ONE batched
+   correlation: ``[n_chars, cell_px] @ [cell_px, n_classes]`` - a matmul,
+   the same math shape the device scoring path uses, kept host-side because
+   ingestion is off the hot path and pages arrive one at a time.
+
+The default atlas is the native rasterizer's own 8x13 bitmap font
+(``rasterize.font_atlas``), upsampled with exactly the integer-index scheme
+``mmpdf.cpp::draw_glyph`` uses - rendering and recognition share one font
+resource, like a real OCR stack shares its training font bank. Custom
+atlases (e.g. harvested from another font at the same cell geometry) can be
+passed in.
+
+Honest limitations (inherent to the shared skeleton font, documented for
+parity review): the atlas renders lowercase with the uppercase skeleton and
+most digits with one shared shape, so recognition emits the canonical class
+- uppercase letters, and '0' for the ambiguous digit glyph ('1' and '7' are
+distinct). Case- and digit-exact OCR needs a richer atlas, not different
+code.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# Geometry constants of the rendering model (mmpdf.cpp::show_text/draw_glyph):
+# a glyph cell is ``S`` px tall and ``S * 8/13`` wide, the pen advance is
+# ``S / 2``, ink starts at atlas row/col 1, and the typical letter occupies
+# atlas rows 1..11 of 13.
+_CELL_ROWS, _CELL_COLS = 13, 8
+_INK_ROWS = 11.0
+
+
+class TemplateOcr:
+    """Glyph-atlas matched-filter recognizer. Callable as ``ocr_fn``."""
+
+    def __init__(self, atlas: Optional[np.ndarray] = None,
+                 charset: Optional[Sequence[str]] = None,
+                 ink_threshold: int = 128, dpi: float = 144.0):
+        if atlas is None:
+            from multimodal_colpali_tpu.ingest.rasterize import font_atlas
+
+            atlas = font_atlas()
+        self.atlas = np.asarray(atlas, bool)          # [n_glyphs, 13, 8]
+        chars = charset or [chr(c) for c in range(32, 127)]
+        if len(chars) != self.atlas.shape[0]:
+            raise ValueError("charset length must match atlas glyph count")
+        self.ink_threshold = ink_threshold
+        self.dpi = dpi
+        # Drop blank glyphs (space etc.) from the classifier; spacing is
+        # recovered geometrically. Ambiguous duplicate glyphs keep only the
+        # first (canonical) class so argmax output is deterministic.
+        keys: Dict[bytes, int] = {}
+        self._classes: List[int] = []
+        for i in range(self.atlas.shape[0]):
+            bitmap = self.atlas[i]
+            if not bitmap.any():
+                continue
+            key = np.packbits(bitmap).tobytes()
+            if key not in keys:
+                keys[key] = i
+                self._classes.append(i)
+        self._chars = np.array([chars[i] for i in self._classes])
+        self._template_cache: Dict[Tuple[int, int], np.ndarray] = {}
+
+    # -- rendering-model helpers -------------------------------------------
+
+    def _templates(self, ih: int) -> np.ndarray:
+        """Atlas glyphs upsampled to an ih-px full cell ([n, ih, cell_w])
+        with draw_glyph's integer index map (srow = py*13//ih,
+        scol = px*8//iw)."""
+        if ih not in self._template_cache:
+            full_w = max(int(round(ih * _CELL_COLS / _CELL_ROWS)), 3)
+            rows = np.arange(ih) * _CELL_ROWS // ih
+            cols = np.arange(full_w) * _CELL_COLS // full_w
+            t = self.atlas[self._classes][:, rows][:, :, cols]
+            self._template_cache[ih] = t.astype(np.float32)
+        return self._template_cache[ih]
+
+    @staticmethod
+    def _spans(mask: np.ndarray, min_gap: int = 1) -> List[Tuple[int, int]]:
+        """Contiguous True runs of a 1-D mask -> [(start, end_inclusive)]."""
+        idx = np.flatnonzero(mask)
+        if idx.size == 0:
+            return []
+        breaks = np.flatnonzero(np.diff(idx) > min_gap)
+        starts = np.concatenate([[idx[0]], idx[breaks + 1]])
+        ends = np.concatenate([idx[breaks], [idx[-1]]])
+        return list(zip(starts.tolist(), ends.tolist()))
+
+    # -- recognition ---------------------------------------------------------
+
+    @staticmethod
+    def _drawn_height(ih: int) -> int:
+        """Ink rows a typical letter (atlas rows 1..11) paints in an ih-px
+        cell, per draw_glyph's ``srow = py*13//ih`` truncation."""
+        import math
+
+        return math.ceil(12 * ih / _CELL_ROWS) - math.ceil(ih / _CELL_ROWS)
+
+    def _cell_candidates(self, h: int) -> List[int]:
+        """Cell heights whose drawn ink height inverts to ``h`` (plus the
+        continuous-estimate neighbors for descender/short-glyph lines)."""
+        exact = [ih for ih in range(4, 4 * h + 8)
+                 if self._drawn_height(ih) == h]
+        base = int(round(h * _CELL_ROWS / _INK_ROWS))
+        return sorted({ih for ih in exact + [base - 1, base, base + 1]
+                       if ih >= 4})
+
+    def _decode_grid(self, ink: np.ndarray, top: int, ih: int, iw: int,
+                     p0: int, pitch: float, n_cells: int) -> Tuple[float, str]:
+        """Classify the cells of one grid hypothesis -> (mean IoU, text).
+
+        Sequential left-to-right decode with exact bleed cancellation: the
+        glyph cell (S*8/13) is wider than the advance (S/2), so a glyph's
+        right edge overflows into the next cell's window. Rendering is
+        deterministic, so after classifying cell k the classified template's
+        overflow pixels are erased from cell k+1's patch before scoring -
+        without this, a trailing edge turns spaces into ghost characters and
+        biases round glyphs ('O') toward left-heavy ones ('D')."""
+        templates = self._templates(ih)            # [C, ih, cell_w]
+        cell_w = templates.shape[2]
+        tmpl_win = templates[:, :, :iw].reshape(len(self._classes), -1)
+        nb = tmpl_win.sum(axis=1)[None, :]
+        ink_thresh = max(3.0, ih / 5.0)
+
+        scores_kept: List[float] = []
+        chars: List[str] = []
+        carry = np.zeros((ih, iw), np.float32)     # bleed from cell k-1
+        for k in range(n_cells):
+            left = p0 + int(round(k * pitch))
+            cell = np.zeros((ih, iw), np.float32)
+            ys0, xs0 = max(top, 0), max(left, 0)
+            ys1 = min(top + ih, ink.shape[0])
+            xs1 = min(left + iw, ink.shape[1])
+            if ys1 > ys0 and xs1 > xs0:
+                cell[ys0 - top: ys1 - top, xs0 - left: xs1 - left] = \
+                    ink[ys0:ys1, xs0:xs1]
+            cell = np.maximum(cell - carry, 0.0)
+            carry[:] = 0.0
+
+            patch = cell.reshape(-1)
+            na = patch.sum()
+            if na < ink_thresh:
+                chars.append(" ")
+                continue
+            inter = patch @ tmpl_win.T
+            iou = inter / np.maximum(na + nb[0] - inter, 1.0)
+            best = int(iou.argmax())
+            if iou[best] < 0.2:                    # unmatchable junk
+                chars.append(" ")
+                continue
+            chars.append(str(self._chars[best]))
+            scores_kept.append(float(iou[best]))
+            # overflow of the classified glyph into the next window
+            step = int(round((k + 1) * pitch)) - int(round(k * pitch))
+            if step < cell_w:
+                over = templates[best, :, step:]
+                carry[:, : over.shape[1]] = over
+        if not scores_kept:
+            return 0.0, ""
+        return float(np.mean(scores_kept)), "".join(chars).rstrip()
+
+    def _read_line(self, ink: np.ndarray, y0: int, y1: int, ih: int
+                   ) -> Tuple[float, str]:
+        """Decode one line at cell-height hypothesis ``ih`` -> (mean IoU of
+        the best grid phase, text).
+
+        The renderer is monospace (advance = S/2 regardless of glyph), so
+        instead of segmenting touching glyphs apart - impossible when wide
+        glyphs like 'T' overlap the next cell - the line is decoded on the
+        pitch grid directly. The grid phase is ambiguous by the first
+        glyph's in-cell ink offset (0..~2.5 atlas columns), so every
+        physical phase is decoded and the best mean IoU wins.
+        """
+        import math
+
+        pitch = ih / 2.0                       # renderer advance = S/2
+        # Compare on the advance window plus one column, not the full cell
+        # (S*8/13): wider would swallow the next glyph's left edge.
+        iw = min(max(int(math.ceil(pitch)) + 1, 3),
+                 max(int(round(ih * _CELL_COLS / _CELL_ROWS)), 3))
+        pad = math.ceil(ih / _CELL_ROWS)       # atlas row 1 offset
+        top = y0 - pad
+        cols = np.flatnonzero(ink[y0:y1 + 1].any(axis=0))
+        if cols.size == 0:
+            return 0.0, ""
+        x_min, x_max = int(cols[0]), int(cols[-1])
+
+        best: Tuple[float, str] = (0.0, "")
+        for d in range(int(math.ceil(2.5 * ih / _CELL_ROWS)) + 1):
+            p0 = x_min - d
+            n_cells = int((x_max - p0) // pitch) + 1
+            got = self._decode_grid(ink, top, ih, iw, p0, pitch, n_cells)
+            if got[0] > best[0]:
+                best = got
+        return best
+
+    def recognize(self, image) -> str:
+        """Page raster (PIL image or [H, W, 3]/[H, W] uint8) -> text."""
+        arr = np.asarray(image)
+        if arr.ndim == 3:
+            arr = arr.mean(axis=-1)
+        ink = arr < self.ink_threshold
+
+        lines: List[str] = []
+        for y0, y1 in self._spans(ink.any(axis=1)):
+            # The glyph cell height is ambiguous from ink height alone
+            # (integer truncation, descenders); decode under each candidate
+            # and keep the hypothesis with the best mean correlation.
+            decoded = [self._read_line(ink, y0, y1, ih)
+                       for ih in self._cell_candidates(y1 - y0 + 1)]
+            if decoded:
+                _, text = max(decoded, key=lambda t: t[0])
+                if text:
+                    lines.append(text)
+        return "\n".join(lines)
+
+    def __call__(self, pdf_path: str) -> List[str]:
+        """``ocr_fn`` surface for pdf_loader: PDF path -> per-page texts."""
+        from multimodal_colpali_tpu.ingest.rasterize import PdfDocument
+
+        doc = PdfDocument(pdf_path)
+        return [self.recognize(np.asarray(doc.render(i, dpi=self.dpi)))
+                for i in range(len(doc))]
+
+
+def ocr_pdf(pdf_path: str, dpi: float = 144.0) -> List[str]:
+    """One-shot helper: per-page OCR texts with the default atlas."""
+    return TemplateOcr(dpi=dpi)(pdf_path)

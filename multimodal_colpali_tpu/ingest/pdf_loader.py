@@ -60,7 +60,7 @@ def data_preparation(
                 img = resize_image(doc.render(page_no - 1))
                 img.save(pg_dir / f"{doc_stem}_{page_no:03d}.png", format="PNG")
 
-        pages_text = [doc.extract_text(i) for i in range(len(doc))]
+        pages_text = el.get("ocr_text") or [doc.extract_text(i) for i in range(len(doc))]
         chunks = HybridChunker(vd_tokenizer, max_tokens=max_chunk_tokens).chunk_pages(pages_text)
         texts = [
             Document(
@@ -162,16 +162,24 @@ def pdf_loader(
 ) -> Tuple[List[Document], List[Document]]:
     """Parse PDFs twice (multi + text-only), reference functions.py:1336-1355.
 
-    Returns ``(docs_multi, docs_text)``. ``ocr_fn(path) -> [page_texts]`` is
-    the hook for an OCR model when ``check_ocr`` fires.
+    Returns ``(docs_multi, docs_text)``. ``ocr_fn(path) -> [page_texts]``
+    runs when ``check_ocr`` fires (scanned/image-only PDF); by default the
+    built-in template OCR (ingest/ocr.py) recovers machine-printed text, the
+    role EasyOCR plays inside the reference's Docling converter
+    (functions.py:78-80). Pass a custom ``ocr_fn`` to plug in another model.
     """
     conversion = []
     for paper, link, fname in zip(papers, doi_links, filenames):
-        needs_ocr = check_ocr(paper)
-        if needs_ocr and ocr_fn is None:
-            print(f"warning: {fname} has no text layer and no ocr_fn was given")
         doc = PdfDocument(paper)
-        conversion.append({"filename": fname, "link": link, "document": doc})
+        el = {"filename": fname, "link": link, "document": doc}
+        if check_ocr(paper):
+            if ocr_fn is None:
+                from multimodal_colpali_tpu.ingest.ocr import TemplateOcr
+
+                ocr_fn = TemplateOcr()
+            print(f"{fname} has no text layer; running OCR")
+            el["ocr_text"] = ocr_fn(paper)
+        conversion.append(el)
 
     docs_multi = data_preparation(conversion, vd_dir, vd_tokenizer)
     docs_text = data_preparation(conversion, vd_dir, vd_tokenizer,

@@ -75,8 +75,33 @@ def get_lib() -> ctypes.CDLL:
         lib.mmpdf_extract_images.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                              ctypes.POINTER(ctypes.c_int)]
         lib.mmpdf_free_images.argtypes = [ctypes.POINTER(_ImageDesc), ctypes.c_int]
+
+        class _TextRun(ctypes.Structure):
+            _fields_ = [("x", ctypes.c_double), ("y", ctypes.c_double),
+                        ("size", ctypes.c_double), ("text", ctypes.c_char_p)]
+
+        lib._TextRun = _TextRun
+        lib.mmpdf_extract_runs.restype = ctypes.POINTER(_TextRun)
+        lib.mmpdf_extract_runs.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                           ctypes.POINTER(ctypes.c_int)]
+        lib.mmpdf_free_runs.argtypes = [ctypes.POINTER(_TextRun), ctypes.c_int]
+        lib.mmpdf_font_atlas.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.mmpdf_font_atlas.argtypes = []
         _LIB = lib
     return _LIB
+
+
+def font_atlas() -> "np.ndarray":
+    """The rasterizer's built-in 8x13 glyph bitmaps as a bool array.
+
+    Returns [95, 13, 8] for ASCII 32..126 (index = ord(ch) - 32), row-major
+    top-to-bottom, column 0 = leftmost. Shared with the OCR stage so
+    rendering and recognition agree on glyph shapes.
+    """
+    lib = get_lib()
+    raw = ctypes.string_at(lib.mmpdf_font_atlas(), 95 * 13)
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(95, 13)
+    return (rows[..., None] & (0x80 >> np.arange(8))[None, None, :]) != 0
 
 
 class PdfDocument:
@@ -144,6 +169,22 @@ class PdfDocument:
         finally:
             if count.value:
                 self._lib.mmpdf_free_images(arr, count.value)
+        return out
+
+    def extract_runs(self, index: int):
+        """Positioned text runs -> [(x, y, size, text)] in PDF units,
+        top-left origin. The layout signal for table detection."""
+        count = ctypes.c_int(0)
+        arr = self._lib.mmpdf_extract_runs(self._h, index, ctypes.byref(count))
+        out = []
+        try:
+            for i in range(count.value):
+                r = arr[i]
+                out.append((r.x, r.y, r.size,
+                            (r.text or b"").decode("utf-8", "replace")))
+        finally:
+            if count.value:
+                self._lib.mmpdf_free_runs(arr, count.value)
         return out
 
     def has_text(self, index: int = 0) -> bool:

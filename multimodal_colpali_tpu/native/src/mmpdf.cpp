@@ -1161,4 +1161,51 @@ void mmpdf_free_images(mmpdf_image_desc* arr, int count) {
   free(arr);
 }
 
+// Positioned text runs (x, y in PDF units, top-left origin): the layout
+// signal for table-structure detection (columns = x positions repeating
+// across rows). Free with mmpdf_free_runs.
+typedef struct {
+  double x, y, size;
+  char* text;
+} mmpdf_text_run;
+
+mmpdf_text_run* mmpdf_extract_runs(mmpdf_doc* h, int page, int* count) {
+  *count = 0;
+  if (page < 0 || page >= (int)h->doc.pages.size()) return nullptr;
+  mmpdf::PageRender pr;
+  pr.doc = &h->doc;
+  pr.page = h->doc.pages[page];
+  pr.scale = 1.0;
+  pr.raster = false;
+  pr.run();
+  if (pr.runs.empty()) return nullptr;
+  auto* out = (mmpdf_text_run*)malloc(sizeof(mmpdf_text_run) * pr.runs.size());
+  for (size_t i = 0; i < pr.runs.size(); i++) {
+    auto& r = pr.runs[i];
+    out[i].x = r.x;
+    out[i].y = r.y;
+    out[i].size = r.size;
+    out[i].text = (char*)malloc(r.text.size() + 1);
+    memcpy(out[i].text, r.text.data(), r.text.size());
+    out[i].text[r.text.size()] = 0;
+  }
+  *count = (int)pr.runs.size();
+  return out;
+}
+
+void mmpdf_free_runs(mmpdf_text_run* arr, int count) {
+  if (!arr) return;
+  for (int i = 0; i < count; i++) free(arr[i].text);
+  free(arr);
+}
+
+// The built-in 8x13 glyph atlas: 95 glyphs (ASCII 32..126), 13 bytes per
+// glyph top-to-bottom, MSB = leftmost of 8 columns. The host OCR stage
+// (ingest/ocr.py) classifies scanned glyphs against this same atlas, so the
+// rasterizer and the recognizer share one font resource. Static storage; do
+// not free.
+const uint8_t* mmpdf_font_atlas(void) {
+  return &mmpdf::kFont.glyphs[0][0];
+}
+
 }  // extern "C"

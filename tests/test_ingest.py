@@ -160,3 +160,66 @@ def test_pipelined_embedder_matches_sequential(tmp_path, rng):
         assert (g["doc_id"], g["page_id"], g["file_name"]) == (
             w["doc_id"], w["page_id"], w["file_name"])
         np.testing.assert_allclose(g["embedding"], w["embedding"], atol=2e-2)
+
+
+def test_template_ocr_recognizes_rendered_text(tmp_path):
+    """Matched-filter OCR recovers machine-printed text from a page raster
+    across font sizes (canonical classes: uppercase; see ingest/ocr.py)."""
+    import difflib
+
+    from multimodal_colpali_tpu.ingest.ocr import TemplateOcr
+
+    w = PdfWriter()
+    w.add_page(text_lines=["GLYCANS BIND SELECTINS", "SAMPLE LINE 17"],
+               font_size=12)
+    w.add_page(text_lines=["THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG?"],
+               font_size=14)
+    doc = PdfDocument(w.tobytes())
+    ocr = TemplateOcr()
+    for page, want in [(0, "GLYCANS BIND SELECTINS\nSAMPLE LINE 17"),
+                       (1, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG?")]:
+        got = ocr.recognize(np.asarray(doc.render(page, dpi=144.0)))
+        ratio = difflib.SequenceMatcher(None, got, want).ratio()
+        assert ratio > 0.95, (got, want)
+
+
+def test_scanned_pdf_roundtrips_through_ocr(tmp_path):
+    """A text-free (image-only, 'scanned') PDF must still produce non-empty
+    text chunks via the built-in OCR (reference capability:
+    functions.py:78-80 EasyOCR gated by check_ocr at functions.py:133-148)."""
+    # Render a text PDF to a raster, then wrap the raster as an image-only
+    # PDF - a synthetic scan of the original.
+    src = PdfWriter()
+    src.add_page(text_lines=["GLYCANS BIND SELECTINS ON CELLS",
+                             "SCANNED PAGE WITHOUT TEXT LAYER"],
+                 font_size=12)
+    raster = np.asarray(PdfDocument(src.tobytes()).render(0, dpi=144.0))
+    scan = PdfWriter()
+    scan.add_page(image=raster, image_rect=(0, 0, 612, 792))
+    scan_path = str(tmp_path / "scan.pdf")
+    scan.save(scan_path)
+
+    assert check_ocr(scan_path)  # no text layer -> OCR fires
+    docs_multi, docs_text = pdf_loader(
+        [scan_path], ["https://doi.org/10.0/scan"], ["scan.pdf"],
+        str(tmp_path / "vd"), SimpleTokenizer(1000, 999),
+    )
+    texts = [d for d in docs_text if d.metadata["type"] == "text"]
+    assert texts, "scanned PDF produced no text chunks"
+    joined = " ".join(d.page_content for d in texts)
+    assert "GLYCANS" in joined and "SELECTINS" in joined
+    for d in texts:
+        validate_metadata(d.metadata)
+
+
+def test_extract_runs_positions(tmp_path):
+    """Positioned text runs carry x/y layout (the table-detection signal)."""
+    w = PdfWriter()
+    w.add_page(text_lines=["alpha", "beta"])
+    doc = PdfDocument(w.tobytes())
+    runs = doc.extract_runs(0)
+    assert [r[3] for r in runs] == ["alpha", "beta"]
+    (x0, y0, s0, _), (x1, y1, _, _) = runs
+    assert x0 == x1 == 72.0       # same left margin
+    assert y1 > y0                # second line lower on the page
+    assert s0 == 12.0
