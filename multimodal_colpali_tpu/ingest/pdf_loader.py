@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import uuid
 from pathlib import Path
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 from multimodal_colpali_tpu.documents import Document
 from multimodal_colpali_tpu.ingest.chunker import HybridChunker
@@ -36,6 +36,7 @@ def data_preparation(
     only_text: bool = False,
     page_images: bool = True,
     max_chunk_tokens: int = 512,
+    picture_annotator=None,
 ) -> List[Document]:
     """Build Document chunks from parsed PDFs (reference functions.py:246-406).
 
@@ -84,12 +85,56 @@ def data_preparation(
             print(f"For {filename} there were {len(texts)} texts processed only_text={only_text}.")
             continue
 
+        # Tables: grid-aligned run blocks -> markdown + caption, the schema
+        # of the reference's TableFormer path (functions.py:344-357, emitted
+        # as page_content = caption + " " + markdown, img_link = a cropped
+        # raster under tables/). Deviation: the table's source runs also
+        # remain part of the page text chunks (the reference's chunker
+        # excludes table items); noted for parity review.
+        tables: List[Document] = []
+        tables_dir = save_root / "tables"
+        table_counter = 0
+        if hasattr(doc, "extract_runs"):
+            from multimodal_colpali_tpu.ingest.tables import detect_tables
+
+            for page_no in range(1, len(doc) + 1):
+                for det in detect_tables(doc.extract_runs(page_no - 1)):
+                    table_counter += 1
+                    if table_counter == 1:
+                        tables_dir.mkdir(parents=True, exist_ok=True)
+                    link = tables_dir / f"{doc_stem}_table_{table_counter:03d}.png"
+                    try:
+                        page_img = doc.render(page_no - 1, dpi=144.0)
+                        x0, y0, x1, y1 = det.bbox
+                        crop = page_img.crop((
+                            max(int(x0 * 2) - 4, 0), max(int(y0 * 2) - 4, 0),
+                            min(int(x1 * 2) + 4, page_img.width),
+                            min(int(y1 * 2) + 4, page_img.height)))
+                        crop.save(link, format="PNG")
+                    except Exception:  # noqa: BLE001 - crop is best-effort
+                        link = ""
+                    md = det.to_markdown()
+                    tables.append(Document(
+                        page_content=(det.caption + " " + md) if det.caption else md,
+                        metadata={
+                            "document_name": doc.name,
+                            "document_id": document_id,
+                            "document_link": filename_link,
+                            "type": "table",
+                            "page_no": page_no,
+                            "ref": f"#/tables/{table_counter - 1}",
+                            "caption": det.caption,
+                            "img_link": str(link),
+                        },
+                    ))
+
         # Figures: embedded raster images extracted natively by mmpdf, saved
         # as images/{stem}_img_{idx:03d}.png (reference functions.py:292-297).
         # VLM descriptions are filled in later by process_models (the
         # reference's flow); table structure still needs a layout model and
         # arrives through the picture_annotations hook.
         pictures: List[Document] = []
+        figure_images: List[Any] = []
         images_dir = save_root / "images"
         picture_counter = 0
         if hasattr(doc, "extract_images"):
@@ -102,6 +147,7 @@ def data_preparation(
                         images_dir.mkdir(parents=True, exist_ok=True)
                     link = images_dir / f"{doc_stem}_img_{picture_counter:03d}.png"
                     resize_image(img).save(link, format="PNG")
+                    figure_images.append(img)
                     pictures.append(Document(
                         page_content="",
                         metadata={
@@ -115,6 +161,15 @@ def data_preparation(
                             "img_link": str(link),
                         },
                     ))
+        # In-converter VLM descriptions (the reference's granite flow,
+        # functions.py:93-99): annotate extracted figures at parse time so
+        # image documents carry text before indexing.
+        if picture_annotator is not None and figure_images:
+            descriptions = picture_annotator(figure_images)
+            for pic_doc, desc in zip(pictures, descriptions):
+                cap = pic_doc.metadata.get("caption", "")
+                pic_doc.page_content = (cap + str(desc)) if cap else str(desc)
+
         for ann in el.get("picture_annotations", []):
             picture_counter += 1
             pictures.append(Document(
@@ -131,10 +186,11 @@ def data_preparation(
                 },
             ))
 
-        all_docs.extend(texts + pictures)
+        all_docs.extend(texts + tables + pictures)
         print(
-            f"For {filename} there were {len(texts)} texts and {len(pictures)} images "
-            f"processed, equals {len(texts) + len(pictures)} documents."
+            f"For {filename} there were {len(texts)} texts, {len(tables)} tables "
+            f"and {len(pictures)} images processed, equals "
+            f"{len(texts) + len(tables) + len(pictures)} documents."
         )
 
     print(f"Total number of elements processed: {len(all_docs)}.")
@@ -159,6 +215,7 @@ def pdf_loader(
     vd_dir: str,
     vd_tokenizer,
     ocr_fn: Optional[Callable[[str], List[str]]] = None,
+    picture_annotator: Optional[Callable[[Sequence[Any]], List[str]]] = None,
 ) -> Tuple[List[Document], List[Document]]:
     """Parse PDFs twice (multi + text-only), reference functions.py:1336-1355.
 
@@ -181,7 +238,8 @@ def pdf_loader(
             el["ocr_text"] = ocr_fn(paper)
         conversion.append(el)
 
-    docs_multi = data_preparation(conversion, vd_dir, vd_tokenizer)
+    docs_multi = data_preparation(conversion, vd_dir, vd_tokenizer,
+                                  picture_annotator=picture_annotator)
     docs_text = data_preparation(conversion, vd_dir, vd_tokenizer,
                                  only_text=True, page_images=False)
     return docs_multi, docs_text

@@ -31,13 +31,17 @@ class PdfWriter:
         image_rect: Tuple[float, float, float, float] = (100, 400, 300, 200),
         font_size: float = 12,
         start_y: Optional[float] = None,
+        runs: Optional[Sequence[Tuple[float, float, str]]] = None,
     ) -> None:
+        """``runs``: positioned text as (x, y-from-bottom, text) triples -
+        each becomes its own BT/Td/Tj block (for table-layout fixtures)."""
         self.pages.append({
             "text": list(text_lines or []),
             "image": image,
             "image_rect": image_rect,
             "font_size": font_size,
             "start_y": start_y if start_y is not None else self.height - 72,
+            "runs": list(runs or []),
         })
 
     def tobytes(self) -> bytes:
@@ -65,6 +69,12 @@ class PdfWriter:
                     content.append(b"(%s) Tj" % _esc(line).encode("latin-1", "replace"))
                     first = False
                 content.append(b"ET")
+            for x, y, text in page.get("runs", []):
+                content.append(
+                    b"BT /F1 %.1f Tf %.1f %.1f Td (%s) Tj ET"
+                    % (page["font_size"], x, y,
+                       _esc(text).encode("latin-1", "replace"))
+                )
             if page["image"] is not None:
                 img = np.ascontiguousarray(page["image"], dtype=np.uint8)
                 h, w, _ = img.shape

@@ -223,3 +223,63 @@ def test_extract_runs_positions(tmp_path):
     assert x0 == x1 == 72.0       # same left margin
     assert y1 > y0                # second line lower on the page
     assert s0 == 12.0
+
+
+def test_table_documents_from_layout(tmp_path):
+    """A grid-layout fixture must yield a type=table document: markdown
+    content with the caption prepended (reference functions.py:344-357),
+    schema-valid metadata, and a cropped table raster on disk."""
+    w = PdfWriter()
+    runs = [(72, 700, "Table 1: Glycan binding affinities")]
+    rows = [["Glycan", "Lectin", "Kd"],
+            ["sLex", "E-selectin", "870"],
+            ["sLea", "P-selectin", "220"]]
+    y = 680
+    for row in rows:
+        for x, cell in zip([72, 200, 320], row):
+            runs.append((x, y, cell))
+        y -= 18
+    runs.append((72, y - 12, "Ordinary paragraph text continues here."))
+    p = str(tmp_path / "tab.pdf")
+    w.add_page(runs=runs)
+    w.save(p)
+
+    docs_multi, docs_text = pdf_loader(
+        [p], [""], ["tab.pdf"], str(tmp_path / "vd"), SimpleTokenizer(1000, 999))
+    tables = [d for d in docs_multi if d.metadata["type"] == "table"]
+    assert len(tables) == 1
+    t = tables[0]
+    assert t.metadata["caption"] == "Table 1: Glycan binding affinities"
+    assert t.page_content.startswith("Table 1:")
+    assert "| sLex" in t.page_content and "E-selectin" in t.page_content
+    assert t.metadata["ref"] == "#/tables/0"
+    assert os.path.exists(t.metadata["img_link"])
+    validate_metadata(t.metadata)
+    # the text-only pass never emits tables (reference pdf_loader calls
+    # data_preparation twice; the text collection is text chunks only)
+    assert all(d.metadata["type"] == "text" for d in docs_text)
+
+
+def test_picture_annotations_via_vlm(sample_pdf, tmp_path):
+    """In-converter picture descriptions (the reference's granite flow,
+    functions.py:93-99): figure docs carry VLM text after pdf_loader."""
+    from multimodal_colpali_tpu.ingest.annotate import (
+        DEFAULT_PICTURE_PROMPT, VlmPictureAnnotator)
+    from tests.fake_openai import FakeOpenAIServer
+
+    def describe(req):
+        parts = req["messages"][0]["content"]
+        assert parts[0]["text"] == DEFAULT_PICTURE_PROMPT
+        assert parts[1]["image_url"]["url"].startswith("data:image/")
+        return "A scatter plot of binding affinity versus glycan length."
+
+    with FakeOpenAIServer(describe) as srv:
+        annot = VlmPictureAnnotator("gpt-5", base_url=srv.base_url)
+        docs_multi, _ = pdf_loader(
+            [sample_pdf], [""], ["paper.pdf"], str(tmp_path / "vd"),
+            SimpleTokenizer(1000, 999), picture_annotator=annot)
+    image_docs = [d for d in docs_multi if d.metadata["type"] == "image"]
+    assert len(image_docs) == 3
+    for d in image_docs:
+        assert "scatter plot" in d.page_content
+        validate_metadata(d.metadata)
