@@ -3,4 +3,7 @@ from multimodal_colpali_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicate,
     shard_params_for_tp,
+    initialize_distributed,
+    global_corpus_mesh,
+    make_global_corpus,
 )

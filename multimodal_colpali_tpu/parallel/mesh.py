@@ -24,6 +24,65 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> None:
+    """Join the multi-host (DCN) runtime: the >single-host corpus story.
+
+    One process per host; after this, ``jax.devices()`` spans every host and
+    a ``corpus``-axis mesh built over it shards pages across hosts - the
+    all-gather in ops/topk.py then rides ICI within a slice and DCN across
+    hosts, with XLA picking the transport per edge (SURVEY.md §2.3 comm
+    row). The reference has no cross-process compute at all (its only
+    inter-process traffic is HTTP to Qdrant/vLLM); this is the TPU-native
+    replacement for "point the client at a bigger Qdrant server".
+
+    Arguments default to the standard JAX env vars
+    (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID), so
+    launchers can configure the fleet purely through the environment.
+    No-op when already initialized or when running single-process.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator_address is None:
+        return  # single-process run
+    kwargs = dict(coordinator_address=coordinator_address)
+    if num_processes is None and os.environ.get("JAX_NUM_PROCESSES"):
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("JAX_PROCESS_ID"):
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    if local_device_ids is not None:
+        kwargs["local_device_ids"] = list(local_device_ids)
+    jax.distributed.initialize(**kwargs)
+
+
+def global_corpus_mesh(axis: str = "corpus") -> Mesh:
+    """A one-axis mesh over every device of every process (host-major
+    device order, so contiguous page ranges live on one host)."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+def make_global_corpus(local_rows: np.ndarray, mesh: Mesh,
+                       axis: str = "corpus") -> jax.Array:
+    """Assemble a globally page-sharded array from this process's rows.
+
+    Every process contributes its local shard (equal row counts); the
+    result is one logical array sharded over ``axis`` across all hosts,
+    ready for ops/topk.sharded_maxsim_topk / the two-stage variants.
+    """
+    sharding = NamedSharding(mesh, P(axis, *([None] * (local_rows.ndim - 1))))
+    return jax.make_array_from_process_local_data(sharding, local_rows)
+
+
 def get_mesh(
     axis_names: Sequence[str] = ("data",),
     shape: Optional[Sequence[int]] = None,
