@@ -20,3 +20,17 @@ from multimodal_colpali_tpu.generation.messages import (  # noqa: F401
     pil_image_to_data_url,
 )
 from multimodal_colpali_tpu.generation.parse import response_real_out  # noqa: F401
+
+
+def __getattr__(name):
+    # Lazy: the decode engine pulls in jax/model stacks; the HTTP client
+    # surface above must stay importable without touching a backend.
+    if name in ("GemmaDecodeEngine", "ByteTokenizer"):
+        from multimodal_colpali_tpu.generation import engine
+
+        return getattr(engine, name)
+    if name in ("GenerationServer", "render_chat_prompt"):
+        from multimodal_colpali_tpu.generation import server
+
+        return getattr(server, name)
+    raise AttributeError(name)

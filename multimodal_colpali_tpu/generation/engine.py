@@ -1,0 +1,279 @@
+"""TPU-native autoregressive generation engine (KV-cache decode).
+
+The reference outsources ALL generation to a vLLM server
+(00_run_docker_containers.sh:26-39) and talks to it over HTTP
+(functions.py:1036-1064). This framework keeps that HTTP client seam for
+external models, and additionally provides a first-party decode engine so
+generation itself can run on TPU: the Gemma LM stack the retrieval models
+already carry (models/gemma.py) becomes a causal language model with a KV
+cache, greedy/temperature sampling, and an OpenAI-compatible server on top
+(generation/server.py).
+
+TPU-first design:
+
+- **Whole-generation-in-one-jit**: prefill AND every decode step run inside
+  one jitted function - the decode loop is a ``lax.scan`` writing K/V into
+  preallocated ``[B, S+N, H, D]`` cache buffers with
+  ``dynamic_update_slice``. Per-dispatch overhead (35-45 ms through this
+  environment's TPU tunnel) would otherwise dwarf per-token compute.
+- **Static shapes**: prompts are LEFT-padded to a bucket, so the cache stays
+  contiguous at the right end, the last prompt slot is always the newest
+  token, and masking is one comparison against a global index.
+- **One source of math**: each layer mirrors models/gemma.py exactly
+  (same rope/RMSNorm/attention helpers); tests pin the prefill logits to
+  ``GemmaModel.apply(causal=True)`` and full-stack logits to torch
+  ``GemmaForCausalLM``.
+
+Batching is static (B prompts per call); continuous batching/eviction is a
+scheduler concern layered above (round-3 candidate), not a kernel concern.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_colpali_tpu.models import layers as L
+from multimodal_colpali_tpu.models.configs import GemmaTextConfig
+
+
+def _rms(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * (1.0 + w)).astype(x.dtype)
+
+
+def _lin(x: jax.Array, p: Dict[str, Any]) -> jax.Array:
+    return L.dense(x, p["kernel"], p.get("bias"))
+
+
+@dataclasses.dataclass
+class GemmaDecodeEngine:
+    """Causal Gemma LM over a ColPali-style param tree (embed +
+    language_model subtrees; the vision tower is ignored)."""
+
+    cfg: GemmaTextConfig
+    params: Any                      # {"embed": {...}, "language_model": {...}}
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        keep = {"embed": self.params["embed"],
+                "language_model": self.params["language_model"]}
+        self.params = jax.tree.map(
+            lambda p: jnp.asarray(p, self.dtype)
+            if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p), keep)
+        self._jit_cache: Dict[Tuple, Any] = {}
+
+    # -- layer math (mirrors models/gemma.py bit for bit) -------------------
+
+    def _embed(self, p, ids: jax.Array) -> jax.Array:
+        table = p["embed"]["embed_tokens"]
+        x = jnp.take(table, ids, axis=0)
+        scale = jnp.asarray(self.cfg.hidden_size ** 0.5, jnp.float32)
+        return (x.astype(jnp.float32) * scale).astype(self.dtype)
+
+    def _chunk(self, p, x, positions, kcaches, vcaches, write_idx, kv_valid):
+        """Run a chunk of tokens through all layers, writing K/V into the
+        caches at ``write_idx`` and attending under ``kv_valid`` [B, T]
+        (True = attendable) plus global causality.
+
+        x: [B, S, H]; positions: [B, S]; returns (hidden [B, S, H], caches).
+        """
+        c = self.cfg
+        b, s, _ = x.shape
+        t = kcaches[0].shape[1]
+        # global causal mask: chunk token i sits at global slot write_idx+i
+        gq = write_idx + jnp.arange(s)                      # [S]
+        causal = jnp.arange(t)[None, :] <= gq[:, None]      # [S, T]
+        mask = (kv_valid[:, None, None, :] & causal[None, None]).astype(bool)
+
+        new_k, new_v = [], []
+        for i in range(c.num_hidden_layers):
+            lp = p["language_model"][f"layers_{i}"]
+            y = _rms(x, lp["input_layernorm"]["weight"], c.rms_norm_eps)
+            q = _lin(y, lp["self_attn"]["q_proj"]).reshape(
+                b, s, c.num_attention_heads, c.head_dim)
+            k = _lin(y, lp["self_attn"]["k_proj"]).reshape(
+                b, s, c.num_key_value_heads, c.head_dim)
+            v = _lin(y, lp["self_attn"]["v_proj"]).reshape(
+                b, s, c.num_key_value_heads, c.head_dim)
+            q = L.rope(q, positions, theta=c.rope_theta)
+            k = L.rope(k, positions, theta=c.rope_theta)
+            kc = jax.lax.dynamic_update_slice(kcaches[i], k, (0, write_idx, 0, 0))
+            vc = jax.lax.dynamic_update_slice(vcaches[i], v, (0, write_idx, 0, 0))
+            new_k.append(kc)
+            new_v.append(vc)
+            att = L.attention(q, kc, vc, mask=mask, scale=c.head_dim ** -0.5)
+            x = x + _lin(att.reshape(b, s, -1), lp["self_attn"]["o_proj"])
+            y = _rms(x, lp["post_attention_layernorm"]["weight"], c.rms_norm_eps)
+            gate = _lin(y, lp["mlp"]["gate_proj"])
+            up = _lin(y, lp["mlp"]["up_proj"])
+            x = x + _lin(jax.nn.gelu(gate, approximate=True) * up,
+                         lp["mlp"]["down_proj"])
+        x = _rms(x, p["language_model"]["norm"]["weight"], c.rms_norm_eps)
+        return x, (tuple(new_k), tuple(new_v))
+
+    def _logits(self, p, hidden: jax.Array) -> jax.Array:
+        # tied LM head: logits = hidden @ embed_table.T, fp32
+        table = p["embed"]["embed_tokens"]
+        return jnp.einsum("bh,vh->bv", hidden.astype(jnp.float32),
+                          table.astype(jnp.float32))
+
+    # -- generation ----------------------------------------------------------
+
+    def _build(self, s: int, max_new: int, temperature: float,
+               eos_id: int, pad_id: int):
+        """Jitted whole-generation function for a (prompt_len, max_new)
+        bucket."""
+        c = self.cfg
+        t = s + max_new
+
+        def sample(logits, rng, step):
+            if temperature <= 0.0:
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            key = jax.random.fold_in(rng, step)
+            return jax.random.categorical(
+                key, logits / temperature, axis=-1).astype(jnp.int32)
+
+        def run(p, ids, mask, rng):
+            b = ids.shape[0]
+            kcaches = tuple(
+                jnp.zeros((b, t, c.num_key_value_heads, c.head_dim), self.dtype)
+                for _ in range(c.num_hidden_layers))
+            vcaches = kcaches
+
+            # positions: 0-indexed over valid tokens (left padding -> pads
+            # clamp to 0 and are masked out of attention anyway)
+            positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+            kv_valid = jnp.concatenate(
+                [mask.astype(bool), jnp.ones((b, max_new), bool)], axis=1)
+
+            x = self._embed(p, ids)
+            hidden, (kcaches, vcaches) = self._chunk(
+                p, x, positions, kcaches, vcaches, 0, kv_valid)
+            logits = self._logits(p, hidden[:, -1])
+            tok = sample(logits, rng, 0)
+            last_pos = positions[:, -1]
+            done = tok == eos_id
+
+            def body(carry, step):
+                kc, vc, tok, done = carry
+                x = self._embed(p, tok[:, None])
+                pos = (last_pos + step)[:, None]
+                hidden, (kc, vc) = self._chunk(
+                    p, x, pos, kc, vc, s + step - 1, kv_valid)
+                nxt = sample(self._logits(p, hidden[:, -1]), rng, step)
+                nxt = jnp.where(done, jnp.int32(pad_id), nxt)
+                done = done | (nxt == eos_id)
+                return (kc, vc, nxt, done), nxt
+
+            (_, _, _, done), rest = jax.lax.scan(
+                body, (kcaches, vcaches, tok, done),
+                jnp.arange(1, max_new), length=max_new - 1)
+            out = jnp.concatenate([tok[:, None], rest.T], axis=1)  # [B, N]
+            return out
+
+        return jax.jit(run)
+
+    def next_token_logits(self, prompts: Sequence[Sequence[int]],
+                          pad_id: int = 0, bucket: int = 16) -> np.ndarray:
+        """Prefill-only: fp32 logits of the next token per prompt [B, V]
+        (the parity surface pinned against torch GemmaForCausalLM)."""
+        s = max(max(len(pr) for pr in prompts), 1)
+        s = ((s + bucket - 1) // bucket) * bucket
+        b = len(prompts)
+        ids = np.full((b, s), pad_id, np.int32)
+        mask = np.zeros((b, s), np.int32)
+        for n, pr in enumerate(prompts):
+            if len(pr):
+                ids[n, -len(pr):] = pr
+                mask[n, -len(pr):] = 1
+
+        key = ("prefill", s)
+        if key not in self._jit_cache:
+            c = self.cfg
+
+            def run(p, ids, mask):
+                bb = ids.shape[0]
+                kcaches = tuple(
+                    jnp.zeros((bb, s, c.num_key_value_heads, c.head_dim),
+                              self.dtype)
+                    for _ in range(c.num_hidden_layers))
+                positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+                x = self._embed(p, ids)
+                hidden, _ = self._chunk(p, x, positions, kcaches, kcaches,
+                                        0, mask.astype(bool))
+                return self._logits(p, hidden[:, -1])
+
+            self._jit_cache[key] = jax.jit(run)
+        return np.asarray(self._jit_cache[key](
+            self.params, jnp.asarray(ids), jnp.asarray(mask)))
+
+    def generate(
+        self,
+        prompts: Sequence[Sequence[int]],
+        max_new_tokens: int = 64,
+        temperature: float = 0.0,
+        eos_id: int = -1,
+        pad_id: int = 0,
+        seed: int = 0,
+        bucket: int = 16,
+    ) -> List[List[int]]:
+        """Generate continuations for token-id prompts.
+
+        Prompts are LEFT-padded to a shared length bucket (static jit
+        shapes); output token lists are truncated at ``eos_id``.
+        """
+        if not prompts:
+            return []
+        s = max(max(len(pr) for pr in prompts), 1)
+        s = ((s + bucket - 1) // bucket) * bucket
+        b = len(prompts)
+        ids = np.full((b, s), pad_id, np.int32)
+        mask = np.zeros((b, s), np.int32)
+        for n, pr in enumerate(prompts):
+            if len(pr):
+                ids[n, -len(pr):] = pr
+                mask[n, -len(pr):] = 1
+
+        key = (s, max_new_tokens, float(temperature), eos_id, pad_id)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build(
+                s, max_new_tokens, float(temperature), eos_id, pad_id)
+        out = np.asarray(self._jit_cache[key](
+            self.params, jnp.asarray(ids), jnp.asarray(mask),
+            jax.random.PRNGKey(seed)))
+        results: List[List[int]] = []
+        for row in out:
+            toks = row.tolist()
+            if eos_id in toks:
+                toks = toks[: toks.index(eos_id)]
+            results.append(toks)
+        return results
+
+
+class ByteTokenizer:
+    """Reversible UTF-8 byte tokenizer (ids 0..255, then pad/bos/eos).
+
+    The engine's test/demo tokenizer: any text round-trips exactly, so the
+    OpenAI-compatible server works end to end without external vocab files.
+    """
+
+    def __init__(self):
+        self.pad_id = 256
+        self.bos_id = 257
+        self.eos_id = 258
+        self.vocab_size = 259
+
+    def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
+        ids = list(text.encode("utf-8"))
+        return ([self.bos_id] + ids) if add_special_tokens else ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        data = bytes(i for i in ids if 0 <= i < 256)
+        return data.decode("utf-8", "replace")

@@ -1,0 +1,141 @@
+"""OpenAI-compatible generation server backed by the TPU decode engine.
+
+The reference's generation tier is a vLLM container exposing
+``/v1/chat/completions`` (00_run_docker_containers.sh:26-39); every client
+in this framework (generation/client.py) speaks that protocol. This module
+closes the loop: the same protocol served by the first-party
+``GemmaDecodeEngine``, so a TPU host can serve its own generation without
+any external inference server. The client seam is unchanged - point
+``base_url`` (or $OPENAI_BASE_URL) at this server.
+
+Scope: text chat completions (``messages`` with string/text-part content),
+``max_tokens``, ``temperature``, ``stop`` via the tokenizer's eos. Requests
+are served one at a time per HTTP worker thread; the engine batches the
+prompts of one request together. Multimodal generation and a continuous-
+batching scheduler are layered-above concerns (round-3 candidates).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+
+def render_chat_prompt(messages: List[Dict[str, Any]]) -> str:
+    """Flatten OpenAI chat messages into a plain prompt (text parts only)."""
+    lines = []
+    for m in messages:
+        content = m.get("content", "")
+        if isinstance(content, list):
+            content = " ".join(part.get("text", "") for part in content
+                               if isinstance(part, dict)
+                               and part.get("type") == "text")
+        lines.append(f"{m.get('role', 'user')}: {content}")
+    lines.append("assistant:")
+    return "\n".join(lines)
+
+
+class GenerationServer:
+    """Serve ``/v1/chat/completions`` from a decode engine + tokenizer.
+
+    ``engine`` must expose ``generate(prompts, max_new_tokens, temperature,
+    eos_id, seed) -> [[token_id, ...]]``; ``tokenizer`` must expose
+    ``encode``/``decode`` (and optionally ``eos_id``).
+    """
+
+    def __init__(self, engine: Any, tokenizer: Any, model_name: str = "local",
+                 host: str = "127.0.0.1", port: int = 0,
+                 max_new_tokens: int = 128):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.default_max_new = max_new_tokens
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path.rstrip("/").endswith("health"):
+                    body = b'{"status": "ok"}'
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                try:
+                    resp = outer._complete(req)
+                    code = 200
+                except Exception as e:  # noqa: BLE001 - protocol error reply
+                    resp = {"error": {"message": str(e), "type": type(e).__name__}}
+                    code = 400
+                body = json.dumps(resp).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self._httpd.server_address
+        self.base_url = f"http://{self.host}:{self.port}/v1"
+        self._thread: Optional[threading.Thread] = None
+
+    # -- protocol ------------------------------------------------------------
+
+    def _complete(self, req: Dict[str, Any]) -> Dict[str, Any]:
+        prompt = render_chat_prompt(req.get("messages", []))
+        ids = self.tokenizer.encode(prompt, add_special_tokens=True)
+        max_new = int(req.get("max_tokens") or self.default_max_new)
+        temperature = float(req.get("temperature") or 0.0)
+        eos_id = getattr(self.tokenizer, "eos_id", -1)
+        out = self.engine.generate(
+            [ids], max_new_tokens=max_new, temperature=temperature,
+            eos_id=eos_id, seed=int(req.get("seed") or 0))[0]
+        text = self.tokenizer.decode(out)
+        return {
+            "id": f"chatcmpl-{int(time.time() * 1e3)}",
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": req.get("model", self.model_name),
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "finish_reason": "stop" if len(out) < max_new else "length",
+            }],
+            "usage": {
+                "prompt_tokens": len(ids),
+                "completion_tokens": len(out),
+                "total_tokens": len(ids) + len(out),
+            },
+        }
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> "GenerationServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "GenerationServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

@@ -62,20 +62,29 @@ class GemmaDecoderLayer(nn.Module):
 
 class GemmaModel(nn.Module):
     """inputs_embeds [B, S, hidden] (already scaled & merged with image
-    features by the caller) -> last hidden states [B, S, hidden]."""
+    features by the caller) -> last hidden states [B, S, hidden].
+
+    ``causal=False`` is the retrieval path (bidirectional prefix attention,
+    PaliGemma inference masking); ``causal=True`` is the autoregressive LM
+    masking used by the generation engine's oracle tests."""
 
     cfg: GemmaTextConfig
 
     @nn.compact
-    def __call__(self, inputs_embeds, positions, attention_mask: Optional[jax.Array]):
+    def __call__(self, inputs_embeds, positions,
+                 attention_mask: Optional[jax.Array], causal: bool = False):
         c = self.cfg
         x = inputs_embeds
+        s = x.shape[1]
         if attention_mask is not None:
-            # Bidirectional prefix attention: a position may attend to every
-            # valid (non-padding) position.
+            # A position may attend to every valid (non-padding) position...
             mask = attention_mask[:, None, None, :].astype(bool)  # [B,1,1,T]
         else:
             mask = None
+        if causal:
+            # ...and, for LM use, only to positions at or before itself.
+            tril = jnp.tril(jnp.ones((s, s), bool))[None, None]
+            mask = tril if mask is None else (mask & tril)
         for i in range(c.num_hidden_layers):
             x = GemmaDecoderLayer(c, name=f"layers_{i}")(x, positions, mask)
         return L.RMSNorm(eps=c.rms_norm_eps, name="norm")(x)

@@ -1,0 +1,179 @@
+"""Generation engine tests: cache-vs-full-forward parity, torch parity,
+padding invariance, sampling/stop behavior."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multimodal_colpali_tpu.generation.engine import ByteTokenizer, GemmaDecodeEngine
+from multimodal_colpali_tpu.models.colpali import ColPaliModel
+from multimodal_colpali_tpu.models.configs import ColPaliModelConfig
+from multimodal_colpali_tpu.models.gemma import GemmaEmbedder, GemmaModel
+from multimodal_colpali_tpu.models.registry import fast_random_params
+
+
+@pytest.fixture(scope="module")
+def tiny_lm():
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    model = ColPaliModel(cfg)
+    params = jax.tree.map(jnp.asarray, fast_random_params(model, cfg, seed=3))
+    return cfg.text, params
+
+
+def _oracle_greedy(tcfg, params, prompt, n_steps):
+    """Greedy continuation by full recompute each step: embed (scaled) ->
+    GemmaModel(causal=True) -> tied logits. The no-cache oracle."""
+    emb = GemmaEmbedder(tcfg)
+    lm = GemmaModel(tcfg)
+    table = params["embed"]["embed_tokens"]
+    ids = list(prompt)
+    out = []
+    for _ in range(n_steps):
+        a = jnp.asarray([ids], jnp.int32)
+        mask = jnp.ones_like(a)
+        x = emb.apply({"params": params["embed"]}, a)
+        x = x.astype(jnp.float32) * tcfg.hidden_size ** 0.5
+        positions = jnp.cumsum(mask, axis=1) - 1
+        h = lm.apply({"params": params["language_model"]}, x, positions,
+                     mask, causal=True)
+        logits = jnp.einsum("h,vh->v", h[0, -1].astype(jnp.float32),
+                            jnp.asarray(table, jnp.float32))
+        tok = int(jnp.argmax(logits))
+        out.append(tok)
+        ids.append(tok)
+    return out
+
+
+def test_cached_decode_matches_full_recompute(tiny_lm):
+    """The KV-cache scan must produce exactly the tokens the no-cache
+    full-recompute oracle produces (greedy)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [[5, 9, 17, 3], [40, 2]]
+    got = eng.generate(prompts, max_new_tokens=6)
+    for prompt, g in zip(prompts, got):
+        want = _oracle_greedy(tcfg, params, prompt, 6)
+        assert g == want, (prompt, g, want)
+
+
+def test_left_padding_invariance(tiny_lm):
+    """The same prompt must generate the same tokens regardless of how much
+    left padding the bucket adds (batched with a longer prompt)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    alone = eng.generate([[7, 21, 33]], max_new_tokens=5)[0]
+    batched = eng.generate([[7, 21, 33], list(range(3, 30))],
+                           max_new_tokens=5, bucket=32)[0]
+    assert alone == batched
+
+
+def test_eos_stops_and_pads(tiny_lm):
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    kw = dict(max_new_tokens=8, temperature=1.5, seed=7)  # diverse + replayable
+    free = eng.generate([[5, 9, 17, 3]], **kw)[0]
+    # pick as eos a token whose first occurrence is past position 0
+    j = next((i for i, t in enumerate(free) if t not in free[:i] and i > 0), None)
+    assert j is not None, free
+    stopped = eng.generate([[5, 9, 17, 3]], eos_id=free[j], **kw)[0]
+    assert stopped == free[:j]
+
+
+def test_temperature_sampling_deterministic_per_seed(tiny_lm):
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    a = eng.generate([[5, 9]], max_new_tokens=6, temperature=0.8, seed=11)
+    b = eng.generate([[5, 9]], max_new_tokens=6, temperature=0.8, seed=11)
+    c = eng.generate([[5, 9]], max_new_tokens=6, temperature=0.8, seed=12)
+    assert a == b
+    assert a != c or True  # different seeds may rarely coincide on tiny vocab
+
+
+def test_next_token_logits_match_torch_gemma(tiny_lm):
+    """Full-stack parity: our prefill logits vs transformers
+    GemmaForCausalLM with the same (tiny, ported) weights."""
+    torch = pytest.importorskip("torch")
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    tcfg, params = tiny_lm
+    hf_cfg = GemmaConfig(
+        vocab_size=tcfg.vocab_size, hidden_size=tcfg.hidden_size,
+        intermediate_size=tcfg.intermediate_size,
+        num_hidden_layers=tcfg.num_hidden_layers,
+        num_attention_heads=tcfg.num_attention_heads,
+        num_key_value_heads=tcfg.num_key_value_heads,
+        head_dim=tcfg.head_dim, rms_norm_eps=tcfg.rms_norm_eps,
+        rope_theta=tcfg.rope_theta,
+    )
+    torch.manual_seed(0)
+    hf = GemmaForCausalLM(hf_cfg).eval()
+
+    # port torch weights into our tree
+    sd = hf.state_dict()
+    lin = lambda k: {"kernel": sd[k + ".weight"].numpy().T}
+    rms = lambda k: {"weight": sd[k + ".weight"].numpy()}
+    language = {"norm": rms("model.norm")}
+    for i in range(tcfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        language[f"layers_{i}"] = {
+            "self_attn": {n: lin(p + f"self_attn.{n}")
+                          for n in ("q_proj", "k_proj", "v_proj", "o_proj")},
+            "mlp": {n: lin(p + f"mlp.{n}")
+                    for n in ("gate_proj", "up_proj", "down_proj")},
+            "input_layernorm": rms(p + "input_layernorm"),
+            "post_attention_layernorm": rms(p + "post_attention_layernorm"),
+        }
+    ported = {"embed": {"embed_tokens": sd["model.embed_tokens.weight"].numpy()},
+              "language_model": language}
+
+    prompt = [3, 17, 42, 9, 26, 31]
+    eng = GemmaDecodeEngine(tcfg, ported)
+    got = eng.next_token_logits([prompt], bucket=len(prompt))[0]
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor([prompt])).logits[0, -1].numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    s = "Glycans bind selectins! éß"
+    assert tok.decode(tok.encode(s)) == s
+    assert tok.encode(s, add_special_tokens=True)[0] == tok.bos_id
+
+
+def test_generation_server_end_to_end(tiny_lm):
+    """The framework's own client speaks to the framework's own server:
+    chat completion round-trips through the engine with the OpenAI schema
+    (same seam the reference points at vLLM)."""
+    tcfg, params = tiny_lm
+    # the tiny LM's vocab (64) can't hold bytes; wrap a modulo tokenizer
+    tok = ByteTokenizer()
+
+    class ModTok:
+        pad_id, bos_id, eos_id = 0, 1, -1
+
+        def encode(self, text, add_special_tokens=False):
+            ids = [2 + (i % 60) for i in tok.encode(text)]
+            return ([self.bos_id] + ids) if add_special_tokens else ids
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    from multimodal_colpali_tpu.generation.client import get_responses, run_sync
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+    from multimodal_colpali_tpu.utils.health import check_vllm_status
+
+    eng = GemmaDecodeEngine(tcfg, params)
+    with GenerationServer(eng, ModTok(), model_name="tiny-gemma") as srv:
+        assert check_vllm_status(srv.base_url.removesuffix("/v1") + "/health")
+        msgs = [[{"role": "user", "content": "What binds selectins?"}]]
+        out = run_sync(get_responses(
+            "tiny-gemma", 0, msgs, base_url=srv.base_url,
+            extra_body={"max_tokens": 6, "seed": 0}))
+        out2 = run_sync(get_responses(
+            "tiny-gemma", 0, msgs, base_url=srv.base_url,
+            extra_body={"max_tokens": 6, "seed": 0}))
+    assert out == out2  # greedy determinism through the full HTTP stack
+    assert len(out) == 1 and out[0] and "[error]" not in out[0]
+    assert all(t.isdigit() for t in out[0].split())
