@@ -55,18 +55,30 @@ def _lin(x: jax.Array, p: Dict[str, Any]) -> jax.Array:
 @dataclasses.dataclass
 class GemmaDecodeEngine:
     """Causal Gemma LM over a ColPali-style param tree (embed +
-    language_model subtrees; the vision tower is ignored)."""
+    language_model subtrees; the vision tower is ignored).
+
+    With ``mesh`` (axes "data", "model") the engine runs sharded: params are
+    placed column/row-parallel over "model" (the TP plan the 27B-class
+    generators need - SURVEY §2.3), the batch and KV caches shard over
+    "data", and XLA inserts the all-reduces. Tokens are bit-controlled by
+    the same math, so sharded and single-device generations agree."""
 
     cfg: GemmaTextConfig
     params: Any                      # {"embed": {...}, "language_model": {...}}
     dtype: Any = jnp.float32
+    mesh: Any = None                 # Optional[jax.sharding.Mesh]
 
     def __post_init__(self):
         keep = {"embed": self.params["embed"],
                 "language_model": self.params["language_model"]}
-        self.params = jax.tree.map(
+        params = jax.tree.map(
             lambda p: jnp.asarray(p, self.dtype)
             if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p), keep)
+        if self.mesh is not None:
+            from multimodal_colpali_tpu.parallel.mesh import shard_params_for_tp
+
+            params = shard_params_for_tp(params, self.mesh, axis="model")
+        self.params = params
         self._jit_cache: Dict[Tuple, Any] = {}
 
     # -- layer math (mirrors models/gemma.py bit for bit) -------------------
@@ -234,22 +246,32 @@ class GemmaDecodeEngine:
         s = max(max(len(pr) for pr in prompts), 1)
         s = ((s + bucket - 1) // bucket) * bucket
         b = len(prompts)
+        if self.mesh is not None:  # even DP shards over the batch axis
+            dp = self.mesh.shape.get("data", 1)
+            b = ((b + dp - 1) // dp) * dp
         ids = np.full((b, s), pad_id, np.int32)
         mask = np.zeros((b, s), np.int32)
         for n, pr in enumerate(prompts):
             if len(pr):
                 ids[n, -len(pr):] = pr
                 mask[n, -len(pr):] = 1
+        mask[len(prompts):, -1] = 1  # padding rows: one dummy valid token
 
         key = (s, max_new_tokens, float(temperature), eos_id, pad_id)
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build(
                 s, max_new_tokens, float(temperature), eos_id, pad_id)
+        jids, jmask = jnp.asarray(ids), jnp.asarray(mask)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ds = NamedSharding(self.mesh, P("data"))
+            jids = jax.device_put(jids, ds)
+            jmask = jax.device_put(jmask, ds)
         out = np.asarray(self._jit_cache[key](
-            self.params, jnp.asarray(ids), jnp.asarray(mask),
-            jax.random.PRNGKey(seed)))
+            self.params, jids, jmask, jax.random.PRNGKey(seed)))
         results: List[List[int]] = []
-        for row in out:
+        for row in out[: len(prompts)]:
             toks = row.tolist()
             if eos_id in toks:
                 toks = toks[: toks.index(eos_id)]

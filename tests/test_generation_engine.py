@@ -177,3 +177,19 @@ def test_generation_server_end_to_end(tiny_lm):
     assert out == out2  # greedy determinism through the full HTTP stack
     assert len(out) == 1 and out[0] and "[error]" not in out[0]
     assert all(t.isdigit() for t in out[0].split())
+
+
+def test_sharded_generation_matches_single_device(tiny_lm, mesh8):
+    """dp x tp generation (params column/row-parallel over "model", batch
+    and caches over "data") must produce the same tokens as single-device."""
+    from jax.sharding import Mesh
+
+    tcfg, params = tiny_lm
+    devs = np.array(mesh8.devices).reshape(4, 2)
+    mesh = Mesh(devs, ("data", "model"))
+    plain = GemmaDecodeEngine(tcfg, params)
+    sharded = GemmaDecodeEngine(tcfg, params, mesh=mesh)
+    prompts = [[5, 9, 17, 3], [40, 2], [1, 2, 3]]  # 3 rows -> padded to 4
+    want = plain.generate(prompts, max_new_tokens=5)
+    got = sharded.generate(prompts, max_new_tokens=5)
+    assert got == want
