@@ -399,8 +399,10 @@ class ColQwen2Model(nn.Module):
         attention_mask: jax.Array,             # [B, S]
         position_ids: jax.Array,               # [3, B, S] mrope positions
         pixel_values: Optional[jax.Array] = None,  # [B, P, patch_dim]
+        grid: Optional[tuple] = None,          # static (grid_h, grid_w) override
     ) -> jax.Array:
         c = self.cfg
+        gh, gw = grid if grid is not None else (c.grid_h, c.grid_w)
         table = self.param("embed_tokens", nn.initializers.normal(0.02),
                            (c.text.vocab_size, c.text.hidden_size), jnp.float32)
         embeds = jnp.take(
@@ -408,7 +410,7 @@ class ColQwen2Model(nn.Module):
         ).astype(pixel_values.dtype if pixel_values is not None else jnp.float32)
 
         if pixel_values is not None:
-            feats = Qwen2VisionTower(c.vision, c.grid_h, c.grid_w,
+            feats = Qwen2VisionTower(c.vision, gh, gw,
                                      name="visual")(pixel_values)  # [B, P/4, hidden]
             is_img = input_ids == c.image_token_id
             img_pos = jnp.clip(jnp.cumsum(is_img, axis=1) - 1, 0, feats.shape[1] - 1)

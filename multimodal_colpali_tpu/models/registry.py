@@ -62,14 +62,15 @@ class Retriever:
 
         self.params = jax.tree.map(cast_and_put, self.params)
 
-    def _apply(self, with_image: bool) -> Callable:
-        if with_image not in self._jit_cache:
+    def _apply(self, with_image: bool, grid=None) -> Callable:
+        key = (with_image, grid)
+        if key not in self._jit_cache:
             if self.family == "colqwen2":
                 def fn(params, input_ids, attention_mask, position_ids,
                        pixel_values=None):
                     return self.model.apply(
                         {"params": params}, input_ids, attention_mask,
-                        position_ids, pixel_values,
+                        position_ids, pixel_values, grid=grid,
                     )
                 n_data = 3 + int(with_image)
                 mrope = True
@@ -89,10 +90,10 @@ class Retriever:
                     # position_ids are [3, B, S]: batch axis is dim 1.
                     shards[3] = NamedSharding(self.mesh, P(None, "data"))
                 in_shardings = tuple(shards)
-            self._jit_cache[with_image] = jax.jit(
+            self._jit_cache[key] = jax.jit(
                 fn, in_shardings=in_shardings
             ) if in_shardings else jax.jit(fn)
-        return self._jit_cache[with_image]
+        return self._jit_cache[key]
 
     def _batch_args(self, batch: Dict[str, Any], with_image: bool):
         args = [jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])]
@@ -110,7 +111,13 @@ class Retriever:
         return ((n + d - 1) // d) * d
 
     def embed_images(self, images: Sequence[Any], batch_size: int = 32) -> List[np.ndarray]:
-        """Embed page images -> list of [n_tokens, dim] float32 arrays."""
+        """Embed page images -> list of [n_tokens, dim] float32 arrays.
+
+        Under a dynamic-resolution processor (ColQwen smart grids) images
+        are grouped by grid first; each grid gets its own jit cache entry,
+        so recompiles are bounded by the number of distinct grids."""
+        if getattr(self.processor, "dynamic_resolution", False):
+            return self._embed_images_grouped(images, batch_size)
         out: List[np.ndarray] = []
         for start in range(0, len(images), batch_size):
             chunk = list(images[start: start + batch_size])
@@ -125,6 +132,26 @@ class Retriever:
             for i in range(n):
                 out.append(emb[i][mask[i] == 1])
         return out
+
+    def _embed_images_grouped(self, images: Sequence[Any],
+                              batch_size: int) -> List[np.ndarray]:
+        out: List[Optional[np.ndarray]] = [None] * len(images)
+        for grid, idxs in self.processor.group_by_grid(images):
+            for start in range(0, len(idxs), batch_size):
+                sel = idxs[start: start + batch_size]
+                chunk = [images[i] for i in sel]
+                n = len(chunk)
+                n_pad = self._pad_batch(max(n, 1))
+                while len(chunk) < n_pad:
+                    chunk.append(chunk[-1])
+                batch = self.processor.process_images(chunk, grid=grid)
+                emb = self._apply(True, grid)(
+                    self.params, *self._batch_args(batch, True))
+                emb = np.asarray(emb, np.float32)
+                mask = batch["attention_mask"]
+                for j, i in enumerate(sel):
+                    out[i] = emb[j][mask[j] == 1]
+        return list(out)  # original order
 
     def embed_queries(self, queries: Sequence[str], batch_size: int = 64) -> List[np.ndarray]:
         out: List[np.ndarray] = []

@@ -215,3 +215,92 @@ def test_colqwen25_image_parity(tiny_colqwen25):
         jnp.asarray(pos, jnp.int32), jnp.asarray(patches),
     ))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+
+def test_colqwen_dynamic_grid_parity(tiny_colqwen):
+    """A non-default (rectangular) grid through the dynamic-resolution path
+    must match torch with the matching image_grid_thw."""
+    cfg, hf_model, params = tiny_colqwen
+    rng = np.random.default_rng(5)
+    gh, gw = 4, 8  # wider-than-tall page at the tiny scale
+    m = cfg.vision.spatial_merge_size
+    n_img_tok = (gh // m) * (gw // m)
+
+    from multimodal_colpali_tpu.models.processing_qwen2vl import flatten_patches
+    h_px, w_px = gh * cfg.vision.patch_size, gw * cfg.vision.patch_size
+    img = rng.standard_normal((h_px, w_px, 3)).astype(np.float32)
+    patches = flatten_patches(img, cfg, (gh, gw))[None]  # [1, P, D]
+
+    seq = ([cfg.vision_start_token_id] + [cfg.image_token_id] * n_img_tok
+           + [cfg.vision_end_token_id] + [5, 9])
+    ids = np.asarray([seq], np.int64)
+    mask = np.ones_like(ids)
+
+    with torch.no_grad():
+        want = hf_model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+            pixel_values=torch.from_numpy(patches),
+            image_grid_thw=torch.tensor([[1, gh, gw]]),
+        ).embeddings.numpy()
+
+    proc = ColQwen2Processor(cfg, dynamic_resolution=True)
+    pos = proc.mrope_position_ids(ids.astype(np.int32), mask.astype(np.int32),
+                                  grid=(gh, gw))
+    model = ColQwen2Model(cfg)
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(mask, jnp.int32), jnp.asarray(pos, jnp.int32),
+        jnp.asarray(patches), grid=(gh, gw),
+    ))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+
+def test_smart_grid_matches_hf_smart_resize():
+    """Our smart_grid must pick the same buckets transformers' smart_resize
+    picks (same factor/min/max semantics)."""
+    from transformers.models.qwen2_vl.image_processing_qwen2_vl import smart_resize
+    from multimodal_colpali_tpu.models.processing_qwen2vl import smart_grid
+
+    factor, min_px, max_px = 28, 4 * 28 * 28, 64 * 28 * 28
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        h = int(rng.integers(30, 2000))
+        w = int(rng.integers(30, 2000))
+        want = smart_resize(h, w, factor=factor, min_pixels=min_px,
+                            max_pixels=max_px)
+        got = smart_grid(h, w, factor, min_px, max_px)
+        assert got == tuple(want), (h, w, got, want)
+
+
+def test_dynamic_resolution_embedding_groups():
+    """End-to-end dynamic path: embed_images groups by grid, keeps input
+    order, and emits grid-dependent token counts."""
+    import warnings
+    from PIL import Image
+    from multimodal_colpali_tpu.models.registry import load_retriever
+    from multimodal_colpali_tpu.models.processing_qwen2vl import ColQwen2Processor
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r = load_retriever("tiny-colqwen2", seed=0)
+    cfg = r.processor.cfg
+    r.processor = ColQwen2Processor(
+        cfg, dynamic_resolution=True,
+        max_pixels=cfg.grid_h * cfg.grid_w * cfg.vision.patch_size ** 2)
+    rng = np.random.default_rng(0)
+    mk = lambda h, w: Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8))
+    # tall, wide, tall: groups must reassemble in original order
+    imgs = [mk(112, 56), mk(56, 112), mk(112, 56)]
+    grids = [r.processor.smart_grid(im) for im in imgs]
+    assert grids[0] == grids[2] != grids[1]
+    embs = r.embed_images(imgs, batch_size=2)
+    assert len(embs) == 3
+    m = cfg.vision.spatial_merge_size
+    for e, (gh, gw) in zip(embs, grids):
+        n_img_tok = (gh // m) * (gw // m)
+        assert e.shape[0] > n_img_tok  # image block + prompt tokens
+        assert e.shape[1] == cfg.embedding_dim
+    # same-grid images 0 and 2 differ in content, not shape
+    assert embs[0].shape == embs[2].shape
+    assert not np.allclose(embs[0], embs[2])
