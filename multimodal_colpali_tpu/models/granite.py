@@ -60,6 +60,24 @@ class ColGraniteModelConfig:
         g = self.grid
         return g * g + g * (g + 1)
 
+    def n_image_tokens_for(self, tiles) -> int:
+        """Packed token count for an anyres tiling (ty, tx): base grid plus
+        the tiled spatial grid with one newline token per spatial row."""
+        if tiles is None:
+            return self.n_image_tokens
+        g = self.grid
+        ty, tx = tiles
+        return g * g + ty * g * (tx * g + 1)
+
+    def default_pinpoints(self, max_tiles: int = 4):
+        """anyres resolution candidates: (a*S, b*S) canvases up to
+        ``max_tiles`` tiles (granite-vision style multiples of the base)."""
+        s = self.vision.image_size
+        return [(a * s, b * s)
+                for a in range(1, max_tiles + 1)
+                for b in range(1, max_tiles + 1)
+                if a * b <= max_tiles]
+
     @classmethod
     def granite_vision_3(cls) -> "ColGraniteModelConfig":
         return cls()
@@ -154,8 +172,18 @@ class ColGraniteModel(nn.Module):
         self,
         input_ids: jax.Array,                 # [B, S]
         attention_mask: jax.Array,            # [B, S]
-        pixel_values: Optional[jax.Array] = None,  # [B, H, W, 3]
+        pixel_values: Optional[jax.Array] = None,  # [B, H, W, 3] or [B, 1+T, H, W, 3]
+        tiles: Optional[tuple] = None,        # static anyres tiling (ty, tx)
     ) -> jax.Array:
+        """``tiles=None``: the static square layout (one tile == the base
+        image). ``tiles=(ty, tx)``: LLaVA-Next anyres - ``pixel_values``
+        carries [base, tile_0, ..., tile_{ty*tx-1}] per image (row-major
+        canvas order), packed as base tokens + the tiled spatial grid with
+        an image_newline token per spatial row (HF pack_image_features).
+        Deviation (documented): HF's unpad_image crop is skipped - token
+        counts must stay static on TPU - so padded canvas rows keep their
+        tokens; the processor picks the best-fit pinpoint to minimize them.
+        """
         c = self.cfg
         t = c.text
         table = self.param("embed_tokens", nn.initializers.normal(0.02),
@@ -166,22 +194,40 @@ class ColGraniteModel(nn.Module):
         ).astype(dtype)
 
         if pixel_values is not None:
+            g = c.grid
+            bsz = input_ids.shape[0]
+            pix = pixel_values
+            if tiles is not None:  # flatten base+tiles through the tower
+                n_imgs = pix.shape[1]
+                pix = pix.reshape((bsz * n_imgs,) + pix.shape[2:])
             vis = SiglipFeatureTower(c.vision, c.vision_feature_layer,
-                                     name="vision_tower")(pixel_values)
+                                     name="vision_tower")(pix)
             h = L.DenseGeneral(t.hidden_size, name="projector_linear_1")(vis)
             h = nn.gelu(h, approximate=False)
             proj = L.DenseGeneral(t.hidden_size, name="projector_linear_2")(h)
-            # anyres pack, single tile == base image (static square layout):
-            # base tokens [g*g], then tile rows with a newline token per row.
-            g = c.grid
-            bsz = proj.shape[0]
             newline = self.param("image_newline", nn.initializers.normal(0.02),
                                  (t.hidden_size,), jnp.float32).astype(proj.dtype)
-            tile = proj.reshape(bsz, g, g, t.hidden_size)
-            nl = jnp.broadcast_to(newline[None, None, None, :], (bsz, g, 1, t.hidden_size))
-            tile = jnp.concatenate([tile, nl], axis=2).reshape(bsz, g * (g + 1),
-                                                               t.hidden_size)
-            feats = jnp.concatenate([proj, tile], axis=1)  # [B, n_image_tokens, D]
+            if tiles is None:
+                # static square layout: base tokens [g*g], then the same
+                # image as one tile with a newline token per row.
+                tile = proj.reshape(bsz, g, g, t.hidden_size)
+                nl = jnp.broadcast_to(newline[None, None, None, :],
+                                      (bsz, g, 1, t.hidden_size))
+                tile = jnp.concatenate([tile, nl], axis=2).reshape(
+                    bsz, g * (g + 1), t.hidden_size)
+                feats = jnp.concatenate([proj, tile], axis=1)
+            else:
+                ty, tx = tiles
+                proj = proj.reshape(bsz, 1 + ty * tx, g * g, t.hidden_size)
+                base = proj[:, 0]                                  # [B, g*g, D]
+                sp = proj[:, 1:].reshape(bsz, ty, tx, g, g, t.hidden_size)
+                sp = sp.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    bsz, ty * g, tx * g, t.hidden_size)
+                nl = jnp.broadcast_to(newline[None, None, None, :],
+                                      (bsz, ty * g, 1, t.hidden_size))
+                sp = jnp.concatenate([sp, nl], axis=2).reshape(
+                    bsz, ty * g * (tx * g + 1), t.hidden_size)
+                feats = jnp.concatenate([base, sp], axis=1)
             is_img = input_ids == c.image_token_id
             img_pos = jnp.clip(jnp.cumsum(is_img, axis=1) - 1, 0, feats.shape[1] - 1)
             gathered = jnp.take_along_axis(feats, img_pos[..., None], axis=1)

@@ -19,15 +19,43 @@ QUERY_PREFIX = "Query: "
 QUERY_AUGMENTATION_TOKENS = 10
 
 
+def select_best_resolution(h: int, w: int, pinpoints) -> tuple:
+    """LLaVA-Next best-pinpoint pick (HF ``select_best_resolution``):
+    maximize covered original pixels after aspect-preserving fit, break
+    ties by minimal wasted canvas area. Pinpoints/returns are (H, W)."""
+    best, best_fit, best_waste = None, -1, None
+    for ph, pw in pinpoints:
+        scale = min(pw / w, ph / h)
+        dw, dh = int(w * scale), int(h * scale)
+        fit = min(dw * dh, w * h)
+        waste = ph * pw - fit
+        if fit > best_fit or (fit == best_fit and waste < best_waste):
+            best, best_fit, best_waste = (ph, pw), fit, waste
+    return best
+
+
 class ColGraniteProcessor:
+    """``anyres=True`` enables LLaVA-Next multi-tile layouts: each image
+    picks the best-fit canvas from ``pinpoints`` (aspect-preserving resize
+    + centered pad, HF _resize_for_patching/_pad_for_patching), splits into
+    base-size tiles row-major, and prepends the square base image -
+    matching the reference's granite-vision converter inputs
+    (functions.py:85-99 feeds Docling's granite pipeline). Batches must be
+    grouped by tiling (``group_by_grid``); the retriever registry does."""
+
     def __init__(self, cfg: ColGraniteModelConfig, tokenizer: Optional[Any] = None,
-                 query_pad_to_multiple: int = 16):
+                 query_pad_to_multiple: int = 16, anyres: bool = False,
+                 pinpoints: Optional[Sequence[tuple]] = None):
         self.cfg = cfg
         self.tokenizer = tokenizer or SimpleTokenizer(cfg.text.vocab_size,
                                                       cfg.image_token_id)
         self.query_pad_to_multiple = query_pad_to_multiple
         self.image_preprocessor = ImagePreprocessor(cfg.vision.image_size)
         self.n_image_tokens = cfg.n_image_tokens
+        self.anyres = anyres
+        self.dynamic_resolution = anyres  # registry grouping protocol
+        self.pinpoints = list(pinpoints) if pinpoints is not None \
+            else cfg.default_pinpoints()
 
     def _ids(self, text: str) -> List[int]:
         try:
@@ -35,16 +63,69 @@ class ColGraniteProcessor:
         except TypeError:
             return list(self.tokenizer.encode(text))
 
-    def process_images(self, images: Sequence[Any]) -> dict:
-        pix = self.image_preprocessor(images)
+    # -- anyres tiling --------------------------------------------------------
+
+    def tiling_for(self, img: Any) -> tuple:
+        """(ty, tx) canvas tiling for one image."""
+        from PIL import Image
+
+        if isinstance(img, Image.Image):
+            w, h = img.size
+        else:
+            h, w = np.asarray(img).shape[:2]
+        ph, pw = select_best_resolution(h, w, self.pinpoints)
+        s = self.cfg.vision.image_size
+        return ph // s, pw // s
+
+    def group_by_grid(self, images: Sequence[Any]):
+        """Group image indices by tiling (registry grouping protocol)."""
+        groups = {}
+        for i, img in enumerate(images):
+            g = self.tiling_for(img) if self.anyres else None
+            groups.setdefault(g, []).append(i)
+        return sorted(groups.items(), key=lambda kv: (kv[0] is not None, kv[0]))
+
+    def _canvas_tiles(self, img: Any, tiles: tuple) -> np.ndarray:
+        """[1+T, S, S, 3] normalized: base image + row-major canvas tiles
+        (aspect-preserving resize, centered zero pad - HF patching)."""
+        from PIL import Image
+
+        s = self.cfg.vision.image_size
+        ty, tx = tiles
+        if not isinstance(img, Image.Image):
+            img = Image.fromarray(np.asarray(img).astype(np.uint8))
+        img = img.convert("RGB")
+        w, h = img.size
+        th, tw = ty * s, tx * s
+        scale = min(tw / w, th / h)
+        nw, nh = min(int(np.ceil(w * scale)), tw), min(int(np.ceil(h * scale)), th)
+        resized = img.resize((nw, nh), Image.BICUBIC)
+        canvas = Image.new("RGB", (tw, th), (0, 0, 0))
+        canvas.paste(resized, ((tw - nw) // 2, (th - nh) // 2))
+        arr = np.asarray(canvas, np.float32)
+        parts = [np.asarray(img.resize((s, s), Image.BICUBIC), np.float32)]
+        for yi in range(ty):
+            for xi in range(tx):
+                parts.append(arr[yi * s:(yi + 1) * s, xi * s:(xi + 1) * s])
+        stack = np.stack(parts)  # [1+T, S, S, 3]
+        return ((stack / 255.0) - 0.5) / 0.5
+
+    def process_images(self, images: Sequence[Any], grid: Optional[tuple] = None) -> dict:
+        if grid is not None:  # anyres tiling for this group
+            pix = np.stack([self._canvas_tiles(im, grid) for im in images])
+            n_tok = self.cfg.n_image_tokens_for(grid)
+        else:
+            pix = self.image_preprocessor(images)
+            n_tok = self.n_image_tokens
         prompt_ids = self._ids(IMAGE_PROMPT + "\n")
-        seq = [self.cfg.image_token_id] * self.n_image_tokens + prompt_ids
+        seq = [self.cfg.image_token_id] * n_tok + prompt_ids
         b = len(images)
         input_ids = np.tile(np.asarray(seq, np.int32), (b, 1))
         return {
             "input_ids": input_ids,
             "attention_mask": np.ones_like(input_ids),
             "pixel_values": pix,
+            "grid": grid,
         }
 
     def process_queries(self, queries: Sequence[str]) -> dict:

@@ -74,6 +74,14 @@ class Retriever:
                     )
                 n_data = 3 + int(with_image)
                 mrope = True
+            elif self.family == "colgranite" and grid is not None:
+                def fn(params, input_ids, attention_mask, pixel_values=None):
+                    return self.model.apply(
+                        {"params": params}, input_ids, attention_mask,
+                        pixel_values, tiles=grid,
+                    )
+                n_data = 2 + int(with_image)
+                mrope = False
             else:
                 def fn(params, input_ids, attention_mask, pixel_values=None):
                     return self.model.apply(

@@ -99,3 +99,72 @@ def test_colgranite_image_parity(tiny_colgranite):
         {"params": params}, jnp.asarray(ids, jnp.int32), jnp.asarray(mask, jnp.int32),
         jnp.asarray(pix.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got, want, rtol=6e-4, atol=6e-5)
+
+
+def test_colgranite_anyres_multitile_parity(tiny_colgranite):
+    """anyres 1x2 tiling (base + two tiles, newline per spatial row) must
+    match HF LLaVA-Next pack_image_features. The image size equals the
+    selected pinpoint exactly, so HF's unpad crop is a no-op (the case our
+    static-shape packing reproduces bit-for-bit)."""
+    import copy
+
+    from transformers import LlavaNextModel
+
+    cfg, hf_model, proj, params = tiny_colgranite
+    s = cfg.vision.image_size
+    g = cfg.grid
+    ty, tx = 1, 2
+
+    hf_cfg2 = copy.deepcopy(hf_model.config)
+    hf_cfg2.image_grid_pinpoints = [[s, s], [s, 2 * s]]
+    hf2 = LlavaNextModel(hf_cfg2).eval()
+    hf2.load_state_dict(hf_model.state_dict())
+
+    rng = np.random.default_rng(4)
+    n_img = cfg.n_image_tokens_for((ty, tx))  # g^2 + ty*g*(tx*g+1)
+    assert n_img == g * g + ty * g * (tx * g + 1)
+    seq = [cfg.image_token_id] * n_img + [5, 9]
+    ids = np.asarray([seq], np.int64)
+    mask = np.ones_like(ids)
+    # base + 2 tiles, each a base-size image
+    tiles = rng.standard_normal((1, 1 + ty * tx, 3, s, s)).astype(np.float32)
+    want = _ref(hf_model=hf2, proj=proj, ids=ids, mask=mask, pix=tiles,
+                image_sizes=[[s, 2 * s]])
+    got = np.asarray(ColGraniteModel(cfg).apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(mask, jnp.int32),
+        jnp.asarray(tiles.transpose(0, 1, 3, 4, 2)), tiles=(ty, tx)))
+    np.testing.assert_allclose(got, want, rtol=6e-4, atol=6e-5)
+
+
+def test_granite_anyres_processor_and_grouped_embedding():
+    """End-to-end anyres path: tiling selection, grouped embedding, token
+    counts per tiling, order preservation."""
+    import warnings
+
+    from PIL import Image
+
+    from multimodal_colpali_tpu.models.processing_granite import (
+        ColGraniteProcessor, select_best_resolution)
+    from multimodal_colpali_tpu.models.registry import load_retriever
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r = load_retriever("tiny-colgranite", seed=0)
+    cfg = r.processor.cfg
+    r.processor = ColGraniteProcessor(cfg, anyres=True)
+
+    s = cfg.vision.image_size
+    assert select_best_resolution(s, 2 * s, r.processor.pinpoints) == (s, 2 * s)
+    rng = np.random.default_rng(0)
+    mk = lambda h, w: Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8))
+    imgs = [mk(s, 2 * s), mk(2 * s, s), mk(s, 2 * s)]  # wide, tall, wide
+    tilings = [r.processor.tiling_for(im) for im in imgs]
+    assert tilings[0] == (1, 2) and tilings[1] == (2, 1)
+
+    embs = r.embed_images(imgs, batch_size=2)
+    assert len(embs) == 3
+    for e, t in zip(embs, tilings):
+        assert e.shape[0] > cfg.n_image_tokens_for(t)
+    assert embs[0].shape == embs[2].shape
+    assert not np.allclose(embs[0], embs[2])
