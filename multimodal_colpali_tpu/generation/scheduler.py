@@ -1,0 +1,327 @@
+"""Continuous batching for the decode engine (the vLLM scheduler role).
+
+vLLM's serving value is not just kernels - it is continuous batching:
+requests join and leave a running batch so the accelerator never idles on
+stragglers. This module provides that scheduler for ``GemmaDecodeEngine``'s
+layer math, TPU-style:
+
+- **Fixed slot batch**: ``batch_slots`` concurrent sequences decode in
+  lockstep; per-slot write indices, positions, temperatures and remaining
+  budgets live in device arrays, so one jitted step serves heterogeneous
+  requests.
+- **Chunked decode between scheduling points**: ``chunk`` tokens are
+  decoded inside one jit (lax.scan) before the scheduler re-syncs to admit
+  or retire requests - amortizing the per-dispatch overhead that dominates
+  through this environment's TPU tunnel, while bounding admission latency
+  to one chunk.
+- **Prefill-into-slot**: a new request prefills its own (bucketed) prompt
+  once and its K/V rows are inserted into the running batch cache; other
+  slots keep decoding unaffected (verified: staggered admission produces
+  exactly the tokens of isolated generation).
+
+``submit()`` returns a Future; ``serve()`` runs the scheduler loop on a
+background thread, which is how GenerationServer gets concurrency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+
+
+@dataclasses.dataclass
+class _Request:
+    prompt: List[int]
+    max_new_tokens: int
+    temperature: float
+    seed: int
+    future: Future
+    tokens: List[int] = dataclasses.field(default_factory=list)
+    slot: int = -1
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching over a GemmaDecodeEngine."""
+
+    def __init__(self, engine: GemmaDecodeEngine, batch_slots: int = 4,
+                 max_seq_len: int = 512, chunk: int = 8,
+                 prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0):
+        self.engine = engine
+        self.cfg = engine.cfg
+        self.B = batch_slots
+        self.T = max_seq_len
+        self.chunk = chunk
+        self.bucket = prompt_bucket
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+
+        c = self.cfg
+        self._caches = tuple(
+            jnp.zeros((self.B, self.T, c.num_key_value_heads, c.head_dim),
+                      engine.dtype)
+            for _ in range(2 * c.num_hidden_layers))  # k then v interleaved
+        self._tok = jnp.zeros((self.B,), jnp.int32)
+        self._pos = jnp.zeros((self.B,), jnp.int32)
+        self._start = jnp.zeros((self.B,), jnp.int32)   # first valid cache row
+        self._end = jnp.zeros((self.B,), jnp.int32)     # next write index
+        self._temp = jnp.zeros((self.B,), jnp.float32)
+        self._remaining = jnp.zeros((self.B,), jnp.int32)
+        self._seed = jnp.zeros((self.B,), jnp.uint32)
+        self._step_count = 0
+
+        self._slots: List[Optional[_Request]] = [None] * self.B
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._jit: Dict[Any, Any] = {}
+        self._lock = threading.Lock()
+        self._serving = False
+        self._thread: Optional[threading.Thread] = None
+
+    # -- jitted pieces --------------------------------------------------------
+
+    def _prefill_fn(self, s: int):
+        """One prompt (left-padded to s) -> (k/v rows [s], next token
+        logits). Cache width is exactly s; rows are inserted into the batch
+        cache afterwards."""
+        eng, c = self.engine, self.cfg
+
+        def run(p, ids, mask):
+            kc = tuple(jnp.zeros((1, s, c.num_key_value_heads, c.head_dim),
+                                 eng.dtype) for _ in range(c.num_hidden_layers))
+            positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+            x = eng._embed(p, ids)
+            hidden, (k, v) = eng._chunk(p, x, positions, kc, kc, 0,
+                                        mask.astype(bool))
+            return k, v, eng._logits(p, hidden[:, -1])[0], positions[0, -1]
+
+        return jax.jit(run)
+
+    def _decode_fn(self, chunk: int):
+        """Scan ``chunk`` single-token steps for the whole slot batch with
+        per-slot write indices / positions / temperatures."""
+        eng, c = self.engine, self.cfg
+        n_layers = c.num_hidden_layers
+        t = self.T
+        b = self.B
+        pad_id, eos_id = self.pad_id, self.eos_id
+
+        def one_step(p, caches, tok, pos, start, end, temp, seed, remaining,
+                     step_no):
+            kcs, vcs = caches[:n_layers], caches[n_layers:]
+            x = eng._embed(p, tok[:, None])                     # [B, 1, H]
+            active = remaining > 0
+            # per-layer: project, rope at per-slot positions, scatter into
+            # the per-slot cache row `end`, attend over [start, end].
+            rows = jnp.arange(b)
+            cols = jnp.arange(t)
+            mask = ((cols[None, :] >= start[:, None])
+                    & (cols[None, :] <= end[:, None]))[:, None, None, :]
+            from multimodal_colpali_tpu.generation.engine import _lin, _rms
+            from multimodal_colpali_tpu.models import layers as L
+
+            new_caches = []
+            xx = x
+            for i in range(n_layers):
+                # mirror engine._chunk for a single token, per-slot indices
+                lp = p["language_model"][f"layers_{i}"]
+                y = _rms(xx, lp["input_layernorm"]["weight"], c.rms_norm_eps)
+                q = _lin(y, lp["self_attn"]["q_proj"]).reshape(
+                    b, 1, c.num_attention_heads, c.head_dim)
+                k = _lin(y, lp["self_attn"]["k_proj"]).reshape(
+                    b, 1, c.num_key_value_heads, c.head_dim)
+                v = _lin(y, lp["self_attn"]["v_proj"]).reshape(
+                    b, 1, c.num_key_value_heads, c.head_dim)
+                q = L.rope(q, pos[:, None], theta=c.rope_theta)
+                k = L.rope(k, pos[:, None], theta=c.rope_theta)
+                kc = kcs[i].at[rows, end].set(k[:, 0])
+                vc = vcs[i].at[rows, end].set(v[:, 0])
+                new_caches.append((kc, vc))
+                att = L.attention(q, kc, vc, mask=mask,
+                                  scale=c.head_dim ** -0.5)
+                xx = xx + _lin(att.reshape(b, 1, -1), lp["self_attn"]["o_proj"])
+                y = _rms(xx, lp["post_attention_layernorm"]["weight"],
+                         c.rms_norm_eps)
+                gate = _lin(y, lp["mlp"]["gate_proj"])
+                up = _lin(y, lp["mlp"]["up_proj"])
+                xx = xx + _lin(jax.nn.gelu(gate, approximate=True) * up,
+                               lp["mlp"]["down_proj"])
+            xx = _rms(xx, p["language_model"]["norm"]["weight"], c.rms_norm_eps)
+            logits = eng._logits(p, xx[:, 0])                   # [B, V]
+
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            keys = jax.vmap(jax.random.fold_in)(
+                jax.vmap(jax.random.PRNGKey)(seed),
+                jnp.full((b,), step_no, jnp.uint32))
+            sampled = jax.vmap(
+                lambda kk, lg, tt: jax.random.categorical(kk, lg / tt)
+            )(keys, logits, jnp.maximum(temp, 1e-3)).astype(jnp.int32)
+            nxt = jnp.where(temp > 0, sampled, greedy)
+            nxt = jnp.where(active, nxt, jnp.int32(pad_id))
+
+            end = jnp.where(active, end + 1, end)
+            pos = jnp.where(active, pos + 1, pos)
+            remaining = jnp.where(active, remaining - 1, remaining)
+            remaining = jnp.where(nxt == eos_id, 0, remaining)
+            caches = tuple(kc for kc, _ in new_caches) + tuple(
+                vc for _, vc in new_caches)
+            return caches, nxt, pos, start, end, temp, seed, remaining
+
+        def run(p, caches, tok, pos, start, end, temp, seed, remaining,
+                step0):
+            def body(carry, i):
+                caches, tok, pos, start, end, temp, seed, remaining = carry
+                caches, tok, pos, start, end, temp, seed, remaining = one_step(
+                    p, caches, tok, pos, start, end, temp, seed, remaining,
+                    step0 + i)
+                return (caches, tok, pos, start, end, temp, seed, remaining), tok
+
+            carry, toks = jax.lax.scan(
+                body, (caches, tok, pos, start, end, temp, seed, remaining),
+                jnp.arange(chunk))
+            return carry, toks  # toks: [chunk, B]
+
+        return jax.jit(run)
+
+    # -- scheduling -----------------------------------------------------------
+
+    def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
+               temperature: float = 0.0, seed: int = 0) -> Future:
+        fut: Future = Future()
+        self._queue.put(_Request(list(prompt), max_new_tokens,
+                                 float(temperature), seed, fut))
+        return fut
+
+    def _admit(self) -> None:
+        """Fill free slots from the queue: prefill each prompt and insert
+        its K/V rows + state into the slot."""
+        for slot in range(self.B):
+            if self._slots[slot] is not None:
+                continue
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            s = max(((len(req.prompt) + self.bucket - 1) // self.bucket)
+                    * self.bucket, self.bucket)
+            if ("prefill", s) not in self._jit:
+                self._jit[("prefill", s)] = self._prefill_fn(s)
+            ids = np.full((1, s), self.pad_id, np.int32)
+            mask = np.zeros((1, s), np.int32)
+            if req.prompt:
+                ids[0, -len(req.prompt):] = req.prompt
+                mask[0, -len(req.prompt):] = 1
+            k, v, logits, last_pos = self._jit[("prefill", s)](
+                self.engine.params, jnp.asarray(ids), jnp.asarray(mask))
+            # first generated token (prefill output)
+            if req.temperature > 0:
+                key = jax.random.fold_in(jax.random.PRNGKey(req.seed), 0)
+                tok0 = int(jax.random.categorical(
+                    key, jnp.asarray(logits) / max(req.temperature, 1e-3)))
+            else:
+                tok0 = int(jnp.argmax(logits))
+            req.tokens.append(tok0)
+            req.slot = slot
+            self._slots[slot] = req
+            done0 = tok0 == self.eos_id or req.max_new_tokens <= 1
+            n_layers = self.cfg.num_hidden_layers
+            caches = list(self._caches)
+            for i in range(n_layers):
+                caches[i] = caches[i].at[slot, :s].set(k[i][0])
+                caches[n_layers + i] = caches[n_layers + i].at[slot, :s].set(v[i][0])
+            self._caches = tuple(caches)
+            self._tok = self._tok.at[slot].set(tok0)
+            self._pos = self._pos.at[slot].set(int(last_pos) + 1)
+            self._start = self._start.at[slot].set(s - len(req.prompt))
+            self._end = self._end.at[slot].set(s)
+            self._temp = self._temp.at[slot].set(req.temperature)
+            self._seed = self._seed.at[slot].set(req.seed)
+            self._remaining = self._remaining.at[slot].set(
+                0 if done0 else req.max_new_tokens - 1)
+            if done0:
+                self._finish(slot)
+
+    def _finish(self, slot: int) -> None:
+        req = self._slots[slot]
+        self._slots[slot] = None
+        toks = req.tokens
+        if self.eos_id in toks:
+            toks = toks[: toks.index(self.eos_id)]
+        req.future.set_result(toks)
+
+    def _step_chunk(self) -> None:
+        if "decode" not in self._jit:
+            self._jit["decode"] = self._decode_fn(self.chunk)
+        carry, toks = self._jit["decode"](
+            self.engine.params, self._caches, self._tok, self._pos,
+            self._start, self._end, self._temp, self._seed, self._remaining,
+            jnp.int32(self._step_count + 1))
+        (self._caches, self._tok, self._pos, self._start, self._end,
+         self._temp, self._seed, self._remaining) = carry
+        self._step_count += self.chunk
+        toks = np.asarray(toks)                 # [chunk, B]
+        remaining = np.asarray(self._remaining)
+        for slot, req in enumerate(self._slots):
+            if req is None:
+                continue
+            for step in range(self.chunk):
+                if len(req.tokens) >= req.max_new_tokens:
+                    break
+                tok = int(toks[step, slot])
+                req.tokens.append(tok)
+                if tok == self.eos_id:
+                    break
+            if (remaining[slot] <= 0 or len(req.tokens) >= req.max_new_tokens
+                    or (req.tokens and req.tokens[-1] == self.eos_id)):
+                self._finish(slot)
+
+    def drain(self) -> None:
+        """Run until every queued/active request completes (synchronous)."""
+        with self._lock:
+            while not self._queue.empty() or any(
+                    r is not None for r in self._slots):
+                self._admit()
+                if any(r is not None for r in self._slots):
+                    self._step_chunk()
+
+    # -- background serving ----------------------------------------------------
+
+    def serve(self) -> "ContinuousBatcher":
+        self._serving = True
+
+        def loop():
+            import time
+
+            while self._serving:
+                with self._lock:
+                    self._admit()
+                    busy = any(r is not None for r in self._slots)
+                    if busy:
+                        self._step_chunk()
+                if not busy:
+                    time.sleep(0.005)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def shutdown(self) -> None:
+        self._serving = False
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    # GenerationServer protocol: one-request generate through the batcher.
+    def generate(self, prompts, max_new_tokens=64, temperature=0.0,
+                 eos_id=None, pad_id=None, seed=0, **_):
+        futs = [self.submit(p, max_new_tokens, temperature, seed)
+                for p in prompts]
+        if not self._serving:
+            self.drain()
+        return [f.result(timeout=600) for f in futs]

@@ -193,3 +193,75 @@ def test_sharded_generation_matches_single_device(tiny_lm, mesh8):
     want = plain.generate(prompts, max_new_tokens=5)
     got = sharded.generate(prompts, max_new_tokens=5)
     assert got == want
+
+
+def test_continuous_batcher_matches_engine(tiny_lm):
+    """Greedy outputs through the slot scheduler must equal isolated
+    engine.generate outputs, including staggered admission (a request
+    joining mid-flight must not perturb running slots)."""
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [[5, 9, 17, 3], [40, 2], [1, 2, 3, 4, 5], [33], [8, 8, 9]]
+    want = [eng.generate([p], max_new_tokens=7)[0] for p in prompts]
+
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3)
+    # staggered: 3 requests now (only 2 slots -> one queues), 2 later
+    futs = [bat.submit(p, max_new_tokens=7) for p in prompts[:3]]
+    with bat._lock:
+        bat._admit()
+        bat._step_chunk()  # slots mid-flight
+    futs += [bat.submit(p, max_new_tokens=7) for p in prompts[3:]]
+    bat.drain()
+    got = [f.result(timeout=60) for f in futs]
+    assert got == want
+
+
+def test_continuous_batcher_eos_and_lengths(tiny_lm):
+    """Per-request budgets: a 3-token budget returns exactly 3 tokens that
+    prefix the 8-token generation."""
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=4)
+    long = bat.submit([5, 9, 17, 3], max_new_tokens=8)
+    short = bat.submit([5, 9, 17, 3], max_new_tokens=3)
+    bat.drain()
+    lt, st = long.result(timeout=60), short.result(timeout=60)
+    assert len(lt) == 8 and len(st) == 3
+    assert lt[:3] == st
+
+
+def test_server_with_continuous_batcher(tiny_lm):
+    """GenerationServer over a serving batcher: concurrent requests share
+    the slot batch and round-trip the OpenAI schema."""
+    from multimodal_colpali_tpu.generation.client import get_responses, run_sync
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+
+    tcfg, params = tiny_lm
+
+    class ModTok:
+        pad_id, bos_id, eos_id = 0, 1, -1
+
+        def encode(self, text, add_special_tokens=False):
+            ids = [2 + (b % 60) for b in text.encode("utf-8")]
+            return ([self.bos_id] + ids) if add_special_tokens else ids
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=96, chunk=4).serve()
+    try:
+        with GenerationServer(bat, ModTok(), model_name="tiny-gemma") as srv:
+            msgs = [[{"role": "user", "content": f"question {i}?"}]
+                    for i in range(4)]
+            out = run_sync(get_responses(
+                "tiny-gemma", 0, msgs, base_url=srv.base_url,
+                extra_body={"max_tokens": 5, "seed": 0}))
+        assert len(out) == 4 and all(o and "[error]" not in o for o in out)
+    finally:
+        bat.shutdown()
