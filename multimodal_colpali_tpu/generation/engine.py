@@ -89,20 +89,24 @@ class GemmaDecodeEngine:
         scale = jnp.asarray(self.cfg.hidden_size ** 0.5, jnp.float32)
         return (x.astype(jnp.float32) * scale).astype(self.dtype)
 
-    def _chunk(self, p, x, positions, kcaches, vcaches, write_idx, kv_valid):
+    def _chunk(self, p, x, positions, kcaches, vcaches, write_idx, kv_valid,
+               causal: bool = True):
         """Run a chunk of tokens through all layers, writing K/V into the
         caches at ``write_idx`` and attending under ``kv_valid`` [B, T]
-        (True = attendable) plus global causality.
+        (True = attendable) plus, when ``causal``, global causality
+        (``causal=False`` is PaliGemma's bidirectional prefix prefill).
 
         x: [B, S, H]; positions: [B, S]; returns (hidden [B, S, H], caches).
         """
         c = self.cfg
         b, s, _ = x.shape
         t = kcaches[0].shape[1]
-        # global causal mask: chunk token i sits at global slot write_idx+i
-        gq = write_idx + jnp.arange(s)                      # [S]
-        causal = jnp.arange(t)[None, :] <= gq[:, None]      # [S, T]
-        mask = (kv_valid[:, None, None, :] & causal[None, None]).astype(bool)
+        mask = kv_valid[:, None, None, :]
+        if causal:
+            # chunk token i sits at global slot write_idx+i
+            gq = write_idx + jnp.arange(s)                      # [S]
+            mask = mask & (jnp.arange(t)[None, :] <= gq[:, None])[None, None]
+        mask = jnp.broadcast_to(mask, (b, 1, s, t)).astype(bool)
 
         new_k, new_v = [], []
         for i in range(c.num_hidden_layers):
@@ -277,6 +281,146 @@ class GemmaDecodeEngine:
                 toks = toks[: toks.index(eos_id)]
             results.append(toks)
         return results
+
+
+class PaliGemmaEngine:
+    """Multimodal generation on the ColPali/PaliGemma weights.
+
+    The retrieval models already carry the full PaliGemma stack (SigLIP
+    tower + projector + Gemma LM); this engine turns it into an
+    image-conditioned generator: page images become the prompt prefix
+    (PaliGemma semantics - the prefix attends bidirectionally, generated
+    tokens causally; positions are 1-indexed per HF PaliGemma), so the
+    answer-generation role the reference delegates to remote VLMs
+    (functions.py:1036-1064) can also run on-TPU over retrieved pages.
+    """
+
+    def __init__(self, cfg, params, dtype: Any = jnp.float32):
+        # cfg: ColPaliModelConfig (vision + text + image_token_id)
+        self.cfg = cfg
+        self.lm = GemmaDecodeEngine(cfg.text, params, dtype=dtype)
+        cast = lambda t: jax.tree.map(
+            lambda p: jnp.asarray(p, dtype)
+            if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p), t)
+        self.vision_params = cast(params["vision_tower"])
+        self.projector_params = cast(params["multi_modal_projector"])
+        self._jit_cache: Dict[Tuple, Any] = {}
+
+    def _merged_embeds(self, ids: jax.Array, pix: jax.Array) -> jax.Array:
+        """Token embeds with projected image features scattered into the
+        <image> slots (mirrors ColPaliModel, models/colpali.py)."""
+        from multimodal_colpali_tpu.models.siglip import SiglipVisionTower
+
+        c = self.cfg
+        p = self.lm.params
+        table = p["embed"]["embed_tokens"]
+        embeds = jnp.take(
+            table, jnp.where(ids == c.image_token_id, 0, ids), axis=0
+        ).astype(self.lm.dtype)
+        vis = SiglipVisionTower(c.vision).apply(
+            {"params": self.vision_params}, pix.astype(self.lm.dtype))
+        img = L.dense(vis, self.projector_params["kernel"],
+                      self.projector_params.get("bias"))
+        img = img / jnp.asarray(c.text.hidden_size ** 0.5, img.dtype)
+        is_img = ids == c.image_token_id
+        img_pos = jnp.clip(jnp.cumsum(is_img, axis=1) - 1, 0, img.shape[1] - 1)
+        gathered = jnp.take_along_axis(img, img_pos[..., None], axis=1)
+        embeds = jnp.where(is_img[..., None], gathered, embeds)
+        scale = jnp.asarray(c.text.hidden_size ** 0.5, jnp.float32)
+        return (embeds.astype(jnp.float32) * scale).astype(self.lm.dtype)
+
+    def _build(self, s: int, max_new: int, temperature: float,
+               eos_id: int, pad_id: int):
+        c = self.cfg.text
+        eng = self.lm
+        t = s + max_new
+
+        def sample(logits, rng, step):
+            if temperature <= 0.0:
+                return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            key = jax.random.fold_in(rng, step)
+            return jax.random.categorical(
+                key, logits / temperature, axis=-1).astype(jnp.int32)
+
+        def run(p, ids, mask, pix, rng):
+            b = ids.shape[0]
+            kcaches = tuple(
+                jnp.zeros((b, t, c.num_key_value_heads, c.head_dim), eng.dtype)
+                for _ in range(c.num_hidden_layers))
+            # PaliGemma positions are 1-indexed (HF cumsum convention).
+            positions = jnp.cumsum(mask, axis=1)
+            kv_valid = jnp.concatenate(
+                [mask.astype(bool), jnp.ones((b, max_new), bool)], axis=1)
+
+            x = self._merged_embeds(ids, pix)
+            # PaliGemma prefix attention is bidirectional over the prompt
+            # span (causal=False); validity restricted to written slots.
+            prefill_valid = jnp.concatenate(
+                [mask.astype(bool), jnp.zeros((b, max_new), bool)], axis=1)
+            hidden, (kcaches, vcaches) = eng._chunk(
+                p, x, positions, kcaches, kcaches, 0,
+                prefill_valid, causal=False)
+            logits = eng._logits(p, hidden[:, -1])
+            tok = sample(logits, rng, 0)
+            last_pos = positions[:, -1]
+            done = tok == eos_id
+
+            def body(carry, step):
+                kc, vc, tok, done = carry
+                xx = jnp.take(p["embed"]["embed_tokens"], tok[:, None], axis=0)
+                scale = jnp.asarray(c.hidden_size ** 0.5, jnp.float32)
+                xx = (xx.astype(jnp.float32) * scale).astype(eng.dtype)
+                pos = (last_pos + step)[:, None]
+                hidden, (kc, vc) = eng._chunk(
+                    p, xx, pos, kc, vc, s + step - 1, kv_valid)
+                nxt = sample(eng._logits(p, hidden[:, -1]), rng, step)
+                nxt = jnp.where(done, jnp.int32(pad_id), nxt)
+                done = done | (nxt == eos_id)
+                return (kc, vc, nxt, done), nxt
+
+            (_, _, _, _), rest = jax.lax.scan(
+                body, (kcaches, vcaches, tok, done),
+                jnp.arange(1, max_new), length=max_new - 1)
+            return jnp.concatenate([tok[:, None], rest.T], axis=1)
+
+        return jax.jit(run)
+
+    def generate(self, prompts: Sequence[Sequence[int]], pixel_values,
+                 max_new_tokens: int = 32, temperature: float = 0.0,
+                 eos_id: int = -1, pad_id: int = 0, seed: int = 0,
+                 bucket: int = 16) -> List[List[int]]:
+        """Image-conditioned continuations. ``prompts`` are token ids
+        already containing the image-token prefix (use ``build_mm_prompt``);
+        ``pixel_values`` is [B, H, W, 3] normalized."""
+        s = max(max(len(pr) for pr in prompts), 1)
+        s = ((s + bucket - 1) // bucket) * bucket
+        b = len(prompts)
+        ids = np.full((b, s), pad_id, np.int32)
+        mask = np.zeros((b, s), np.int32)
+        for n, pr in enumerate(prompts):
+            ids[n, -len(pr):] = pr
+            mask[n, -len(pr):] = 1
+        key = (s, max_new_tokens, float(temperature), eos_id, pad_id)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._build(
+                s, max_new_tokens, float(temperature), eos_id, pad_id)
+        out = np.asarray(self._jit_cache[key](
+            self.lm.params, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(pixel_values), jax.random.PRNGKey(seed)))
+        results = []
+        for row in out:
+            toks = row.tolist()
+            if eos_id in toks:
+                toks = toks[: toks.index(eos_id)]
+            results.append(toks)
+        return results
+
+    def build_mm_prompt(self, text_ids: Sequence[int],
+                        bos_id: int = 2) -> List[int]:
+        """PaliGemma prompt layout: [image]*n_patches + bos + text + \\n."""
+        c = self.cfg
+        return ([c.image_token_id] * c.vision.num_patches + [bos_id]
+                + list(text_ids))
 
 
 class ByteTokenizer:

@@ -265,3 +265,66 @@ def test_server_with_continuous_batcher(tiny_lm):
         assert len(out) == 4 and all(o and "[error]" not in o for o in out)
     finally:
         bat.shutdown()
+
+
+def test_paligemma_multimodal_generation_matches_hf(tiny_lm):
+    """Image-conditioned greedy generation must match torch PaliGemma
+    (bidirectional prefix + causal decode, 1-indexed positions) with the
+    same ported weights."""
+    torch = pytest.importorskip("torch")
+    from transformers import ColPaliForRetrieval, ColPaliConfig
+    from transformers.models.paligemma import PaliGemmaConfig
+
+    from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+    from multimodal_colpali_tpu.models import hf_import
+
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    hf_cfg = ColPaliConfig(
+        vlm_config=PaliGemmaConfig(
+            vision_config=dict(
+                hidden_size=cfg.vision.hidden_size,
+                intermediate_size=cfg.vision.intermediate_size,
+                num_hidden_layers=cfg.vision.num_hidden_layers,
+                num_attention_heads=cfg.vision.num_attention_heads,
+                image_size=cfg.vision.image_size,
+                patch_size=cfg.vision.patch_size,
+            ),
+            text_config=dict(
+                hidden_size=cfg.text.hidden_size,
+                intermediate_size=cfg.text.intermediate_size,
+                num_hidden_layers=cfg.text.num_hidden_layers,
+                num_attention_heads=cfg.text.num_attention_heads,
+                num_key_value_heads=cfg.text.num_key_value_heads,
+                head_dim=cfg.text.head_dim,
+                vocab_size=cfg.text.vocab_size,
+            ),
+            projection_dim=cfg.text.hidden_size,
+            image_token_index=cfg.image_token_id,
+        ),
+        embedding_dim=cfg.embedding_dim,
+    )
+    torch.manual_seed(0)
+    hf = ColPaliForRetrieval(hf_cfg).eval()
+    params = hf_import.colpali_params_from_hf(hf.state_dict(), cfg)
+
+    rng = np.random.default_rng(2)
+    eng = PaliGemmaEngine(cfg, params)
+    text_ids = [5, 9, 11]
+    prompt = eng.build_mm_prompt(text_ids, bos_id=2)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32)
+
+    got = eng.generate([prompt], pix, max_new_tokens=5,
+                       bucket=len(prompt))[0]
+
+    vlm = hf.vlm  # the underlying PaliGemmaForConditionalGeneration
+    ids_t = torch.tensor([prompt], dtype=torch.long)
+    with torch.no_grad():
+        out = vlm.generate(
+            input_ids=ids_t,
+            attention_mask=torch.ones_like(ids_t),
+            pixel_values=torch.from_numpy(pix.transpose(0, 3, 1, 2)),
+            max_new_tokens=5, do_sample=False,
+        )
+    want = out[0, len(prompt):].tolist()
+    assert got == want, (got, want)
