@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Serve generation from this framework's own TPU decode engine.
+
+The reference boots its generation tier with Docker + vLLM
+(reference 00_run_docker_containers.sh:26-39) and every driver then talks
+OpenAI protocol to it. This CLI is the TPU-native equivalent of that
+bootstrap: it loads a registry model (real checkpoint when
+COLPALI_TPU_CKPT_DIR provides one, random weights otherwise), wraps it in
+the KV-cache decode engine + continuous batcher, and serves
+``/v1/chat/completions`` + ``/health`` - so drivers 02/05 can point their
+``--base-url`` here instead of at a remote endpoint.
+
+Example:
+  python drivers/07_serve.py --model tiny-colpali --port 8006 --slots 4
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import warnings
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="Serve the TPU generation engine.")
+    p.add_argument("--model", default="tiny-colpali",
+                   help="Registry model name (its Gemma LM is served).")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8006)
+    p.add_argument("--slots", type=int, default=4,
+                   help="Continuous-batching slot count.")
+    p.add_argument("--max-seq-len", type=int, default=1024)
+    p.add_argument("--chunk", type=int, default=8,
+                   help="Decode tokens per scheduling point.")
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--no-batcher", action="store_true",
+                   help="Serve straight from the engine (one request at a time).")
+    return p.parse_args()
+
+
+def main() -> None:
+    args = parse_args()
+    import jax.numpy as jnp
+
+    from multimodal_colpali_tpu.generation.engine import (
+        ByteTokenizer, GemmaDecodeEngine)
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+    from multimodal_colpali_tpu.models.registry import load_retriever
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random-init warning when no ckpt
+        retriever = load_retriever(args.model)
+    if retriever.family != "colpali":
+        raise SystemExit("serving currently supports the Gemma-LM (colpali) "
+                         f"family; {args.model!r} is {retriever.family!r}")
+    cfg = retriever.model.cfg
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    engine = GemmaDecodeEngine(cfg.text, retriever.params, dtype=dtype)
+
+    tok = getattr(retriever.processor, "tokenizer", None)
+    if tok is None or not hasattr(tok, "decode"):
+        tok = ByteTokenizer()  # reversible fallback (random-weight serving)
+
+    backend = engine
+    batcher = None
+    if not args.no_batcher:
+        batcher = ContinuousBatcher(
+            engine, batch_slots=args.slots, max_seq_len=args.max_seq_len,
+            chunk=args.chunk,
+            eos_id=getattr(tok, "eos_id", -1)).serve()
+        backend = batcher
+
+    srv = GenerationServer(backend, tok, model_name=args.model,
+                           host=args.host, port=args.port,
+                           max_new_tokens=args.max_new_tokens).start()
+    print(f"[serve] {args.model} on {srv.base_url} "
+          f"(slots={0 if args.no_batcher else args.slots})", flush=True)
+    try:
+        srv._thread.join()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.stop()
+        if batcher is not None:
+            batcher.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -193,3 +193,45 @@ def test_sweep_matrix_stub_matches_aggregator_regex():
         assert m, stem
         assert m["vd_name"] == spec.mode
         assert m["perm_flag"] == spec.perm_label
+
+
+def test_serve_driver_end_to_end(tmp_path):
+    """Driver 07 boots the generation tier (the reference's docker/vLLM
+    bootstrap role) and answers OpenAI-protocol requests."""
+    import json as _json
+    import time
+    import urllib.request
+
+    env = _env("http://unused")
+    env.pop("OPENAI_BASE_URL")
+    proc = subprocess.Popen(
+        [sys.executable, str(DRIVERS / "07_serve.py"),
+         "--model", "tiny-colpali", "--port", "0",  # port 0 -> auto-assign
+         "--slots", "2", "--max-seq-len", "128", "--dtype", "float32"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        line = ""
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if "[serve]" in line:
+                break
+        assert "[serve]" in line, line
+        base = line.split(" on ")[1].split()[0]
+        with urllib.request.urlopen(base.removesuffix("/v1") + "/health",
+                                    timeout=10) as r:
+            assert _json.load(r)["status"] == "ok"
+        req = urllib.request.Request(
+            base + "/chat/completions",
+            data=_json.dumps({
+                "model": "tiny-colpali", "max_tokens": 4,
+                "messages": [{"role": "user", "content": "hi"}],
+            }).encode(), headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = _json.load(r)
+        assert out["object"] == "chat.completion"
+        assert out["choices"][0]["message"]["content"]
+        assert out["usage"]["completion_tokens"] == 4
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
