@@ -53,17 +53,60 @@ def pool_corpus(d: jax.Array, d_lens: jax.Array) -> jax.Array:
     return (summed / denom).astype(d.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def pool_corpus_fps(d: jax.Array, d_lens: jax.Array, k: int = 4) -> jax.Array:
+    """[P, NT, DIM] tokens -> [P, k, DIM] representative tokens per page,
+    farthest-point sampled.
+
+    Pages are multi-topic (title, figures, body); one mean vector blurs a
+    minority topic to ~its token share and the page loses stage 1 to
+    uniformly mid-similar distractors. Selecting k REAL tokens per page -
+    greedy farthest-point sampling, so the picks cover the page's distinct
+    directions - makes stage 1 a k-token subsampled MaxSim: no averaging,
+    no dilution. The scan stays one matmul, k columns wider; with stage-1
+    score = max over the picks, recall at fixed oversampling dominates the
+    mean-pooled prefilter on multi-topic corpora (tests/test_two_stage.py).
+    """
+    p, nt, dim = d.shape
+    df = d.astype(jnp.float32)
+    valid = (jnp.arange(nt)[None, :] < d_lens[:, None])          # [P, NT]
+    neg = jnp.float32(-1e30)
+
+    def body(j, state):
+        picks, mindist = state
+        # farthest valid token from the current pick set (first pick:
+        # mindist is +inf so argmax over valid picks the first valid token)
+        score = jnp.where(valid, mindist, neg)
+        idx = jnp.argmax(score, axis=1)                          # [P]
+        tok = jnp.take_along_axis(df, idx[:, None, None], axis=1)  # [P, 1, D]
+        picks = jax.lax.dynamic_update_slice(picks, tok, (0, j, 0))
+        dist = jnp.sum(jnp.square(df - tok), axis=-1)            # [P, NT]
+        return picks, jnp.minimum(mindist, dist)
+
+    picks0 = jnp.zeros((p, k, dim), jnp.float32)
+    mind0 = jnp.full((p, nt), jnp.float32(1e30))
+    picks, _ = jax.lax.fori_loop(0, k, body, (picks0, mind0))
+    return picks.astype(d.dtype)
+
+
 def _coarse_scores(q: jax.Array, q_len: jax.Array, pooled: jax.Array,
                    d_lens: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Stage-1 pooled scores. Returns (coarse [P], qf [NQ,DIM] fp32, qmask)."""
+    """Stage-1 pooled scores. ``pooled`` is [P, DIM] (mean pooling) or
+    [P, K, DIM] (per-page centroids; score = max over centroids). Returns
+    (coarse [P], qf [NQ,DIM] fp32, qmask)."""
     nq = q.shape[0]
     qf = q.astype(jnp.float32)
     qmask = (jnp.arange(nq) < q_len).astype(jnp.float32)
     qsum = jnp.einsum("qd,q->d", qf, qmask)
-    coarse = jnp.einsum(
-        "d,pd->p", qsum.astype(pooled.dtype), pooled,
-        preferred_element_type=jnp.float32,
-    )
+    if pooled.ndim == 3:
+        coarse = jnp.max(jnp.einsum(
+            "d,pkd->pk", qsum.astype(pooled.dtype), pooled,
+            preferred_element_type=jnp.float32), axis=-1)
+    else:
+        coarse = jnp.einsum(
+            "d,pd->p", qsum.astype(pooled.dtype), pooled,
+            preferred_element_type=jnp.float32,
+        )
     return jnp.where(d_lens > 0, coarse, MASK_VALUE), qf, qmask
 
 
@@ -186,11 +229,17 @@ def sharded_two_stage_maxsim_topk(
 
 
 def build_two_stage_index(
-    d: jax.Array, d_lens: jax.Array
+    d: jax.Array, d_lens: jax.Array, n_centroids: int = 1
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(pooled, int8 codes, scales) from a bf16/fp32 token corpus."""
+    """(pooled, int8 codes, scales) from a bf16/fp32 token corpus.
+
+    ``n_centroids > 1`` builds the farthest-point multi-token stage-1
+    representation ([P, K, DIM]) instead of one mean vector per page."""
     from multimodal_colpali_tpu.ops.maxsim import quantize_corpus_int8
 
-    pooled = pool_corpus(d, d_lens)
+    if n_centroids > 1:
+        pooled = pool_corpus_fps(d, d_lens, k=n_centroids)
+    else:
+        pooled = pool_corpus(d, d_lens)
     codes, scales = quantize_corpus_int8(d)
     return pooled, codes, scales

@@ -52,13 +52,18 @@ class MultiVectorStore:
         dtype: Any = jnp.bfloat16,
         quantized: bool = False,
         prefilter: str = "int8",
+        pooled_centroids: int = 1,
         mesh: Optional[Mesh] = None,
         mesh_axis: str = "corpus",
     ):
         """``prefilter`` selects the quantized first stage: "int8" scans the
         full int8 token corpus (recall-safe, HBM-bound); "pooled" scans
-        mean-pooled page vectors + rescores oversampled candidates exactly
-        from the int8 codes (the <10 ms @1M-pages path; see ops/two_stage)."""
+        pooled page vectors + rescores oversampled candidates exactly from
+        the bf16 originals (the <10 ms @1M-pages path; see ops/two_stage).
+        ``pooled_centroids > 1`` uses k farthest-point-sampled tokens per
+        page for stage 1 - a k-token subsampled MaxSim - which keeps
+        minority-topic pages retrievable (better recall on multi-topic
+        corpora at k x the - tiny - stage-1 cost)."""
         self.name = name
         self.dim = dim
         self.max_tokens = max_tokens
@@ -66,6 +71,7 @@ class MultiVectorStore:
         self.dtype = dtype
         self.quantized = quantized
         self.prefilter = prefilter
+        self.pooled_centroids = pooled_centroids
         self.mesh = mesh
         self.mesh_axis = mesh_axis
 
@@ -196,9 +202,15 @@ class MultiVectorStore:
                 ds = jax.device_put(ds, self._sharding(P(self.mesh_axis)))
             self._device_cache_int8 = (dq, ds)
             if self.prefilter == "pooled":
-                from multimodal_colpali_tpu.ops.two_stage import pool_corpus
+                from multimodal_colpali_tpu.ops.two_stage import (
+                    pool_corpus, pool_corpus_fps)
 
-                pooled = pool_corpus(jnp.asarray(vecs, self.dtype), dl)
+                if self.pooled_centroids > 1:
+                    pooled = pool_corpus_fps(
+                        jnp.asarray(vecs, self.dtype), dl,
+                        k=self.pooled_centroids)
+                else:
+                    pooled = pool_corpus(jnp.asarray(vecs, self.dtype), dl)
                 if shard_v:
                     pooled = jax.device_put(pooled, self._sharding(P(self.mesh_axis)))
                 self._device_cache_pooled = pooled
@@ -331,6 +343,7 @@ class MultiVectorStore:
             "name": self.name, "dim": self.dim, "max_tokens": self.max_tokens,
             "distance": self.distance.value, "quantized": self.quantized,
             "prefilter": self.prefilter,
+            "pooled_centroids": self.pooled_centroids,
             "dtype": jnp.dtype(self.dtype).name,
             "kind": "multivector",
             "ids": self._ids, "payloads": self._payloads,
@@ -347,6 +360,7 @@ class MultiVectorStore:
             name=meta["name"], dim=meta["dim"], max_tokens=meta["max_tokens"],
             distance=t.Distance(meta["distance"]), quantized=meta["quantized"],
             prefilter=meta.get("prefilter", "int8"),
+            pooled_centroids=meta.get("pooled_centroids", 1),
             dtype=jnp.dtype(meta["dtype"]) if "dtype" in meta else jnp.bfloat16,
             mesh=mesh, mesh_axis=mesh_axis,
         )

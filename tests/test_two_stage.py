@@ -257,3 +257,88 @@ def test_train_checkpoint_roundtrip(rng, tmp_path):
     a = jax.tree.leaves(params)[0]
     b = jax.tree.leaves(p2)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_multi_centroid_prefilter_beats_mean_pooling(rng):
+    """The failure mode pooled_centroids fixes: relevant pages carry the
+    query topic in a MINORITY of tokens (mean pooling dilutes it to ~1/3),
+    while distractor pages are uniformly filled with a mildly-similar topic
+    (mean keeps ~0.5). Exact MaxSim ranks the relevant pages first (the max
+    picks their topic tokens); the mean prefilter drops them in stage 1,
+    per-page farthest-point token picks keep a near-pure topic token."""
+    from multimodal_colpali_tpu.ops.two_stage import pool_corpus_fps
+
+    # n_rel < n_candidates (= 2k), so stage-1 need only separate relevant
+    # from distractor pages, not fine-order near-identical relevant ones.
+    n_rel, n_dis, nt, dim, k = 8, 120, 12, 128, 5
+    topic = _normed(rng, (1, dim))[0]
+    near = topic + 0.9 * _normed(rng, (1, dim))[0]  # mildly similar direction
+    near /= np.linalg.norm(near)
+    pages = []
+    for i in range(n_rel):  # topic in 4/12 tokens, rest random
+        toks = _normed(rng, (nt, dim))
+        toks[:4] = topic + 0.05 * rng.standard_normal((4, dim))
+        pages.append(toks)
+    for i in range(n_dis):  # uniformly near-topic
+        pages.append(near + 0.05 * rng.standard_normal((nt, dim)))
+    d = np.stack(pages).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    d_lens = np.full(n_rel + n_dis, nt, np.int32)
+
+    pooled_mean, codes, scales = build_two_stage_index(
+        jnp.asarray(d), jnp.asarray(d_lens))
+    pooled_km = pool_corpus_fps(jnp.asarray(d), jnp.asarray(d_lens), k=4)
+
+    def recall(pooled):
+        hits = total = 0
+        for qi in range(12):
+            qrng = np.random.default_rng(300 + qi)
+            q = topic[None] + 0.1 * qrng.standard_normal((4, dim)).astype(np.float32)
+            q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+            exact = maxsim_scores_reference(
+                jnp.asarray(q[None]), jnp.asarray(d), None, jnp.asarray(d_lens))
+            _, want = topk_with_stable_ties(exact, k)
+            assert all(int(i) < n_rel for i in np.asarray(want[0]))  # sanity
+            _, got = two_stage_maxsim_topk(
+                jnp.asarray(q), jnp.int32(4), pooled, codes, scales,
+                jnp.asarray(d_lens), k=k, n_candidates=2 * k,
+                d_full=jnp.asarray(d))
+            hits += len(set(np.asarray(want[0]).tolist())
+                        & set(np.asarray(got).tolist()))
+            total += k
+        return hits / total
+
+    r_mean, r_km = recall(pooled_mean), recall(pooled_km)
+    assert r_km > r_mean, (r_km, r_mean)
+    assert r_km >= 0.9, (r_km, r_mean)
+    assert r_mean <= 0.5, r_mean  # the mean prefilter really does fail here
+
+
+def test_sharded_two_stage_multi_centroid_bitmatch(mesh8, rng):
+    """The sharded path handles [P, K, DIM] stage-1 representations and
+    still bit-matches single-device."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from multimodal_colpali_tpu.ops.two_stage import (
+        pool_corpus_fps, sharded_two_stage_maxsim_topk)
+    from multimodal_colpali_tpu.ops.maxsim import quantize_corpus_int8
+
+    p, nt, dim = 64, 6, 128
+    d = _normed(rng, (p, nt, dim))
+    d_lens = np.full(p, nt, np.int32)
+    pooled = pool_corpus_fps(jnp.asarray(d), jnp.asarray(d_lens), k=3)
+    codes, scales = quantize_corpus_int8(jnp.asarray(d))
+    q = _normed(rng, (4, dim))
+
+    want_v, want_i = two_stage_maxsim_topk(
+        jnp.asarray(q), jnp.int32(4), pooled, codes, scales,
+        jnp.asarray(d_lens), k=5, n_candidates=16)
+    sh = NamedSharding(mesh8, P("corpus"))
+    put = lambda x: jax.device_put(x, sh)
+    got_v, got_i = sharded_two_stage_maxsim_topk(
+        mesh8, "corpus", jnp.asarray(q), jnp.int32(4),
+        put(pooled), put(codes), put(scales), put(jnp.asarray(d_lens)),
+        k=5, n_candidates=16)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
