@@ -148,8 +148,17 @@ class ColIdefics3Model(nn.Module):
         self,
         input_ids: jax.Array,                 # [B, S]
         attention_mask: jax.Array,            # [B, S]
-        pixel_values: Optional[jax.Array] = None,  # [B, H, W, 3]
+        pixel_values: Optional[jax.Array] = None,  # [B, H, W, 3] or [B, N, H, W, 3]
+        tiles: Optional[tuple] = None,        # static split layout (ty, tx)
     ) -> jax.Array:
+        """``tiles=(ty, tx)``: Idefics3/SmolVLM image splitting -
+        ``pixel_values`` carries [tile_0..tile_{ty*tx-1}, global] per image
+        (row-major tiles, global LAST, the HF sub-image order); every
+        sub-image runs the vision tower + pixel shuffle, and the feature
+        blocks scatter into the prompt's image-token runs in the same
+        order. Tiles are exact encoder-size squares (the processor resizes
+        to the canvas and pads), so no pixel attention mask is needed -
+        the static-shape adaptation of HF's mask-based variable tiles."""
         c = self.cfg
         t = c.text
         table = self.param("embed_tokens", nn.initializers.normal(0.02),
@@ -160,14 +169,22 @@ class ColIdefics3Model(nn.Module):
         ).astype(dtype)
 
         if pixel_values is not None:
+            bsz = input_ids.shape[0]
+            pix = pixel_values
+            if tiles is not None:
+                n_imgs = pix.shape[1]
+                pix = pix.reshape((bsz * n_imgs,) + pix.shape[2:])
             nps = c.vision.image_size // c.vision.patch_size
             vis = SiglipVisionTower(
                 c.vision, pos_index=idefics3_position_index(nps),
                 name="vision_model",
-            )(pixel_values)
+            )(pix)
             feats = pixel_shuffle(vis, c.scale_factor)
             feats = L.DenseGeneral(t.hidden_size, use_bias=False,
                                    name="modality_projection")(feats)
+            if tiles is not None:  # [B*N, tok, D] -> [B, N*tok, D] in order
+                feats = feats.reshape(bsz, n_imgs * feats.shape[1],
+                                      feats.shape[2])
             is_img = input_ids == c.image_token_id
             img_pos = jnp.clip(jnp.cumsum(is_img, axis=1) - 1, 0, feats.shape[1] - 1)
             gathered = jnp.take_along_axis(feats, img_pos[..., None], axis=1)

@@ -20,14 +20,28 @@ QUERY_AUGMENTATION_TOKENS = 10
 
 
 class ColIdefics3Processor:
+    """``image_splitting=True`` enables the Idefics3/SmolVLM tiled layout:
+    the image is resized (aspect-preserving, centered zero pad) onto the
+    smallest tile canvas covering its longest-edge target, split into
+    encoder-size tiles, and the prompt carries HF's structural markers
+    (``<fake_token_around_image>``, ``<row_i_col_j>``, ``<global-img>``)
+    between the per-tile image-token runs, global view LAST. Deviation
+    (documented): tiles are exact squares via canvas padding instead of
+    HF's variable tiles + pixel attention masks (static TPU shapes)."""
+
     def __init__(self, cfg: ColIdefics3ModelConfig, tokenizer: Optional[Any] = None,
-                 query_pad_to_multiple: int = 16):
+                 query_pad_to_multiple: int = 16, image_splitting: bool = False,
+                 max_tiles: int = 4, longest_edge: Optional[int] = None):
         self.cfg = cfg
         self.tokenizer = tokenizer or SimpleTokenizer(cfg.text.vocab_size,
                                                       cfg.image_token_id)
         self.query_pad_to_multiple = query_pad_to_multiple
         self.image_preprocessor = ImagePreprocessor(cfg.vision.image_size)
         self.n_image_tokens = cfg.n_image_tokens
+        self.image_splitting = image_splitting
+        self.dynamic_resolution = image_splitting  # registry grouping protocol
+        self.max_tiles = max_tiles
+        self.longest_edge = longest_edge or 2 * cfg.vision.image_size
 
     def _ids(self, text: str) -> List[int]:
         try:
@@ -35,16 +49,96 @@ class ColIdefics3Processor:
         except TypeError:
             return list(self.tokenizer.encode(text))
 
-    def process_images(self, images: Sequence[Any]) -> dict:
-        pix = self.image_preprocessor(images)
+    # -- splitting -------------------------------------------------------------
+
+    def tiling_for(self, img: Any) -> tuple:
+        """(ty, tx): smallest tile grid covering the longest-edge resize."""
+        import math
+
+        from PIL import Image
+
+        if isinstance(img, Image.Image):
+            w, h = img.size
+        else:
+            h, w = np.asarray(img).shape[:2]
+        s = self.cfg.vision.image_size
+        scale = min(1.0, self.longest_edge / max(h, w, 1))
+        ty = max(math.ceil(h * scale / s), 1)
+        tx = max(math.ceil(w * scale / s), 1)
+        while ty * tx > self.max_tiles:  # shrink the longer axis first
+            if ty >= tx and ty > 1:
+                ty -= 1
+            elif tx > 1:
+                tx -= 1
+            else:
+                break
+        return ty, tx
+
+    def group_by_grid(self, images: Sequence[Any]):
+        groups = {}
+        for i, img in enumerate(images):
+            g = self.tiling_for(img) if self.image_splitting else None
+            groups.setdefault(g, []).append(i)
+        return sorted(groups.items(), key=lambda kv: (kv[0] is not None, kv[0]))
+
+    def _split_tiles(self, img: Any, tiles: tuple) -> np.ndarray:
+        """[T+1, S, S, 3] normalized: row-major canvas tiles + global LAST
+        (the Idefics3 sub-image order)."""
+        from PIL import Image
+
+        s = self.cfg.vision.image_size
+        ty, tx = tiles
+        if not isinstance(img, Image.Image):
+            img = Image.fromarray(np.asarray(img).astype(np.uint8))
+        img = img.convert("RGB")
+        w, h = img.size
+        th, tw = ty * s, tx * s
+        scale = min(tw / w, th / h)
+        nw = min(int(np.ceil(w * scale)), tw)
+        nh = min(int(np.ceil(h * scale)), th)
+        resized = img.resize((nw, nh), Image.BICUBIC)
+        canvas = Image.new("RGB", (tw, th), (0, 0, 0))
+        canvas.paste(resized, ((tw - nw) // 2, (th - nh) // 2))
+        arr = np.asarray(canvas, np.float32)
+        parts = []
+        for yi in range(ty):
+            for xi in range(tx):
+                parts.append(arr[yi * s:(yi + 1) * s, xi * s:(xi + 1) * s])
+        parts.append(np.asarray(img.resize((s, s), Image.BICUBIC), np.float32))
+        stack = np.stack(parts)  # [T+1, S, S, 3], global last
+        return ((stack / 255.0) - 0.5) / 0.5
+
+    def _split_prompt_ids(self, tiles: tuple) -> List[int]:
+        """HF _prompt_split_image structure with per-tile markers."""
+        ty, tx = tiles
+        img = self.cfg.image_token_id
+        fake = self._ids("<fake_token_around_image>")
+        seq: List[int] = []
+        for yi in range(ty):
+            for xi in range(tx):
+                seq += fake + self._ids(f"<row_{yi + 1}_col_{xi + 1}>")
+                seq += [img] * self.n_image_tokens
+            seq += self._ids("\n")
+        seq += self._ids("\n") + fake + self._ids("<global-img>")
+        seq += [img] * self.n_image_tokens + fake
+        return seq
+
+    def process_images(self, images: Sequence[Any],
+                       grid: Optional[tuple] = None) -> dict:
         prompt_ids = self._ids(IMAGE_PROMPT + "\n")
-        seq = [self.cfg.image_token_id] * self.n_image_tokens + prompt_ids
+        if grid is not None:
+            pix = np.stack([self._split_tiles(im, grid) for im in images])
+            seq = self._split_prompt_ids(grid) + prompt_ids
+        else:
+            pix = self.image_preprocessor(images)
+            seq = [self.cfg.image_token_id] * self.n_image_tokens + prompt_ids
         b = len(images)
         input_ids = np.tile(np.asarray(seq, np.int32), (b, 1))
         return {
             "input_ids": input_ids,
             "attention_mask": np.ones_like(input_ids),
             "pixel_values": pix,
+            "grid": grid,
         }
 
     def process_queries(self, queries: Sequence[str]) -> dict:

@@ -74,7 +74,7 @@ class Retriever:
                     )
                 n_data = 3 + int(with_image)
                 mrope = True
-            elif self.family == "colgranite" and grid is not None:
+            elif self.family in ("colgranite", "colidefics3") and grid is not None:
                 def fn(params, input_ids, attention_mask, pixel_values=None):
                     return self.model.apply(
                         {"params": params}, input_ids, attention_mask,

@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""Real-TPU validation battery: run when the hardware/tunnel is available.
+
+Covers the round-2 items that need a physical chip (VERDICT r1 #1/#2):
+
+1. trivial-matmul probe (is the tunnel alive / how slow is dispatch);
+2. fused-attention Pallas kernel parity ON HARDWARE vs the einsum path
+   (bidirectional/causal/GQA/ragged) - the gate for flipping
+   ``layers.set_fused_attention(True)`` on by default;
+3. fused-vs-einsum encoder step time + MFU for a small retriever
+   (ColFlor) and optionally the 3B flagship (``--flagship``);
+4. the headline bench (subprocess, records BENCH-style JSON).
+
+Timing uses the in-jit lax.scan chain pattern (block_until_ready does not
+synchronize through this environment's tunnel; see CLAUDE.md).
+
+Usage:  python scripts/tpu_validate.py [--flagship] [--skip-bench]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PEAK_BF16 = 197e12  # v5e
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def probe(timeout_s: float = 240.0) -> bool:
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((256, 256), jnp.bfloat16);"
+            "print('OK', float((x @ x).sum()), jax.default_backend())")
+    t0 = time.time()
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"[probe] TIMED OUT after {timeout_s:.0f}s - tunnel wedged")
+        return False
+    ok = r.returncode == 0 and "OK" in r.stdout and "tpu" in r.stdout
+    log(f"[probe] {'TPU alive' if ok else 'no tpu'} in {time.time()-t0:.0f}s: "
+        f"{r.stdout.strip()[:120]}")
+    return ok
+
+
+def timed_chain(fn, args, n: int, consume):
+    """Run fn n times chained in one jit; return per-iteration seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def chain(reps, *a):
+        def body(carry, _):
+            acc = carry
+            out = fn(*a)
+            s = consume(out)
+            return acc + s, ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
+        return acc
+
+    np.asarray(chain(1, *args))
+    t0 = time.time(); np.asarray(chain(1, *args)); t1 = time.time()
+    np.asarray(chain(n + 1, *args))
+    t2 = time.time(); np.asarray(chain(n + 1, *args)); t3 = time.time()
+    return max(((t3 - t2) - (t1 - t0)) / n, 1e-9)
+
+
+def validate_fused_attention() -> bool:
+    """Hardware parity of the fused Pallas attention vs the einsum path."""
+    import jax.numpy as jnp
+
+    from multimodal_colpali_tpu.models import layers as L
+    from multimodal_colpali_tpu.ops.attention import fused_attention
+
+    rng = np.random.default_rng(0)
+    ok = True
+    for (b, s, hq, hkv, d), causal, ragged in [
+        ((2, 256, 8, 8, 64), False, False),
+        ((1, 128, 8, 2, 64), False, False),   # GQA, batch 1
+        ((2, 256, 8, 8, 64), True, False),
+        ((2, 256, 8, 8, 64), False, True),
+    ]:
+        q = jnp.asarray(rng.standard_normal((b, s, hq, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
+        kv_lens = jnp.asarray(rng.integers(s // 2, s, (b,)), jnp.int32) \
+            if ragged else None
+        want = L.attention(q, k, v, mask=None, scale=d ** -0.5,
+                           kv_lens=kv_lens, causal=causal)
+        # the fused kernel takes pre-repeated KV heads for GQA
+        kr = jnp.repeat(k, hq // hkv, 2)
+        vr = jnp.repeat(v, hq // hkv, 2)
+        got = fused_attention(q, kr, vr, kv_lens, scale=d ** -0.5,
+                              causal=causal)
+        err = float(jnp.max(jnp.abs(
+            got.astype(jnp.float32) - want.astype(jnp.float32))))
+        this_ok = err < 2e-2
+        ok &= this_ok
+        log(f"[fused-attn] b={b} s={s} hq={hq} hkv={hkv} causal={causal} "
+            f"ragged={ragged}: max|diff|={err:.4f} "
+            f"{'OK' if this_ok else 'MISMATCH'}")
+    return ok
+
+
+def encoder_mfu(name: str, batch: int, fused: bool) -> float:
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from multimodal_colpali_tpu.models import layers as L
+    from multimodal_colpali_tpu.models.registry import load_retriever
+
+    L.set_fused_attention(fused)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ret = load_retriever(name)
+        rng = np.random.default_rng(0)
+        imgs = [Image.fromarray(rng.integers(0, 255, (448, 448, 3), np.uint8))
+                for _ in range(batch)]
+        proc = ret.processor.process_images(imgs)
+        args = [jnp.asarray(a) for a in ret._batch_args(proc, True)]
+        model, params = ret.model, ret.params
+
+        def fwd(*a):
+            return model.apply({"params": params}, *a)
+
+        flops = None
+        try:
+            cost = jax.jit(fwd).lower(*args).compile().cost_analysis()
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(c.get("flops", 0)) or None
+        except Exception as e:  # noqa: BLE001
+            log(f"[mfu] cost_analysis unavailable: {e}")
+
+        # value-dependent chain through the pixel input
+        pix_i = len(args) - 1
+
+        def fwd_pix(pix):
+            inner = args[:pix_i] + [pix]
+            return model.apply({"params": params}, *inner)
+
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def chain(reps, pix):
+            def body(carry, _):
+                p, acc = carry
+                emb = fwd_pix(p)
+                s = jnp.sum(emb.astype(jnp.float32))
+                return (p + (s * 0).astype(p.dtype), acc + s), ()
+            (_, acc), _ = jax.lax.scan(body, (pix, jnp.float32(0)),
+                                       None, length=reps)
+            return acc
+
+        np.asarray(chain(1, args[pix_i]))
+        t0 = time.time(); np.asarray(chain(1, args[pix_i])); t1 = time.time()
+        n = 8
+        np.asarray(chain(n + 1, args[pix_i]))
+        t2 = time.time(); np.asarray(chain(n + 1, args[pix_i])); t3 = time.time()
+        per = max(((t3 - t2) - (t1 - t0)) / n, 1e-9)
+        pages = batch / per
+        msg = f"[mfu] {name} fused={fused} batch={batch}: {pages:.1f} pages/s"
+        mfu = None
+        if flops:
+            mfu = flops / per / PEAK_BF16
+            msg += f", MFU {mfu*100:.1f}%"
+        log(msg)
+        return pages
+    finally:
+        L.set_fused_attention(False)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--flagship", action="store_true",
+                   help="also measure ColPali-3B (remote compile: 5-10 min)")
+    p.add_argument("--skip-bench", action="store_true")
+    args = p.parse_args()
+
+    if not probe():
+        log("[validate] TPU unavailable; nothing to do")
+        sys.exit(1)
+
+    import jax
+    log(f"[validate] backend={jax.default_backend()} devices={jax.devices()}")
+
+    fused_ok = validate_fused_attention()
+    log(f"[validate] fused attention parity on TPU: "
+        f"{'PASS - safe to enable' if fused_ok else 'FAIL - keep opt-in'}")
+
+    base = encoder_mfu("ahmed-masry/ColFlor", batch=16, fused=False)
+    if fused_ok:
+        fused = encoder_mfu("ahmed-masry/ColFlor", batch=16, fused=True)
+        log(f"[validate] fused speedup: {fused / base:.2f}x")
+    if args.flagship:
+        encoder_mfu("vidore/colpali-v1.3", batch=8, fused=False)
+        if fused_ok:
+            encoder_mfu("vidore/colpali-v1.3", batch=8, fused=True)
+
+    if not args.skip_bench:
+        r = subprocess.run([sys.executable,
+                            str(Path(__file__).parent.parent / "bench.py")],
+                           capture_output=True, text=True, timeout=3600)
+        log(f"[validate] bench rc={r.returncode}: {r.stdout.strip()}")
+        log(r.stderr[-2000:])
+
+
+if __name__ == "__main__":
+    main()
