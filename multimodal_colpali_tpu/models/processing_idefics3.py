@@ -96,7 +96,7 @@ class ColIdefics3Processor:
         scale = min(tw / w, th / h)
         nw = min(int(np.ceil(w * scale)), tw)
         nh = min(int(np.ceil(h * scale)), th)
-        resized = img.resize((nw, nh), Image.BICUBIC)
+        resized = img.resize((nw, nh), Image.LANCZOS)  # HF Idefics3 resample
         canvas = Image.new("RGB", (tw, th), (0, 0, 0))
         canvas.paste(resized, ((tw - nw) // 2, (th - nh) // 2))
         arr = np.asarray(canvas, np.float32)
@@ -104,7 +104,7 @@ class ColIdefics3Processor:
         for yi in range(ty):
             for xi in range(tx):
                 parts.append(arr[yi * s:(yi + 1) * s, xi * s:(xi + 1) * s])
-        parts.append(np.asarray(img.resize((s, s), Image.BICUBIC), np.float32))
+        parts.append(np.asarray(img.resize((s, s), Image.LANCZOS), np.float32))
         stack = np.stack(parts)  # [T+1, S, S, 3], global last
         return ((stack / 255.0) - 0.5) / 0.5
 

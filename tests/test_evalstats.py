@@ -156,3 +156,25 @@ def test_wilcoxon_driver_cli(tmp_path):
     df = pd.read_csv(tmp_path / "stats.csv")
     assert {"Model", "group_a", "group_b", "p_value", "p_bonferroni"} <= set(df.columns)
     assert len(df) == 1  # one model, one augmentation pair
+
+
+def test_wilcoxon_uses_r_approximation_with_correction():
+    """ADVICE r1: must match R's wilcox.test(paired=TRUE, exact=FALSE)
+    (normal approximation WITH continuity correction), not scipy defaults
+    (exact test for small n). Golden p-value pinned for a 10-item pair."""
+    import pandas as pd
+
+    from multimodal_colpali_tpu.evalstats.wilcoxon import paired_wilcoxon_table
+
+    x = [1, 1, 0, 1, 0, 1, 1, 0, 1, 1]
+    y = [0, 1, 1, 1, 0, 0, 1, 0, 0, 1]
+    rows = []
+    for i, (a, b) in enumerate(zip(x, y)):
+        rows.append({"Model": "m", "Model_ret": "colpali", "Question_nr": i,
+                     "Cor_answer": a})
+        rows.append({"Model": "m", "Model_ret": "no_RAG", "Question_nr": i,
+                     "Cor_answer": b})
+    out = paired_wilcoxon_table(pd.DataFrame(rows))
+    assert len(out) == 1
+    # scipy(zero_method='wilcox', correction=True, method='approx') == R
+    assert out["p_value"].iloc[0] == pytest.approx(0.4237107971667934)
