@@ -415,12 +415,16 @@ class PaliGemmaEngine:
             results.append(toks)
         return results
 
-    def build_mm_prompt(self, text_ids: Sequence[int],
-                        bos_id: int = 2) -> List[int]:
-        """PaliGemma prompt layout: [image]*n_patches + bos + text + \\n."""
+    def build_mm_prompt(self, text_ids: Sequence[int], bos_id: int = 2,
+                        newline_ids: Sequence[int] = ()) -> List[int]:
+        """PaliGemma prompt layout: [image]*n_patches + bos + text (+ the
+        prefix/suffix separator). PaliGemma was trained with a trailing
+        "\\n" closing the prefix - pass its token ids as ``newline_ids``
+        (tokenizer-dependent) or include it in ``text_ids``; omitting it
+        conditions generation on a malformed prefix."""
         c = self.cfg
         return ([c.image_token_id] * c.vision.num_patches + [bos_id]
-                + list(text_ids))
+                + list(text_ids) + list(newline_ids))
 
 
 class ByteTokenizer:

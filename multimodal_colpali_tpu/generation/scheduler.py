@@ -45,6 +45,7 @@ class _Request:
     temperature: float
     seed: int
     future: Future
+    eos_id: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)
     slot: int = -1
 
@@ -76,7 +77,8 @@ class ContinuousBatcher:
         self._temp = jnp.zeros((self.B,), jnp.float32)
         self._remaining = jnp.zeros((self.B,), jnp.int32)
         self._seed = jnp.zeros((self.B,), jnp.uint32)
-        self._step_count = 0
+        self._eos = jnp.full((self.B,), eos_id, jnp.int32)   # per-request eos
+        self._gen_step = jnp.zeros((self.B,), jnp.int32)     # per-slot rng step
 
         self._slots: List[Optional[_Request]] = [None] * self.B
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -111,10 +113,10 @@ class ContinuousBatcher:
         n_layers = c.num_hidden_layers
         t = self.T
         b = self.B
-        pad_id, eos_id = self.pad_id, self.eos_id
+        pad_id = self.pad_id
 
         def one_step(p, caches, tok, pos, start, end, temp, seed, remaining,
-                     step_no):
+                     gen_step, eos):
             kcs, vcs = caches[:n_layers], caches[n_layers:]
             x = eng._embed(p, tok[:, None])                     # [B, 1, H]
             active = remaining > 0
@@ -157,9 +159,13 @@ class ContinuousBatcher:
             logits = eng._logits(p, xx[:, 0])                   # [B, V]
 
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            # per-slot key: request seed folded with the request's OWN step
+            # index, so a (prompt, seed, temperature) triple reproduces the
+            # same sample regardless of admission timing, and matches
+            # GemmaDecodeEngine.generate's per-request fold.
             keys = jax.vmap(jax.random.fold_in)(
                 jax.vmap(jax.random.PRNGKey)(seed),
-                jnp.full((b,), step_no, jnp.uint32))
+                gen_step.astype(jnp.uint32))
             sampled = jax.vmap(
                 lambda kk, lg, tt: jax.random.categorical(kk, lg / tt)
             )(keys, logits, jnp.maximum(temp, 1e-3)).astype(jnp.int32)
@@ -168,24 +174,25 @@ class ContinuousBatcher:
 
             end = jnp.where(active, end + 1, end)
             pos = jnp.where(active, pos + 1, pos)
+            gen_step = jnp.where(active, gen_step + 1, gen_step)
             remaining = jnp.where(active, remaining - 1, remaining)
-            remaining = jnp.where(nxt == eos_id, 0, remaining)
+            remaining = jnp.where(nxt == eos, 0, remaining)
             caches = tuple(kc for kc, _ in new_caches) + tuple(
                 vc for _, vc in new_caches)
-            return caches, nxt, pos, start, end, temp, seed, remaining
+            return (caches, nxt, pos, start, end, temp, seed, remaining,
+                    gen_step, eos)
 
         def run(p, caches, tok, pos, start, end, temp, seed, remaining,
-                step0):
-            def body(carry, i):
-                caches, tok, pos, start, end, temp, seed, remaining = carry
-                caches, tok, pos, start, end, temp, seed, remaining = one_step(
-                    p, caches, tok, pos, start, end, temp, seed, remaining,
-                    step0 + i)
-                return (caches, tok, pos, start, end, temp, seed, remaining), tok
+                gen_step, eos):
+            def body(carry, _):
+                carry = one_step(p, *carry)
+                return carry, carry[1]  # next token per slot
 
             carry, toks = jax.lax.scan(
-                body, (caches, tok, pos, start, end, temp, seed, remaining),
-                jnp.arange(chunk))
+                body,
+                (caches, tok, pos, start, end, temp, seed, remaining,
+                 gen_step, eos),
+                None, length=chunk)
             return carry, toks  # toks: [chunk, B]
 
         return jax.jit(run)
@@ -193,10 +200,19 @@ class ContinuousBatcher:
     # -- scheduling -----------------------------------------------------------
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
-               temperature: float = 0.0, seed: int = 0) -> Future:
+               temperature: float = 0.0, seed: int = 0,
+               eos_id: Optional[int] = None) -> Future:
         fut: Future = Future()
-        self._queue.put(_Request(list(prompt), max_new_tokens,
-                                 float(temperature), seed, fut))
+        s = max(((len(prompt) + self.bucket - 1) // self.bucket) * self.bucket,
+                self.bucket)
+        if s >= self.T:
+            fut.set_exception(ValueError(
+                f"prompt of {len(prompt)} tokens buckets to {s} >= "
+                f"max_seq_len {self.T}"))
+            return fut
+        self._queue.put(_Request(
+            list(prompt), max_new_tokens, float(temperature), seed, fut,
+            eos_id=self.eos_id if eos_id is None else eos_id))
         return fut
 
     def _admit(self) -> None:
@@ -230,7 +246,9 @@ class ContinuousBatcher:
             req.tokens.append(tok0)
             req.slot = slot
             self._slots[slot] = req
-            done0 = tok0 == self.eos_id or req.max_new_tokens <= 1
+            # token budget is bounded by the cache rows left after the prompt
+            budget = min(req.max_new_tokens, self.T - s)
+            done0 = tok0 == req.eos_id or budget <= 1
             n_layers = self.cfg.num_hidden_layers
             caches = list(self._caches)
             for i in range(n_layers):
@@ -243,8 +261,10 @@ class ContinuousBatcher:
             self._end = self._end.at[slot].set(s)
             self._temp = self._temp.at[slot].set(req.temperature)
             self._seed = self._seed.at[slot].set(req.seed)
+            self._eos = self._eos.at[slot].set(req.eos_id)
+            self._gen_step = self._gen_step.at[slot].set(1)
             self._remaining = self._remaining.at[slot].set(
-                0 if done0 else req.max_new_tokens - 1)
+                0 if done0 else budget - 1)
             if done0:
                 self._finish(slot)
 
@@ -252,34 +272,50 @@ class ContinuousBatcher:
         req = self._slots[slot]
         self._slots[slot] = None
         toks = req.tokens
-        if self.eos_id in toks:
-            toks = toks[: toks.index(self.eos_id)]
+        if req.eos_id in toks:
+            toks = toks[: toks.index(req.eos_id)]
         req.future.set_result(toks)
+
+    def _fail_all(self, exc: BaseException) -> None:
+        """Propagate a scheduler error to every active/pending request."""
+        for slot, req in enumerate(self._slots):
+            if req is not None:
+                self._slots[slot] = None
+                if not req.future.done():
+                    req.future.set_exception(exc)
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not req.future.done():
+                req.future.set_exception(exc)
+        self._remaining = jnp.zeros_like(self._remaining)
 
     def _step_chunk(self) -> None:
         if "decode" not in self._jit:
             self._jit["decode"] = self._decode_fn(self.chunk)
+        rem_before = np.asarray(self._remaining)  # real tokens this chunk
         carry, toks = self._jit["decode"](
             self.engine.params, self._caches, self._tok, self._pos,
             self._start, self._end, self._temp, self._seed, self._remaining,
-            jnp.int32(self._step_count + 1))
+            self._gen_step, self._eos)
         (self._caches, self._tok, self._pos, self._start, self._end,
-         self._temp, self._seed, self._remaining) = carry
-        self._step_count += self.chunk
+         self._temp, self._seed, self._remaining, self._gen_step,
+         self._eos) = carry
         toks = np.asarray(toks)                 # [chunk, B]
         remaining = np.asarray(self._remaining)
         for slot, req in enumerate(self._slots):
             if req is None:
                 continue
-            for step in range(self.chunk):
-                if len(req.tokens) >= req.max_new_tokens:
-                    break
+            # only active steps emit real tokens; later steps emit pad
+            for step in range(min(self.chunk, int(rem_before[slot]))):
                 tok = int(toks[step, slot])
                 req.tokens.append(tok)
-                if tok == self.eos_id:
+                if tok == req.eos_id:
                     break
             if (remaining[slot] <= 0 or len(req.tokens) >= req.max_new_tokens
-                    or (req.tokens and req.tokens[-1] == self.eos_id)):
+                    or (req.tokens and req.tokens[-1] == req.eos_id)):
                 self._finish(slot)
 
     def drain(self) -> None:
@@ -298,13 +334,22 @@ class ContinuousBatcher:
 
         def loop():
             import time
+            import traceback
 
             while self._serving:
-                with self._lock:
-                    self._admit()
-                    busy = any(r is not None for r in self._slots)
-                    if busy:
-                        self._step_chunk()
+                busy = False
+                try:
+                    with self._lock:
+                        self._admit()
+                        busy = any(r is not None for r in self._slots)
+                        if busy:
+                            self._step_chunk()
+                except Exception as exc:  # noqa: BLE001 - must not kill serving
+                    # a dead scheduler thread would hang every future; fail
+                    # the in-flight requests loudly and keep serving
+                    traceback.print_exc()
+                    with self._lock:
+                        self._fail_all(exc)
                 if not busy:
                     time.sleep(0.005)
 
@@ -320,7 +365,8 @@ class ContinuousBatcher:
     # GenerationServer protocol: one-request generate through the batcher.
     def generate(self, prompts, max_new_tokens=64, temperature=0.0,
                  eos_id=None, pad_id=None, seed=0, **_):
-        futs = [self.submit(p, max_new_tokens, temperature, seed)
+        futs = [self.submit(p, max_new_tokens, temperature, seed,
+                            eos_id=eos_id)
                 for p in prompts]
         if not self._serving:
             self.drain()

@@ -72,9 +72,9 @@ class GenerationServer:
                     self.end_headers()
 
             def do_POST(self):
-                length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
                 try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(length) or b"{}")
                     resp = outer._complete(req)
                     code = 200
                 except Exception as e:  # noqa: BLE001 - protocol error reply

@@ -196,23 +196,20 @@ class MultiVectorStore:
         dl = jax.device_put(lens, shard_l) if shard_l else jnp.asarray(lens)
         self._device_cache = (d, dl)
         if self.quantized:
-            dq, ds = maxsim_ops.quantize_corpus_int8(jnp.asarray(vecs))
-            if shard_v:
-                dq = jax.device_put(dq, shard_v)
-                ds = jax.device_put(ds, self._sharding(P(self.mesh_axis)))
+            # Derive the quantized/pooled representations from the already
+            # device-resident (and mesh-sharded) corpus ``d`` - uploading a
+            # second unsharded copy would OOM exactly at the large-corpus
+            # configuration these paths exist for.
+            dq, ds = maxsim_ops.quantize_corpus_int8(d)
             self._device_cache_int8 = (dq, ds)
             if self.prefilter == "pooled":
                 from multimodal_colpali_tpu.ops.two_stage import (
                     pool_corpus, pool_corpus_fps)
 
                 if self.pooled_centroids > 1:
-                    pooled = pool_corpus_fps(
-                        jnp.asarray(vecs, self.dtype), dl,
-                        k=self.pooled_centroids)
+                    pooled = pool_corpus_fps(d, dl, k=self.pooled_centroids)
                 else:
-                    pooled = pool_corpus(jnp.asarray(vecs, self.dtype), dl)
-                if shard_v:
-                    pooled = jax.device_put(pooled, self._sharding(P(self.mesh_axis)))
+                    pooled = pool_corpus(d, dl)
                 self._device_cache_pooled = pooled
         self._dirty = False
         return self._device_cache

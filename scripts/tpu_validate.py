@@ -54,28 +54,6 @@ def probe(timeout_s: float = 240.0) -> bool:
     return ok
 
 
-def timed_chain(fn, args, n: int, consume):
-    """Run fn n times chained in one jit; return per-iteration seconds."""
-    import jax
-    import jax.numpy as jnp
-
-    @functools.partial(jax.jit, static_argnames=("reps",))
-    def chain(reps, *a):
-        def body(carry, _):
-            acc = carry
-            out = fn(*a)
-            s = consume(out)
-            return acc + s, ()
-        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=reps)
-        return acc
-
-    np.asarray(chain(1, *args))
-    t0 = time.time(); np.asarray(chain(1, *args)); t1 = time.time()
-    np.asarray(chain(n + 1, *args))
-    t2 = time.time(); np.asarray(chain(n + 1, *args)); t3 = time.time()
-    return max(((t3 - t2) - (t1 - t0)) / n, 1e-9)
-
-
 def validate_fused_attention() -> bool:
     """Hardware parity of the fused Pallas attention vs the einsum path."""
     import jax.numpy as jnp

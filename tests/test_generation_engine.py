@@ -328,3 +328,58 @@ def test_paligemma_multimodal_generation_matches_hf(tiny_lm):
         )
     want = out[0, len(prompt):].tolist()
     assert got == want, (got, want)
+
+
+def test_batcher_per_request_eos_and_budget_guard(tiny_lm):
+    """Review fixes: per-request eos honored through generate(); over-long
+    prompts fail their Future instead of crashing the scheduler; budgets
+    are clamped to the cache rows left after the prompt."""
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    free = eng.generate([[5, 9, 17, 3]], max_new_tokens=8, temperature=1.5,
+                        seed=7)[0]
+    j = next(i for i, t in enumerate(free) if t not in free[:i] and i > 0)
+
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=48, chunk=4)
+    # per-request eos via generate(eos_id=...) must truncate like the engine
+    got = bat.generate([[5, 9, 17, 3]], max_new_tokens=8, temperature=1.5,
+                       seed=7, eos_id=free[j])
+    assert got[0] == free[:j]
+
+    # an over-long prompt fails its own Future, without touching the batch
+    bad = bat.submit(list(range(200)), max_new_tokens=4)
+    with pytest.raises(ValueError, match="max_seq_len"):
+        bad.result(timeout=5)
+
+    # budget exceeding the cache tail is clamped, not corrupted
+    long_prompt = [3] * 30  # buckets to 32; only 16 rows left of 48
+    out = bat.generate([long_prompt], max_new_tokens=500)[0]
+    assert len(out) == 48 - 32
+    # ...and matches the engine's tokens for the same budget
+    want = eng.generate([long_prompt], max_new_tokens=16, bucket=32)[0]
+    assert out == want
+
+
+def test_batcher_sampling_reproducible_across_admission(tiny_lm):
+    """Same (prompt, seed, temperature) must sample the same tokens no
+    matter when the request joins the running batch."""
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    kw = dict(max_new_tokens=6, temperature=0.9, seed=13)
+
+    bat1 = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3)
+    alone = bat1.generate([[5, 9, 17]], **kw)[0]
+
+    bat2 = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3)
+    first = bat2.submit([40, 2, 7, 7, 1], max_new_tokens=9)
+    with bat2._lock:
+        bat2._admit()
+        bat2._step_chunk()  # advance the batch before the request joins
+    late = bat2.submit([5, 9, 17], **kw)
+    bat2.drain()
+    assert late.result(timeout=60) == alone
+    assert first.result(timeout=60)
