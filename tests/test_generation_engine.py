@@ -383,3 +383,55 @@ def test_batcher_sampling_reproducible_across_admission(tiny_lm):
     bat2.drain()
     assert late.result(timeout=60) == alone
     assert first.result(timeout=60)
+
+
+def test_full_rag_loop_tpu_native(tiny_lm, tmp_path):
+    """Capstone: the whole RAG loop without any external service - rasterize
+    PDFs natively, embed pages, MaxSim-retrieve for a query, then generate
+    an answer conditioned on the retrieved page image with the PaliGemma
+    engine. Every stage is this framework's own code."""
+    import warnings
+
+    from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+    from multimodal_colpali_tpu.ingest.pdfwrite import make_sample_pdf
+    from multimodal_colpali_tpu.ingest.rasterize import convert_pdf_dir_to_images
+    from multimodal_colpali_tpu.models.registry import load_retriever
+    from multimodal_colpali_tpu.ops.maxsim import maxsim_scores
+    from multimodal_colpali_tpu.ops.topk import topk_with_stable_ties
+    from multimodal_colpali_tpu.models.processing import pad_multivectors
+
+    pdf_dir = tmp_path / "papers"
+    pdf_dir.mkdir()
+    for i in range(2):
+        make_sample_pdf(str(pdf_dir / f"p{i}.pdf"), n_pages=2,
+                        lines_per_page=4, seed=i)
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        retriever = load_retriever("tiny-colpali", seed=0)
+    pages = [img for imgs in convert_pdf_dir_to_images(str(pdf_dir)).values()
+             for img in imgs]
+    assert len(pages) == 4
+
+    # retrieve
+    d = retriever.embed_images(pages, batch_size=2)
+    q = retriever.embed_queries(["what binds selectins?"])
+    dp, dl = pad_multivectors(d)
+    qp, ql = pad_multivectors(q)
+    scores = maxsim_scores(jnp.asarray(qp), jnp.asarray(dp),
+                           jnp.asarray(ql), jnp.asarray(dl))
+    _, top = topk_with_stable_ties(scores, 2)
+    best_page = pages[int(np.asarray(top)[0, 0])]
+
+    # generate, conditioned on the retrieved page image
+    cfg = retriever.model.cfg
+    eng = PaliGemmaEngine(cfg, retriever.params)
+    pix = retriever.processor.image_preprocessor([best_page])
+    text_ids = retriever.processor._ids("answer the question\n")
+    prompt = eng.build_mm_prompt(text_ids, bos_id=2)
+    out = eng.generate([prompt], pix, max_new_tokens=6, bucket=len(prompt))[0]
+    assert len(out) == 6
+    assert all(0 <= t < cfg.text.vocab_size for t in out)
+    # deterministic greedy: the same retrieval + generation reproduces
+    assert eng.generate([prompt], pix, max_new_tokens=6,
+                        bucket=len(prompt))[0] == out
