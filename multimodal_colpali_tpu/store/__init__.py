@@ -19,3 +19,13 @@ from multimodal_colpali_tpu.store.types import (  # noqa: F401
     SearchParams,
     VectorParams,
 )
+
+
+def __getattr__(name):
+    # Lazy: the distributed view initializes device arrays at import users'
+    # choosing, not at package import.
+    if name == "DistributedCorpusView":
+        from multimodal_colpali_tpu.store.distributed import DistributedCorpusView
+
+        return DistributedCorpusView
+    raise AttributeError(name)

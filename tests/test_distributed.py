@@ -48,6 +48,16 @@ vals, idx = sharded_maxsim_topk(mesh, "corpus", q, d, d_lens, 3,
 top = np.asarray(idx)[0].tolist()
 assert top[0] == 11, top  # self-similarity wins across the process boundary
 print(f"DCN_OK pid={pid} top={top}", flush=True)
+
+# store-level: the distributed corpus view (pooled two-stage across hosts)
+from multimodal_colpali_tpu.store.distributed import DistributedCorpusView
+
+view = DistributedCorpusView(mine, np.full(p_local_rows, 4, np.int32),
+                             mesh=mesh, prefilter="pooled")
+_, ids = view.query(full[11], limit=3, oversampling=4.0)
+assert ids[0] == 11, ids
+assert view.owns(11) == (pid == 1)  # page 11 lives on process 1
+print(f"VIEW_OK pid={pid} ids={ids.tolist()}", flush=True)
 """
 
 
@@ -88,3 +98,4 @@ def test_two_process_corpus_shard(tmp_path):
             pytest.skip(f"multi-process CPU backend unsupported: {out[-200:]}")
         assert rc == 0, out
         assert "DCN_OK" in out, out
+        assert "VIEW_OK" in out, out

@@ -254,3 +254,26 @@ def test_sharded_int8_two_stage_store(mesh8, rng):
     b = plain.query(pts[7].vector, limit=5, search_params=params)
     assert [p.id for p in a.points] == [p.id for p in b.points]
     assert a.points[0].id == 7
+
+
+def test_distributed_corpus_view_single_process(mesh8, rng):
+    """The multi-host view devolves to device sharding in one process and
+    must reproduce the exact store's ranking with global ids."""
+    from multimodal_colpali_tpu.store.distributed import DistributedCorpusView
+
+    p, nt, dim = 37, 8, 128
+    vecs = rng.standard_normal((p, nt, dim)).astype(np.float32)
+    lens = np.full(p, nt, np.int32)
+
+    exact = MultiVectorStore("e", dim=dim, max_tokens=nt)
+    exact.upsert([PointStruct(id=i, vector=vecs[i], payload={})
+                  for i in range(p)])
+    view = DistributedCorpusView(vecs, lens, mesh=mesh8,
+                                 prefilter="pooled")
+    assert view.owns(0) and view.owns(p - 1)
+
+    q = vecs[21][:4]
+    want = [pt.id for pt in exact.query(q, limit=5).points]
+    _, ids = view.query(q, limit=5, oversampling=4.0)
+    assert ids.tolist() == want
+    assert ids[0] == 21
