@@ -212,15 +212,31 @@ class TemplateOcr:
                 best = got
         return best
 
+    # Scanned pages carry speckle noise; a text row must have at least this
+    # much ink to count, and implausible line heights are skipped (an
+    # unbounded "line" over a noisy page would blow up hypothesis search).
+    MIN_ROW_INK = 3
+    MAX_LINE_HEIGHT = 300
+
     def recognize(self, image) -> str:
         """Page raster (PIL image or [H, W, 3]/[H, W] uint8) -> text."""
         arr = np.asarray(image)
         if arr.ndim == 3:
             arr = arr.mean(axis=-1)
         ink = arr < self.ink_threshold
+        # Despeckle: kill isolated ink pixels (no 4-neighbor ink) - cheap
+        # morphological opening that preserves glyph strokes.
+        n4 = np.zeros_like(ink)
+        n4[1:, :] |= ink[:-1, :]
+        n4[:-1, :] |= ink[1:, :]
+        n4[:, 1:] |= ink[:, :-1]
+        n4[:, :-1] |= ink[:, 1:]
+        ink = ink & n4
 
         lines: List[str] = []
-        for y0, y1 in self._spans(ink.any(axis=1)):
+        for y0, y1 in self._spans(ink.sum(axis=1) >= self.MIN_ROW_INK):
+            if y1 - y0 + 1 > self.MAX_LINE_HEIGHT:
+                continue  # not machine-printed text at a sane size
             # The glyph cell height is ambiguous from ink height alone
             # (integer truncation, descenders); decode under each candidate
             # and keep the hypothesis with the best mean correlation.

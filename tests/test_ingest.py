@@ -283,3 +283,26 @@ def test_picture_annotations_via_vlm(sample_pdf, tmp_path):
     for d in image_docs:
         assert "scatter plot" in d.page_content
         validate_metadata(d.metadata)
+
+
+def test_template_ocr_noise_robustness():
+    """Scanned pages are noisy: recognition must survive Gaussian sensor
+    noise (despeckle pass), and speckle must not blow up line segmentation
+    (previously a noisy page hung the decoder)."""
+    import difflib
+    import time
+
+    from multimodal_colpali_tpu.ingest.ocr import TemplateOcr
+
+    w = PdfWriter()
+    w.add_page(text_lines=["GLYCANS BIND SELECTINS ON CELLS",
+                           "SCANNED NOISY PAGE SAMPLE 17"], font_size=12)
+    img = np.asarray(PdfDocument(w.tobytes()).render(0, dpi=144.0)).astype(np.float32)
+    want = "GLYCANS BIND SELECTINS ON CELLS\nSCANNED NOISY PAGE SAMPLE 17"
+    rng2 = np.random.default_rng(0)
+    noisy = np.clip(img + rng2.normal(0, 25, img.shape), 0, 255).astype(np.uint8)
+    t0 = time.time()
+    got = TemplateOcr().recognize(noisy)
+    assert time.time() - t0 < 30  # segmentation must not explode
+    ratio = difflib.SequenceMatcher(None, got, want).ratio()
+    assert ratio > 0.95, (ratio, got)
