@@ -54,6 +54,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
     data_axis: str = "data",
+    remat: bool = False,
 ) -> Callable:
     """Build the jitted (params, opt_state, batch) -> (params, opt_state, loss).
 
@@ -61,14 +62,22 @@ def make_train_step(
     doc_pixels [B, H, W, 3]. With a mesh, the batch is sharded on ``data``
     and params keep their TP placement (sharding propagates from the inputs,
     so the same step runs single-chip or on a dp x tp mesh unchanged).
+
+    ``remat=True`` rematerializes the two encoder forwards in the backward
+    pass (jax.checkpoint): activations of a 3B encoder over ~1040-token
+    pages dominate training HBM, and trading the extra forward FLOPs for
+    that memory is the standard TPU lever to fit larger page batches.
     """
 
     def loss_fn(params, batch):
-        q_emb = model.apply({"params": params},
-                            batch["query_ids"], batch["query_mask"], None)
-        d_emb = model.apply({"params": params},
-                            batch["doc_ids"], batch["doc_mask"],
-                            batch["doc_pixels"])
+        def fwd(params, ids, mask, pixels):
+            return model.apply({"params": params}, ids, mask, pixels)
+
+        if remat:
+            fwd = jax.checkpoint(fwd, static_argnums=())
+        q_emb = fwd(params, batch["query_ids"], batch["query_mask"], None)
+        d_emb = fwd(params, batch["doc_ids"], batch["doc_mask"],
+                    batch["doc_pixels"])
         return colbert_loss(q_emb, d_emb, batch["query_mask"], batch["doc_mask"])
 
     def step(params, opt_state, batch):

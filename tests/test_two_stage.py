@@ -342,3 +342,37 @@ def test_sharded_two_stage_multi_centroid_bitmatch(mesh8, rng):
         k=5, n_candidates=16)
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
     np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+
+def test_remat_train_step_matches(rng):
+    """jax.checkpoint rematerialization must not change the training math -
+    same loss and same updated params as the plain step."""
+    from multimodal_colpali_tpu.models.configs import ColPaliModelConfig
+    from multimodal_colpali_tpu.models.colpali import ColPaliModel
+    from multimodal_colpali_tpu.models.registry import fast_random_params
+    from multimodal_colpali_tpu.training import make_train_step, make_training_setup
+
+    cfg = ColPaliModelConfig.tiny()
+    model = ColPaliModel(cfg)
+    params = jax.tree.map(jnp.asarray, fast_random_params(model, cfg, 0))
+    params, opt_state, optimizer = make_training_setup(model, params)
+
+    n_img = cfg.vision.num_patches
+    b = 2
+    batch = {
+        "query_ids": jnp.asarray(rng.integers(3, 60, (b, 8)), jnp.int32),
+        "query_mask": jnp.ones((b, 8), jnp.int32),
+        "doc_ids": jnp.full((b, n_img + 4), 0, jnp.int32).at[:, :n_img].set(
+            cfg.image_token_id),
+        "doc_mask": jnp.ones((b, n_img + 4), jnp.int32),
+        "doc_pixels": jnp.asarray(rng.standard_normal(
+            (b, cfg.vision.image_size, cfg.vision.image_size, 3)), jnp.float32),
+    }
+    plain = make_train_step(model, optimizer)
+    remat = make_train_step(model, optimizer, remat=True)
+    p1, _, l1 = plain(params, opt_state, batch)
+    p2, _, l2 = remat(params, opt_state, batch)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    a, b_ = jax.tree.leaves(p1)[0], jax.tree.leaves(p2)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-5,
+                               atol=1e-6)
