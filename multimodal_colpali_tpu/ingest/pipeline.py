@@ -85,14 +85,26 @@ class PipelinedEmbedder:
     # -- stage 2: batches ------------------------------------------------------
 
     def _iter_batches(self, pages: Iterator) -> Iterator[Tuple[List[Tuple], Dict]]:
+        proc = self.retriever.processor
+        dynamic = getattr(proc, "dynamic_resolution", False)
+
+        def emit(buf):
+            if not dynamic:
+                yield buf, proc.process_images([r[3] for r in buf])
+                return
+            # dynamic layouts: one sub-batch per grid/tiling group
+            for grid, idxs in proc.group_by_grid([r[3] for r in buf]):
+                sub = [buf[i] for i in idxs]
+                yield sub, proc.process_images([r[3] for r in sub], grid=grid)
+
         buf: List[Tuple] = []
         for rec in pages:
             buf.append(rec)
             if len(buf) == self.batch_size:
-                yield buf, self.retriever.processor.process_images([r[3] for r in buf])
+                yield from emit(buf)
                 buf = []
         if buf:
-            yield buf, self.retriever.processor.process_images([r[3] for r in buf])
+            yield from emit(buf)
 
     # -- stage 3: device -------------------------------------------------------
 
@@ -107,7 +119,8 @@ class PipelinedEmbedder:
         out: List[Dict[str, Any]] = []
         for records, batch in batches:
             args = self.retriever._batch_args(batch, True)
-            emb = self.retriever._apply(True)(self.retriever.params, *args)
+            emb = self.retriever._apply(True, batch.get("grid"))(
+                self.retriever.params, *args)
             emb = np.asarray(emb, np.float32)
             mask = batch["attention_mask"]
             for i, (doc_idx, page_id, name, _img) in enumerate(records):

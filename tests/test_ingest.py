@@ -306,3 +306,44 @@ def test_template_ocr_noise_robustness():
     assert time.time() - t0 < 30  # segmentation must not explode
     ratio = difflib.SequenceMatcher(None, got, want).ratio()
     assert ratio > 0.95, (ratio, got)
+
+
+def test_pipelined_embedder_dynamic_resolution(tmp_path, rng):
+    """The overlapped pipeline must honor dynamic-resolution processors:
+    per-grid sub-batches, same embeddings as the grouped registry path."""
+    import warnings
+
+    from multimodal_colpali_tpu.ingest.pipeline import PipelinedEmbedder
+    from multimodal_colpali_tpu.models import load_retriever
+    from multimodal_colpali_tpu.models.processing_qwen2vl import ColQwen2Processor
+
+    pdf_dir = tmp_path / "papers"
+    pdf_dir.mkdir()
+    # different page geometry per doc -> different smart grids
+    from multimodal_colpali_tpu.ingest.pdfwrite import PdfWriter
+    for name, (w_pt, h_pt) in [("a", (612, 792)), ("b", (1200, 300))]:
+        doc = PdfWriter(width=w_pt, height=h_pt)
+        doc.add_page(text_lines=[f"doc {name}"])
+        doc.save(str(pdf_dir / f"{name}.pdf"))
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r = load_retriever("tiny-colqwen2", seed=0)
+    cfg = r.processor.cfg
+    r.processor = ColQwen2Processor(
+        cfg, dynamic_resolution=True,
+        max_pixels=cfg.grid_h * cfg.grid_w * cfg.vision.patch_size ** 2)
+
+    got = PipelinedEmbedder(r, batch_size=2).embed_pdf_dir(str(pdf_dir))
+    assert len(got) == 2
+    assert {g["file_name"] for g in got} == {"a.pdf", "b.pdf"}
+    # oracle: the grouped registry path over the same page images
+    from multimodal_colpali_tpu.ingest.rasterize import convert_pdf_dir_to_images
+    pages = convert_pdf_dir_to_images(str(pdf_dir))
+    imgs = [pages["a.pdf"][0], pages["b.pdf"][0]]
+    want = r.embed_images(imgs, batch_size=2)
+    by_name = {g["file_name"]: g["embedding"] for g in got}
+    np.testing.assert_allclose(by_name["a.pdf"], want[0], atol=2e-2)
+    np.testing.assert_allclose(by_name["b.pdf"], want[1], atol=2e-2)
+    # really different grids (the pipeline had to split the batch)
+    assert r.processor.smart_grid(imgs[0]) != r.processor.smart_grid(imgs[1])
