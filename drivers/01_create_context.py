@@ -48,6 +48,8 @@ def parse_args() -> argparse.Namespace:
                    help="Skip the VLM image-summary stage (no generation endpoint).")
     p.add_argument("--base-url", default=os.environ.get("OPENAI_BASE_URL"))
     p.add_argument("--dpi", type=float, default=144.0)
+    p.add_argument("--dynamic-resolution", action="store_true",
+                   help="Per-image resolution layouts (smart grids / anyres / splitting) for families that support them.")
     p.add_argument("--text-encoder-config", default="bge-base",
                    choices=["bge-base", "tiny"])
     return p.parse_args()
@@ -137,7 +139,8 @@ def main() -> None:
             })
 
     for model_cfg in models_cfg:
-        retriever = load_retriever(model_cfg["late_inter"])
+        retriever = load_retriever(model_cfg["late_inter"],
+                                   dynamic_resolution=args.dynamic_resolution)
         cfg = retriever.model.cfg
         # Probe the processor for the page-sequence length (family-agnostic).
         probe = retriever.processor.process_images([dataset[0]["image"]])

@@ -68,6 +68,8 @@ def parse_args() -> argparse.Namespace:
                         help="Override generation endpoint (e.g. a local fake).")
     parser.add_argument("--seed", type=int, default=None,
                         help="Seed question shuffling/permutations (reference is unseeded).")
+    parser.add_argument("--dynamic-resolution", action="store_true",
+                        help="Per-image resolution layouts for supported families.")
     parser.add_argument("--text-encoder-config", default="bge-base",
                         choices=["bge-base", "tiny"],
                         help="Dense text encoder size for mm_RAG/text_RAG mode.")
@@ -89,7 +91,8 @@ class RetrievalManager:
 
     def __init__(self, retrieval_type: str, vector_db: str, top_k: int,
                  storage_path: str, retriever_name: str,
-                 text_encoder_config: str = "bge-base"):
+                 text_encoder_config: str = "bge-base",
+                 dynamic_resolution: bool = False):
         self.retrieval_type = retrieval_type
         self.vector_db = vector_db
         self.top_k = top_k
@@ -107,7 +110,8 @@ class RetrievalManager:
                 emb = BgeEmbeddings()
             self.vector_store = api.TpuVectorStore(self.client, vector_db, emb)
         elif retrieval_type == "colpali" and vector_db:
-            self.colpali = load_retriever(retriever_name)
+            self.colpali = load_retriever(
+                retriever_name, dynamic_resolution=dynamic_resolution)
 
     def fetch(self, query: str):
         if self.retrieval_type == "" or self.top_k <= 0:
@@ -227,7 +231,8 @@ def main() -> None:
     permute_answers = should_permute(args.perm_quest)
     retrieval = RetrievalManager(args.type, args.vector_db, args.top_k,
                                  args.storage_path, args.retriever,
-                                 text_encoder_config=args.text_encoder_config)
+                                 text_encoder_config=args.text_encoder_config,
+                                 dynamic_resolution=args.dynamic_resolution)
     messages_list, records = prepare_requests(qa_table, retrieval, permute_answers, rng)
 
     if args.base_url:

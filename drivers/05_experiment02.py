@@ -56,6 +56,8 @@ def parse_args() -> argparse.Namespace:
                    help="If set, enable retrieval-augmented prompting.")
     p.add_argument("--base-url", default=os.environ.get("OPENAI_BASE_URL"))
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--dynamic-resolution", action="store_true",
+                   help="Per-image resolution layouts for supported families.")
     return p.parse_args()
 
 
@@ -157,9 +159,11 @@ async def send_to_model_async(
 
 def eval_fn(model_name, retriever_name, qa_data, iterations, topk, chunk,
             results_dir: Path, cache_dir: Path, pdf_dir: Path,
-            enable_context: bool, base_url=None):
+            enable_context: bool, base_url=None,
+            dynamic_resolution: bool = False):
     """Iterate evaluations for one generator/retriever pair (reference 05:375-434)."""
-    retriever = load_retriever(retriever_name)
+    retriever = load_retriever(retriever_name,
+                               dynamic_resolution=dynamic_resolution)
 
     cache_path = cache_dir / f"{retriever_name.replace('/', '_')}_pdf_emb.pkl"
     if cache_path.exists():
@@ -222,7 +226,8 @@ def main() -> None:
         for retriever_model in args.retrievers:
             eval_fn(generator_model, retriever_model, qa_data, args.iterations,
                     args.top_k, args.chunk, results_dir, cache_dir, pdf_dir,
-                    args.context, base_url=args.base_url)
+                    args.context, base_url=args.base_url,
+                    dynamic_resolution=args.dynamic_resolution)
 
 
 if __name__ == "__main__":

@@ -344,8 +344,14 @@ def load_retriever(
     tokenizer: Optional[Any] = None,
     dtype: Any = jnp.bfloat16,
     seed: int = 0,
+    dynamic_resolution: bool = False,
 ) -> Retriever:
-    """Load a late-interaction retriever by name (reference surface)."""
+    """Load a late-interaction retriever by name (reference surface).
+
+    ``dynamic_resolution=True`` enables the family's faithful resolution
+    layout (ColQwen smart-resize grids, granite anyres tiles, idefics3
+    image splitting); batches are then grouped per layout by the embed
+    paths. Families with one fixed layout (ColPali) ignore the flag."""
     if name not in RETRIEVER_CONFIGS:
         raise KeyError(
             f"unknown retriever {name!r}; known: {sorted(RETRIEVER_CONFIGS)}"
@@ -384,6 +390,15 @@ def load_retriever(
         model = ColPaliModel(cfg)
         processor = ColPaliProcessor(cfg, tokenizer=tokenizer)
         convert = hf_import.colpali_params_from_hf
+
+    if dynamic_resolution:
+        # per-family flag name; the grouping protocol is shared
+        if family == "colqwen2":
+            processor.dynamic_resolution = True
+        elif family == "colgranite":
+            processor.anyres = processor.dynamic_resolution = True
+        elif family == "colidefics3":
+            processor.image_splitting = processor.dynamic_resolution = True
 
     ckpt = _find_checkpoint(name, checkpoint_dir)
     if ckpt is not None:
