@@ -143,8 +143,20 @@ def main() -> None:
                                    dynamic_resolution=args.dynamic_resolution)
         cfg = retriever.model.cfg
         # Probe the processor for the page-sequence length (family-agnostic).
-        probe = retriever.processor.process_images([dataset[0]["image"]])
-        seq_len = int(probe["input_ids"].shape[1])
+        # Under dynamic resolution the length varies per layout, so size the
+        # collection to the LONGEST layout any corpus page uses - a static
+        # probe would make the store silently truncate longer multivectors.
+        proc = retriever.processor
+        if getattr(proc, "dynamic_resolution", False):
+            seq_len = max(
+                int(proc.process_images([dataset[idxs[0]]["image"]],
+                                        grid=grid)["input_ids"].shape[1])
+                for grid, idxs in proc.group_by_grid(
+                    [d["image"] for d in dataset])
+            )
+        else:
+            probe = proc.process_images([dataset[0]["image"]])
+            seq_len = int(probe["input_ids"].shape[1])
         api.ensure_colpali_collection(
             client, model_cfg["late_inter_short"],
             vector_size=cfg.embedding_dim,

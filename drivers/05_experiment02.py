@@ -165,7 +165,11 @@ def eval_fn(model_name, retriever_name, qa_data, iterations, topk, chunk,
     retriever = load_retriever(retriever_name,
                                dynamic_resolution=dynamic_resolution)
 
-    cache_path = cache_dir / f"{retriever_name.replace('/', '_')}_pdf_emb.pkl"
+    # dynamic-resolution runs cache separately (the default filename stays
+    # byte-compatible with the reference's {retriever}_pdf_emb.pkl naming)
+    suffix = "_dynres" if dynamic_resolution else ""
+    cache_path = cache_dir / (
+        f"{retriever_name.replace('/', '_')}_pdf_emb{suffix}.pkl")
     if cache_path.exists():
         with cache_path.open("rb") as fp:
             dataset = pickle.load(fp)

@@ -363,7 +363,8 @@ def load_retriever(
         from multimodal_colpali_tpu.models.qwen2vl import ColQwen2Model
 
         model: Any = ColQwen2Model(cfg)
-        processor: Any = ColQwen2Processor(cfg, tokenizer=tokenizer)
+        processor: Any = ColQwen2Processor(
+            cfg, tokenizer=tokenizer, dynamic_resolution=dynamic_resolution)
         convert = hf_import.colqwen2_params_from_hf
     elif family == "colflor":
         from multimodal_colpali_tpu.models.florence2 import ColFlorModel
@@ -377,28 +378,21 @@ def load_retriever(
         from multimodal_colpali_tpu.models.processing_idefics3 import ColIdefics3Processor
 
         model = ColIdefics3Model(cfg)
-        processor = ColIdefics3Processor(cfg, tokenizer=tokenizer)
+        processor = ColIdefics3Processor(
+            cfg, tokenizer=tokenizer, image_splitting=dynamic_resolution)
         convert = hf_import.colidefics3_params_from_hf
     elif family == "colgranite":
         from multimodal_colpali_tpu.models.granite import ColGraniteModel
         from multimodal_colpali_tpu.models.processing_granite import ColGraniteProcessor
 
         model = ColGraniteModel(cfg)
-        processor = ColGraniteProcessor(cfg, tokenizer=tokenizer)
+        processor = ColGraniteProcessor(
+            cfg, tokenizer=tokenizer, anyres=dynamic_resolution)
         convert = hf_import.colgranite_params_from_hf
     else:
         model = ColPaliModel(cfg)
         processor = ColPaliProcessor(cfg, tokenizer=tokenizer)
         convert = hf_import.colpali_params_from_hf
-
-    if dynamic_resolution:
-        # per-family flag name; the grouping protocol is shared
-        if family == "colqwen2":
-            processor.dynamic_resolution = True
-        elif family == "colgranite":
-            processor.anyres = processor.dynamic_resolution = True
-        elif family == "colidefics3":
-            processor.image_splitting = processor.dynamic_resolution = True
 
     ckpt = _find_checkpoint(name, checkpoint_dir)
     if ckpt is not None:

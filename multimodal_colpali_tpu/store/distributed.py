@@ -76,31 +76,35 @@ class DistributedCorpusView:
         self.local_rows = want_local
         self.shard_offset = jax.process_index() * want_local
 
+        self.local_real_rows = int(np.asarray(local_lens).shape[0])
+        self.real_rows = self.local_real_rows * jax.process_count()
+
         import ml_dtypes
 
         np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.float32
         self.d = make_global_corpus(vecs.astype(np_dtype), mesh, axis)
         self.d_lens = make_global_corpus(lens, mesh, axis)
 
-        # Stage-1/quantized representations, computed on the LOCAL rows and
-        # assembled globally (no process ever materializes the full corpus).
-        local_d = jnp.asarray(vecs, dtype)
-        local_l = jnp.asarray(lens)
-        codes, scales = quantize_corpus_int8(local_d)
-        self.d_int8 = make_global_corpus(np.asarray(codes), mesh, axis)
-        self.d_scale = make_global_corpus(
-            np.asarray(scales, np_dtype), mesh, axis)
+        # Stage-1/quantized representations derived from the already-sharded
+        # global corpus - per-page/elementwise ops, so GSPMD keeps them on
+        # the page shards; no process ever materializes a full or even an
+        # unsharded-local copy in one device's HBM.
+        codes, scales = quantize_corpus_int8(self.d)
+        self.d_int8, self.d_scale = codes, scales
         if pooled_centroids > 1:
-            pooled = pool_corpus_fps(local_d, local_l, k=pooled_centroids)
+            self.pooled = pool_corpus_fps(self.d, self.d_lens,
+                                          k=pooled_centroids)
         else:
-            pooled = pool_corpus(local_d, local_l)
-        self.pooled = make_global_corpus(np.asarray(pooled, np_dtype), mesh, axis)
+            self.pooled = pool_corpus(self.d, self.d_lens)
 
     def __len__(self) -> int:
-        return self.d.shape[0]
+        """Number of REAL pages (per-device padding rows excluded)."""
+        return self.real_rows
 
     def owns(self, global_id: int) -> bool:
         return self.shard_offset <= global_id < self.shard_offset + self.local_rows
+
+    _SCORE_FLOOR = -1e28  # below = masked/padding page
 
     def query(self, query: Any, limit: int = 5,
               oversampling: float = 2.0) -> Tuple[np.ndarray, np.ndarray]:
@@ -115,16 +119,19 @@ class DistributedCorpusView:
 
         q = np.asarray(query, np.float32)
         q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
-        k = min(limit, len(self))
+        k = min(limit, self.real_rows)
         if self.prefilter == "pooled":
             n_cand = min(max(int(np.ceil(limit * max(oversampling, 1.0))),
-                             limit), len(self))
+                             limit), self.d.shape[0])
             vals, ids = sharded_two_stage_maxsim_topk(
                 self.mesh, self.axis, jnp.asarray(q), jnp.int32(q.shape[0]),
                 self.pooled, self.d_int8, self.d_scale, self.d_lens,
                 k=k, n_candidates=n_cand, d_full=self.d)
-            return np.asarray(vals), np.asarray(ids)
-        vals, ids = sharded_maxsim_topk(
-            self.mesh, self.axis, jnp.asarray(q[None], self.d.dtype),
-            self.d, self.d_lens, k, use_pallas=False)
-        return np.asarray(vals[0]), np.asarray(ids[0])
+            vals, ids = np.asarray(vals), np.asarray(ids)
+        else:
+            vals, ids = sharded_maxsim_topk(
+                self.mesh, self.axis, jnp.asarray(q[None], self.d.dtype),
+                self.d, self.d_lens, k, use_pallas=False)
+            vals, ids = np.asarray(vals[0]), np.asarray(ids[0])
+        keep = vals > self._SCORE_FLOOR  # drop padding/masked pages
+        return vals[keep], ids[keep]
