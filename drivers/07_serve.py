@@ -47,7 +47,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from multimodal_colpali_tpu.generation.engine import (
-        ByteTokenizer, GemmaDecodeEngine)
+        ByteTokenizer, GemmaDecodeEngine, ModuloTokenizer)
     from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
     from multimodal_colpali_tpu.generation.server import GenerationServer
     from multimodal_colpali_tpu.models.registry import load_retriever
@@ -64,7 +64,9 @@ def main() -> None:
 
     tok = getattr(retriever.processor, "tokenizer", None)
     if tok is None or not hasattr(tok, "decode"):
-        tok = ByteTokenizer()  # reversible fallback (random-weight serving)
+        # fallback for random-weight serving: ids must fit the model vocab
+        vocab = cfg.text.vocab_size
+        tok = ByteTokenizer() if vocab > 259 else ModuloTokenizer(vocab)
 
     backend = engine
     batcher = None

@@ -447,3 +447,24 @@ class ByteTokenizer:
     def decode(self, ids: Sequence[int]) -> str:
         data = bytes(i for i in ids if 0 <= i < 256)
         return data.decode("utf-8", "replace")
+
+
+class ModuloTokenizer:
+    """Byte tokenizer folded into a small model vocab (random-weight
+    serving/tests): ids land in [2, vocab), distinct single-char texts get
+    distinct first tokens when the vocab allows, decode is a readable (but
+    non-reversible) id listing."""
+
+    def __init__(self, vocab_size: int):
+        self.pad_id = 0
+        self.bos_id = 1
+        self.eos_id = -1  # random LMs have no meaningful eos
+        self.vocab_size = vocab_size
+        self._span = max(vocab_size - 2, 1)
+
+    def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
+        ids = [2 + (b % self._span) for b in text.encode("utf-8")]
+        return ([self.bos_id] + ids) if add_special_tokens else ids
+
+    def decode(self, ids: Sequence[int]) -> str:
+        return " ".join(str(i) for i in ids)

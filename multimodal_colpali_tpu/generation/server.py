@@ -94,16 +94,54 @@ class GenerationServer:
 
     # -- protocol ------------------------------------------------------------
 
+    @staticmethod
+    def _schema_enum(req: Dict[str, Any]) -> Optional[tuple]:
+        """(field, choices) when response_format is a single-enum-field
+        json_schema (the reference's MCQ structured output,
+        02_experiment01.py:50-55 / generation/client.mcq_response_format)."""
+        rf = req.get("response_format") or {}
+        if rf.get("type") != "json_schema":
+            return None
+        props = (rf.get("json_schema", {}).get("schema", {})
+                 .get("properties", {}))
+        for field, spec in props.items():
+            if isinstance(spec, dict) and spec.get("enum"):
+                return field, list(spec["enum"])
+        return None
+
+    def _constrained_choice(self, prompt: str, field: str,
+                            choices: List[str]) -> str:
+        """Constrained decoding for enum outputs: force the JSON scaffold as
+        prompt text and pick the choice whose first token the model scores
+        highest - the serving-side equivalent of the structured parse the
+        reference gets from OpenAI (05_experiment02.py:49-50,297-298)."""
+        import json as _json
+
+        import numpy as np
+
+        engine = getattr(self.engine, "engine", self.engine)  # unwrap batcher
+        scaffold = prompt + f'\n{{"{field}": "'
+        ids = self.tokenizer.encode(scaffold, add_special_tokens=True)
+        logits = engine.next_token_logits([ids])[0]
+        first_tokens = [self.tokenizer.encode(c)[0] for c in choices]
+        best = choices[int(np.argmax([logits[t] for t in first_tokens]))]
+        return _json.dumps({field: best})
+
     def _complete(self, req: Dict[str, Any]) -> Dict[str, Any]:
         prompt = render_chat_prompt(req.get("messages", []))
         ids = self.tokenizer.encode(prompt, add_special_tokens=True)
         max_new = int(req.get("max_tokens") or self.default_max_new)
         temperature = float(req.get("temperature") or 0.0)
         eos_id = getattr(self.tokenizer, "eos_id", -1)
-        out = self.engine.generate(
-            [ids], max_new_tokens=max_new, temperature=temperature,
-            eos_id=eos_id, seed=int(req.get("seed") or 0))[0]
-        text = self.tokenizer.decode(out)
+        enum = self._schema_enum(req)
+        if enum is not None:
+            text = self._constrained_choice(prompt, *enum)
+            out = self.tokenizer.encode(text)
+        else:
+            out = self.engine.generate(
+                [ids], max_new_tokens=max_new, temperature=temperature,
+                eos_id=eos_id, seed=int(req.get("seed") or 0))[0]
+            text = self.tokenizer.decode(out)
         return {
             "id": f"chatcmpl-{int(time.time() * 1e3)}",
             "object": "chat.completion",

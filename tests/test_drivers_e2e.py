@@ -235,3 +235,50 @@ def test_serve_driver_end_to_end(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+@pytest.mark.e2e
+def test_experiment01_fully_local_generation(workspace):
+    """Flagship integration: experiment 01 with ZERO external services -
+    driver 07 serves the framework's own engine with constrained MCQ
+    structured outputs, and driver 02 evaluates against it."""
+    import time
+    import urllib.request
+
+    ws = workspace
+    env = _env("http://unused")
+    env.pop("OPENAI_BASE_URL")
+    serve = subprocess.Popen(
+        [sys.executable, str(DRIVERS / "07_serve.py"),
+         "--model", "tiny-colpali", "--port", "0",
+         "--slots", "2", "--max-seq-len", "192", "--dtype", "float32"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        line = ""
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            line = serve.stdout.readline()
+            if "[serve]" in line:
+                break
+        base = line.split(" on ")[1].split()[0]
+
+        results = ws / "results" / "local_eval"
+        results.mkdir(parents=True, exist_ok=True)
+        _run([sys.executable, str(DRIVERS / "02_experiment01.py"),
+              "--vllm_port", "1", "--model_name", "gpt-5",  # gpt* -> MCQ schema
+              "--filepath_output",
+              str(results / "eval_gpt5_no_RAG_no_perm_benchmark"),
+              "--vector_db", "", "--type", "",
+              "--qa_path", str(ws / "benchmark.csv"),
+              "--retriever", "tiny-colpali",
+              "--text-encoder-config", "tiny",
+              "--base-url", base, "--seed", "0"], _env(base))
+        pkls = sorted(results.glob("*.pkl"))
+        assert len(pkls) == 1
+        blob = pickle.load(open(pkls[0], "rb"))
+        answers = [r["answer"] for r in blob["evaluation"]]
+        assert len(answers) == 3
+        assert all(a in {"A", "B", "C", "D"} for a in answers), answers
+    finally:
+        serve.terminate()
+        serve.wait(timeout=10)
