@@ -68,6 +68,14 @@ def main() -> None:
         vocab = cfg.text.vocab_size
         tok = ByteTokenizer() if vocab > 259 else ModuloTokenizer(vocab)
 
+    # image-conditioned generation on the same weights (PaliGemma prefix)
+    mm_engine = image_pre = None
+    if hasattr(retriever.processor, "image_preprocessor"):
+        from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+
+        mm_engine = PaliGemmaEngine(cfg, retriever.params, dtype=dtype)
+        image_pre = retriever.processor.image_preprocessor
+
     backend = engine
     batcher = None
     if not args.no_batcher:
@@ -79,7 +87,9 @@ def main() -> None:
 
     srv = GenerationServer(backend, tok, model_name=args.model,
                            host=args.host, port=args.port,
-                           max_new_tokens=args.max_new_tokens).start()
+                           max_new_tokens=args.max_new_tokens,
+                           mm_engine=mm_engine,
+                           image_preprocessor=image_pre).start()
     print(f"[serve] {args.model} on {srv.base_url} "
           f"(slots={0 if args.no_batcher else args.slots})", flush=True)
     try:

@@ -26,16 +26,41 @@ from typing import Any, Dict, List, Optional
 
 def render_chat_prompt(messages: List[Dict[str, Any]]) -> str:
     """Flatten OpenAI chat messages into a plain prompt (text parts only)."""
+    return extract_chat_content(messages)[0]
+
+
+def extract_chat_content(messages: List[Dict[str, Any]]):
+    """-> (prompt text, [PIL images]) from OpenAI chat messages; image_url
+    parts carry base64 data URLs (the reference's encode_image_to_data_url
+    format, functions.py:715-729)."""
+    import base64
+    import io
+
     lines = []
+    images = []
     for m in messages:
         content = m.get("content", "")
         if isinstance(content, list):
-            content = " ".join(part.get("text", "") for part in content
-                               if isinstance(part, dict)
-                               and part.get("type") == "text")
+            texts = []
+            for part in content:
+                if not isinstance(part, dict):
+                    continue
+                if part.get("type") == "text":
+                    texts.append(part.get("text", ""))
+                elif part.get("type") == "image_url":
+                    url = (part.get("image_url") or {}).get("url", "")
+                    if url.startswith("data:"):
+                        try:
+                            from PIL import Image
+
+                            raw = base64.b64decode(url.split(",", 1)[1])
+                            images.append(Image.open(io.BytesIO(raw)).convert("RGB"))
+                        except Exception:  # noqa: BLE001 - bad image -> skip
+                            pass
+            content = " ".join(texts)
         lines.append(f"{m.get('role', 'user')}: {content}")
     lines.append("assistant:")
-    return "\n".join(lines)
+    return "\n".join(lines), images
 
 
 class GenerationServer:
@@ -48,11 +73,18 @@ class GenerationServer:
 
     def __init__(self, engine: Any, tokenizer: Any, model_name: str = "local",
                  host: str = "127.0.0.1", port: int = 0,
-                 max_new_tokens: int = 128):
+                 max_new_tokens: int = 128,
+                 mm_engine: Any = None, image_preprocessor: Any = None):
+        """``mm_engine`` (a PaliGemmaEngine) + ``image_preprocessor`` enable
+        multimodal requests: messages carrying image_url data URLs generate
+        conditioned on the image, the role the reference fills with remote
+        VLM servers (functions.py:1036-1064 sends exactly this shape)."""
         self.engine = engine
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.default_max_new = max_new_tokens
+        self.mm_engine = mm_engine
+        self.image_preprocessor = image_preprocessor
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -128,7 +160,7 @@ class GenerationServer:
         return _json.dumps({field: best})
 
     def _complete(self, req: Dict[str, Any]) -> Dict[str, Any]:
-        prompt = render_chat_prompt(req.get("messages", []))
+        prompt, images = extract_chat_content(req.get("messages", []))
         ids = self.tokenizer.encode(prompt, add_special_tokens=True)
         max_new = int(req.get("max_tokens") or self.default_max_new)
         temperature = float(req.get("temperature") or 0.0)
@@ -137,6 +169,19 @@ class GenerationServer:
         if enum is not None:
             text = self._constrained_choice(prompt, *enum)
             out = self.tokenizer.encode(text)
+        elif images and self.mm_engine is not None:
+            # image-conditioned generation (first image = the PaliGemma
+            # prefix; multi-image prompts are a round-3 candidate)
+            pix = self.image_preprocessor([images[0]])
+            text_ids = self.tokenizer.encode(prompt)
+            mm_prompt = self.mm_engine.build_mm_prompt(
+                text_ids, bos_id=getattr(self.tokenizer, "bos_id", 2),
+                newline_ids=self.tokenizer.encode("\n"))
+            out = self.mm_engine.generate(
+                [mm_prompt], pix, max_new_tokens=max_new,
+                temperature=temperature, eos_id=eos_id,
+                seed=int(req.get("seed") or 0))[0]
+            text = self.tokenizer.decode(out)
         else:
             out = self.engine.generate(
                 [ids], max_new_tokens=max_new, temperature=temperature,

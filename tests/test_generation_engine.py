@@ -435,3 +435,52 @@ def test_full_rag_loop_tpu_native(tiny_lm, tmp_path):
     # deterministic greedy: the same retrieval + generation reproduces
     assert eng.generate([prompt], pix, max_new_tokens=6,
                         bucket=len(prompt))[0] == out
+
+
+def test_server_multimodal_requests(tiny_lm):
+    """Messages carrying image data URLs (the reference's VLM request shape,
+    functions.py:715-729) must generate conditioned on the image."""
+    from PIL import Image
+
+    from multimodal_colpali_tpu.generation.engine import (
+        ModuloTokenizer, PaliGemmaEngine)
+    from multimodal_colpali_tpu.generation.messages import pil_image_to_data_url
+    from multimodal_colpali_tpu.generation.client import get_responses, run_sync
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+    from multimodal_colpali_tpu.models.colpali import ColPaliModel
+    from multimodal_colpali_tpu.models.processing import ImagePreprocessor
+    from multimodal_colpali_tpu.models.registry import fast_random_params
+
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    params = jax.tree.map(jnp.asarray,
+                          fast_random_params(ColPaliModel(cfg), cfg, seed=3))
+    tcfg = cfg.text
+    eng = GemmaDecodeEngine(tcfg, params)
+    mm = PaliGemmaEngine(cfg, params)
+    tok = ModuloTokenizer(tcfg.vocab_size)
+    pre = ImagePreprocessor(cfg.vision.image_size)
+
+    rng = np.random.default_rng(0)
+    mk = lambda s: Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8))
+
+    def ask(srv, img):
+        msg = [{"role": "user", "content": [
+            {"type": "text", "text": "describe the figure"},
+            {"type": "image_url",
+             "image_url": {"url": pil_image_to_data_url(img)}},
+        ]}]
+        return run_sync(get_responses(
+            "tiny", 0, [msg], base_url=srv.base_url,
+            extra_body={"max_tokens": 8, "seed": 0}))[0]
+
+    black = Image.new("RGB", (64, 64), (0, 0, 0))
+    white = Image.new("RGB", (64, 64), (255, 255, 255))
+    with GenerationServer(eng, tok, mm_engine=mm,
+                          image_preprocessor=pre) as srv:
+        a_black = ask(srv, black)
+        a_black2 = ask(srv, black)
+        a_white = ask(srv, white)
+    assert a_black and "[error]" not in a_black
+    assert all(0 <= int(t) < tcfg.vocab_size for t in a_black.split())
+    assert a_black == a_black2          # deterministic greedy
+    assert a_black != a_white           # the image actually conditions output
