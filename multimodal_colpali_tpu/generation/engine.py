@@ -415,6 +415,42 @@ class PaliGemmaEngine:
             results.append(toks)
         return results
 
+    def next_token_logits(self, prompts: Sequence[Sequence[int]],
+                          pixel_values, pad_id: int = 0,
+                          bucket: int = 16) -> np.ndarray:
+        """Image-conditioned prefill-only logits [B, V] (bidirectional
+        prefix) - the multimodal constrained-decoding surface."""
+        s = max(max(len(pr) for pr in prompts), 1)
+        s = ((s + bucket - 1) // bucket) * bucket
+        b = len(prompts)
+        ids = np.full((b, s), pad_id, np.int32)
+        mask = np.zeros((b, s), np.int32)
+        for n, pr in enumerate(prompts):
+            ids[n, -len(pr):] = pr
+            mask[n, -len(pr):] = 1
+
+        key = ("prefill", s)
+        if key not in self._jit_cache:
+            c = self.cfg.text
+            eng = self.lm
+
+            def run(p, ids, mask, pix):
+                bb = ids.shape[0]
+                kc = tuple(
+                    jnp.zeros((bb, s, c.num_key_value_heads, c.head_dim),
+                              eng.dtype)
+                    for _ in range(c.num_hidden_layers))
+                positions = jnp.cumsum(mask, axis=1)
+                x = self._merged_embeds(ids, pix)
+                hidden, _ = eng._chunk(p, x, positions, kc, kc, 0,
+                                       mask.astype(bool), causal=False)
+                return eng._logits(p, hidden[:, -1])
+
+            self._jit_cache[key] = jax.jit(run)
+        return np.asarray(self._jit_cache[key](
+            self.lm.params, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(pixel_values)))
+
     def build_mm_prompt(self, text_ids: Sequence[int], bos_id: int = 2,
                         newline_ids: Sequence[int] = ()) -> List[int]:
         """PaliGemma prompt layout: [image]*n_patches + bos + text (+ the

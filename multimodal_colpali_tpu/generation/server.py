@@ -142,20 +142,29 @@ class GenerationServer:
         return None
 
     def _constrained_choice(self, prompt: str, field: str,
-                            choices: List[str]) -> str:
+                            choices: List[str], images=None) -> str:
         """Constrained decoding for enum outputs: force the JSON scaffold as
         prompt text and pick the choice whose first token the model scores
         highest - the serving-side equivalent of the structured parse the
-        reference gets from OpenAI (05_experiment02.py:49-50,297-298)."""
+        reference gets from OpenAI (05_experiment02.py:49-50,297-298).
+        With images and a multimodal engine, the logits are conditioned on
+        the first image (exp-02's image-context MCQ requests)."""
         import json as _json
 
         import numpy as np
 
-        engine = getattr(self.engine, "engine", self.engine)  # unwrap batcher
         scaffold = prompt + f'\n{{"{field}": "'
-        ids = self.tokenizer.encode(scaffold, add_special_tokens=True)
-        logits = engine.next_token_logits([ids])[0]
         first_tokens = [self.tokenizer.encode(c)[0] for c in choices]
+        if images and self.mm_engine is not None:
+            pix = self.image_preprocessor([images[0]])
+            ids = self.mm_engine.build_mm_prompt(
+                self.tokenizer.encode(scaffold),
+                bos_id=getattr(self.tokenizer, "bos_id", 2))
+            logits = self.mm_engine.next_token_logits([ids], pix)[0]
+        else:
+            engine = getattr(self.engine, "engine", self.engine)  # unwrap batcher
+            ids = self.tokenizer.encode(scaffold, add_special_tokens=True)
+            logits = engine.next_token_logits([ids])[0]
         best = choices[int(np.argmax([logits[t] for t in first_tokens]))]
         return _json.dumps({field: best})
 
@@ -167,7 +176,7 @@ class GenerationServer:
         eos_id = getattr(self.tokenizer, "eos_id", -1)
         enum = self._schema_enum(req)
         if enum is not None:
-            text = self._constrained_choice(prompt, *enum)
+            text = self._constrained_choice(prompt, *enum, images=images)
             out = self.tokenizer.encode(text)
         elif images and self.mm_engine is not None:
             # image-conditioned generation (first image = the PaliGemma

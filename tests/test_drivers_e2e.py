@@ -282,3 +282,48 @@ def test_experiment01_fully_local_generation(workspace):
     finally:
         serve.terminate()
         serve.wait(timeout=10)
+
+
+@pytest.mark.e2e
+def test_experiment02_fully_local_multimodal(workspace):
+    """Experiment 02 with zero external services: image-context MCQ
+    requests served by the framework's own multimodal engine (driver 07),
+    constrained choices conditioned on the retrieved page images."""
+    import time
+
+    ws = workspace
+    env = _env("http://unused")
+    env.pop("OPENAI_BASE_URL")
+    serve = subprocess.Popen(
+        [sys.executable, str(DRIVERS / "07_serve.py"),
+         "--model", "tiny-colpali", "--port", "0",
+         "--no-batcher", "--max-seq-len", "256", "--dtype", "float32"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        line = ""
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            line = serve.stdout.readline()
+            if "[serve]" in line:
+                break
+        base = line.split(" on ")[1].split()[0]
+
+        results = ws / "results" / "local_evals"
+        _run([sys.executable, str(DRIVERS / "05_experiment02.py"),
+              "--qa_path", str(ws / "benchmark.csv"),
+              "--pdf_dir", str(ws / "papers"),
+              "--results_dir", str(results),
+              "--cache_dir", str(ws / "cache_local"),
+              "--models", "gpt-5",
+              "--retrievers", "tiny-colpali",
+              "--iterations", "1", "--top_k", "1", "--context",
+              "--base-url", base, "--seed", "0"], _env(base))
+        csvs = sorted(results.glob("eval_*.csv"))
+        assert len(csvs) == 1
+        df = pd.read_csv(csvs[0])
+        assert set(df["Answer"]) <= {"A", "B", "C", "D"}, df["Answer"]
+        refs = eval(df["Context_papers"].iloc[0])
+        assert refs and all("_pg_" in r for r in refs)
+    finally:
+        serve.terminate()
+        serve.wait(timeout=10)
