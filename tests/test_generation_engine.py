@@ -484,3 +484,33 @@ def test_server_multimodal_requests(tiny_lm):
     assert all(0 <= int(t) < tcfg.vocab_size for t in a_black.split())
     assert a_black == a_black2          # deterministic greedy
     assert a_black != a_white           # the image actually conditions output
+
+
+def test_batcher_fuzz_against_engine(tiny_lm):
+    """Property test: random prompts/budgets under random admission
+    patterns must reproduce isolated engine generations exactly (greedy)."""
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    rng = np.random.default_rng(42)
+    reqs = []
+    for _ in range(9):
+        n = int(rng.integers(1, 24))
+        prompt = rng.integers(2, tcfg.vocab_size - 2, n).tolist()
+        budget = int(rng.integers(1, 10))
+        reqs.append((prompt, budget))
+    want = [eng.generate([p], max_new_tokens=b)[0] for p, b in reqs]
+
+    bat = ContinuousBatcher(eng, batch_slots=3, max_seq_len=64, chunk=2)
+    futs = []
+    for i, (p, b) in enumerate(reqs):
+        futs.append(bat.submit(p, max_new_tokens=b))
+        if i % 3 == 2:  # interleave admission with decoding
+            with bat._lock:
+                bat._admit()
+                if any(r is not None for r in bat._slots):
+                    bat._step_chunk()
+    bat.drain()
+    got = [f.result(timeout=120) for f in futs]
+    assert got == want
