@@ -79,6 +79,8 @@ def invoke(spec: RunSpec, args: argparse.Namespace) -> int:
         ("--qa_path", args.qa_path),
         ("--base-url", args.base_url),
         ("--storage-path", args.storage_path),
+        ("--retriever", args.retriever),
+        ("--text-encoder-config", args.text_encoder_config),
     ):
         if value:
             cmd += [flag, value]
@@ -102,6 +104,9 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--qa_path", default=None, help="Forwarded to the eval driver.")
     p.add_argument("--base-url", default=None, help="Forwarded to the eval driver.")
     p.add_argument("--storage-path", default=None, help="Forwarded to the eval driver.")
+    p.add_argument("--retriever", default=None, help="Forwarded to the eval driver.")
+    p.add_argument("--text-encoder-config", default=None,
+                   help="Forwarded to the eval driver.")
     return p.parse_args()
 
 

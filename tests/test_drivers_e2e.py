@@ -327,3 +327,52 @@ def test_experiment02_fully_local_multimodal(workspace):
     finally:
         serve.terminate()
         serve.wait(timeout=10)
+
+
+@pytest.mark.e2e
+def test_sweep_driver_end_to_end(workspace):
+    """Driver 03 drives the full mode x permutation matrix through real 02
+    subprocesses; 04 then aggregates every leg (incl. the no_perm runs the
+    reference's greedy regex dropped)."""
+    ws = workspace
+    with FakeOpenAIServer(lambda req: json.dumps({"answer": "B"})
+                          if req.get("response_format") else "B") as srv:
+        env = _env(srv.base_url)
+        # index the corpus first (independent of test_full_pipeline ordering)
+        _run([sys.executable, str(DRIVERS / "01_create_context.py"),
+              "--papers-dir", str(ws / "papers"),
+              "--vd-dir", str(ws / "vd"),
+              "--models-config", str(ws / "models.json"),
+              "--prompts-path", "",
+              "--text-encoder-config", "tiny"], env)
+        results = ws / "results" / "eval"   # driver 03 writes ./results/eval
+        r = subprocess.run(
+            [sys.executable, str(DRIVERS / "03_experiment01_run.py"),
+             "--vllm_port", "1", "--model_name", "gpt-5",
+             "--model_name_short", "sweep",
+             "--vd_mm_name", "RAG_MM_gemma3", "--vd_colpali_name", "colpali",
+             "--vd_text_name", "RAG_TEXT", "--repeats", "1", "--top_k", "1",
+             "--qa_path", str(ws / "benchmark.csv"),
+             "--storage-path", str(ws / "vd" / "storage"),
+             "--retriever", "tiny-colpali",
+             "--text-encoder-config", "tiny",
+             "--base-url", srv.base_url],
+            env=env, cwd=str(ws), capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-1000:]
+        pkls = sorted(results.glob("eval_sweep_*.pkl"))
+        assert len(pkls) == 8  # 4 modes x 2 permutation settings
+        stems = {p.stem for p in pkls}
+        for mode in ("no_RAG", "text_RAG", "mm_RAG", "colpali"):
+            assert any(f"_{mode}_perm_" in s for s in stems), stems
+            assert any(f"_{mode}_no_perm_" in s for s in stems), stems
+
+        _run([sys.executable, str(DRIVERS / "04_experiment01_eval.py"),
+              "--eval-dir", str(results),
+              "--benchmark-path", str(ws / "benchmark.csv"),
+              "--summary-path", str(ws / "results" / "sweep_results.xlsx"),
+              "--majority-path", str(ws / "results" / "sweep_maj.xlsx"),
+              "--full-path", str(ws / "results" / "sweep_full.xlsx")], env)
+        full = pd.read_csv(ws / "results" / "sweep_full.csv")
+        assert set(full["vd_name"].unique()) == {
+            "no_RAG", "text_RAG", "mm_RAG", "colpali"}
+        assert set(full["permuted_answers"].unique()) == {True, False}
