@@ -55,7 +55,8 @@ class ContinuousBatcher:
 
     def __init__(self, engine: GemmaDecodeEngine, batch_slots: int = 4,
                  max_seq_len: int = 512, chunk: int = 8,
-                 prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0):
+                 prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0,
+                 prefill_cache_entries: int = 8):
         self.engine = engine
         self.cfg = engine.cfg
         self.B = batch_slots
@@ -83,6 +84,15 @@ class ContinuousBatcher:
         self._slots: List[Optional[_Request]] = [None] * self.B
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._jit: Dict[Any, Any] = {}
+        # Exact-prompt prefill cache (LRU): RAG evaluation sweeps re-ask the
+        # same questions across repeats/iterations, so identical prompts
+        # skip the prefill forward entirely. K/V rows stay on device; size
+        # the entry budget for the model (rows are s * 2L * Hkv * D each).
+        from collections import OrderedDict
+
+        self._prefill_cache: "OrderedDict[Any, Any]" = OrderedDict()
+        self._prefill_cache_entries = prefill_cache_entries
+        self.prefill_cache_hits = 0
         self._lock = threading.Lock()
         self._serving = False
         self._thread: Optional[threading.Thread] = None
@@ -227,15 +237,25 @@ class ContinuousBatcher:
                 return
             s = max(((len(req.prompt) + self.bucket - 1) // self.bucket)
                     * self.bucket, self.bucket)
-            if ("prefill", s) not in self._jit:
-                self._jit[("prefill", s)] = self._prefill_fn(s)
-            ids = np.full((1, s), self.pad_id, np.int32)
-            mask = np.zeros((1, s), np.int32)
-            if req.prompt:
-                ids[0, -len(req.prompt):] = req.prompt
-                mask[0, -len(req.prompt):] = 1
-            k, v, logits, last_pos = self._jit[("prefill", s)](
-                self.engine.params, jnp.asarray(ids), jnp.asarray(mask))
+            cache_key = (s, tuple(req.prompt))
+            if cache_key in self._prefill_cache:
+                k, v, logits, last_pos = self._prefill_cache[cache_key]
+                self._prefill_cache.move_to_end(cache_key)
+                self.prefill_cache_hits += 1
+            else:
+                if ("prefill", s) not in self._jit:
+                    self._jit[("prefill", s)] = self._prefill_fn(s)
+                ids = np.full((1, s), self.pad_id, np.int32)
+                mask = np.zeros((1, s), np.int32)
+                if req.prompt:
+                    ids[0, -len(req.prompt):] = req.prompt
+                    mask[0, -len(req.prompt):] = 1
+                k, v, logits, last_pos = self._jit[("prefill", s)](
+                    self.engine.params, jnp.asarray(ids), jnp.asarray(mask))
+                if self._prefill_cache_entries > 0:
+                    self._prefill_cache[cache_key] = (k, v, logits, last_pos)
+                    while len(self._prefill_cache) > self._prefill_cache_entries:
+                        self._prefill_cache.popitem(last=False)
             # first generated token (prefill output)
             if req.temperature > 0:
                 key = jax.random.fold_in(jax.random.PRNGKey(req.seed), 0)

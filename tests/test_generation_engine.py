@@ -514,3 +514,21 @@ def test_batcher_fuzz_against_engine(tiny_lm):
     bat.drain()
     got = [f.result(timeout=120) for f in futs]
     assert got == want
+
+
+def test_prefill_cache_reuses_identical_prompts(tiny_lm):
+    """Evaluation sweeps re-ask the same questions: the second identical
+    request must skip prefill (cache hit) yet produce identical tokens."""
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = ContinuousBatcher(eng, batch_slots=1, max_seq_len=64, chunk=4)
+    first = bat.generate([[5, 9, 17, 3]], max_new_tokens=5)[0]
+    assert bat.prefill_cache_hits == 0
+    second = bat.generate([[5, 9, 17, 3]], max_new_tokens=5)[0]
+    assert bat.prefill_cache_hits == 1
+    assert second == first
+    # a different prompt misses
+    bat.generate([[7, 7]], max_new_tokens=3)
+    assert bat.prefill_cache_hits == 1
