@@ -347,3 +347,13 @@ def test_pipelined_embedder_dynamic_resolution(tmp_path, rng):
     np.testing.assert_allclose(by_name["b.pdf"], want[1], atol=2e-2)
     # really different grids (the pipeline had to split the batch)
     assert r.processor.smart_grid(imgs[0]) != r.processor.smart_grid(imgs[1])
+
+
+def test_table_detector_no_false_positives(sample_pdf):
+    """Ordinary single-column paragraph pages must yield NO type=table docs
+    (precision matters: a false table pollutes the text collections)."""
+    from multimodal_colpali_tpu.ingest.tables import detect_tables
+
+    doc = PdfDocument(sample_pdf)
+    for page in range(len(doc)):
+        assert detect_tables(doc.extract_runs(page)) == []
