@@ -29,4 +29,11 @@ if _os.environ.get("MMCP_JAX_PLATFORMS"):
 
     _jax.config.update("jax_platforms", _os.environ["MMCP_JAX_PLATFORMS"])
 
+if _os.environ.get("MMCP_FUSED_ATTENTION") == "1":
+    # Opt-in fused-attention Pallas kernel for the encoder hot path; flip on
+    # after scripts/tpu_validate.py confirms hardware parity.
+    from multimodal_colpali_tpu.models import layers as _layers
+
+    _layers.set_fused_attention(True)
+
 from multimodal_colpali_tpu.documents import Document  # noqa: F401
