@@ -182,6 +182,26 @@ def bench_retrieval(jax, jnp, backend: str) -> dict:
     log(f"[bench] two-stage p50 ~= {per_query_ms:.3f} ms/query over {P} pages "
         f"(overhead-corrected; raw n=1 incl dispatch: {base*1e3:.1f} ms)")
 
+    # Diagnostic: the FPS multi-token prefilter (recall insurance for
+    # multi-topic corpora, pooled_centroids=4) makes stage 1 a [P, 4, DIM]
+    # scan; measure the query-path latency with a synthetic 4-centroid
+    # representation (index-build cost is one-time and off the query path).
+    try:
+        pooled4 = jax.random.normal(jax.random.PRNGKey(3), (P, 4, DIM),
+                                    dtype=jnp.bfloat16)
+        np.asarray(chain(q, q_len, pooled4, d_int8, d_scale, d_lens, 1)[0])
+        t6 = time.time()
+        np.asarray(chain(q, q_len, pooled4, d_int8, d_scale, d_lens, 1)[0])
+        t7 = time.time()
+        np.asarray(chain(q, q_len, pooled4, d_int8, d_scale, d_lens, N)[0])
+        t8 = time.time()
+        np.asarray(chain(q, q_len, pooled4, d_int8, d_scale, d_lens, N)[0])
+        t9 = time.time()
+        fps_ms = max((t9 - t8 - (t7 - t6)) / (N - 1) * 1e3, 1e-3)
+        log(f"[bench] two-stage p50 with 4-centroid prefilter: {fps_ms:.3f} ms/query")
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] multi-centroid diagnostic skipped: {e}")
+
     # Diagnostic: exact bf16 kernel bandwidth on a slice.
     try:
         p_small = min(4096, P)
