@@ -65,8 +65,9 @@ def main() -> None:
     tok = getattr(retriever.processor, "tokenizer", None)
     if tok is None or not hasattr(tok, "decode"):
         # fallback for random-weight serving: ids must fit the model vocab
+        # (ByteTokenizer's ids span 0..258)
         vocab = cfg.text.vocab_size
-        tok = ByteTokenizer() if vocab > 259 else ModuloTokenizer(vocab)
+        tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
 
     # image-conditioned generation on the same weights (PaliGemma prefix)
     mm_engine = image_pre = None

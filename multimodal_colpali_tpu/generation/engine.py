@@ -487,16 +487,21 @@ class ByteTokenizer:
 
 class ModuloTokenizer:
     """Byte tokenizer folded into a small model vocab (random-weight
-    serving/tests): ids land in [2, vocab), distinct single-char texts get
+    serving/tests): ids land in [2, vocab-6), distinct single-char texts get
     distinct first tokens when the vocab allows, decode is a readable (but
-    non-reversible) id listing."""
+    non-reversible) id listing.
+
+    The top ids are deliberately left unused: tiny configs place
+    image/vision-marker token ids at the top of the vocab, and a text byte
+    folding onto image_token_id would silently turn prose into image slots
+    in the multimodal paths."""
 
     def __init__(self, vocab_size: int):
         self.pad_id = 0
         self.bos_id = 1
         self.eos_id = -1  # random LMs have no meaningful eos
         self.vocab_size = vocab_size
-        self._span = max(vocab_size - 2, 1)
+        self._span = max(vocab_size - 8, 1)
 
     def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
         ids = [2 + (b % self._span) for b in text.encode("utf-8")]

@@ -154,7 +154,16 @@ class GenerationServer:
         import numpy as np
 
         scaffold = prompt + f'\n{{"{field}": "'
-        first_tokens = [self.tokenizer.encode(c)[0] for c in choices]
+        # Context-aware choice tokens: tokenize scaffold+choice and take the
+        # first token PAST the scaffold - encode(choice) alone returns the
+        # standalone form (or a BOS) under SentencePiece/BPE tokenizers,
+        # which scores the wrong vocabulary rows.
+        base_len = len(self.tokenizer.encode(scaffold))
+        first_tokens = []
+        for c in choices:
+            full = self.tokenizer.encode(scaffold + c)
+            first_tokens.append(full[base_len] if len(full) > base_len
+                                else full[-1])
         if images and self.mm_engine is not None:
             pix = self.image_preprocessor([images[0]])
             ids = self.mm_engine.build_mm_prompt(
@@ -178,6 +187,7 @@ class GenerationServer:
         if enum is not None:
             text = self._constrained_choice(prompt, *enum, images=images)
             out = self.tokenizer.encode(text)
+            finish = "stop"  # constrained decoding always completes
         elif images and self.mm_engine is not None:
             # image-conditioned generation (first image = the PaliGemma
             # prefix; multi-image prompts are a round-3 candidate)
@@ -186,16 +196,19 @@ class GenerationServer:
             mm_prompt = self.mm_engine.build_mm_prompt(
                 text_ids, bos_id=getattr(self.tokenizer, "bos_id", 2),
                 newline_ids=self.tokenizer.encode("\n"))
+            ids = mm_prompt  # usage accounting includes the image tokens
             out = self.mm_engine.generate(
                 [mm_prompt], pix, max_new_tokens=max_new,
                 temperature=temperature, eos_id=eos_id,
                 seed=int(req.get("seed") or 0))[0]
             text = self.tokenizer.decode(out)
+            finish = "stop" if len(out) < max_new else "length"
         else:
             out = self.engine.generate(
                 [ids], max_new_tokens=max_new, temperature=temperature,
                 eos_id=eos_id, seed=int(req.get("seed") or 0))[0]
             text = self.tokenizer.decode(out)
+            finish = "stop" if len(out) < max_new else "length"
         return {
             "id": f"chatcmpl-{int(time.time() * 1e3)}",
             "object": "chat.completion",
@@ -204,7 +217,7 @@ class GenerationServer:
             "choices": [{
                 "index": 0,
                 "message": {"role": "assistant", "content": text},
-                "finish_reason": "stop" if len(out) < max_new else "length",
+                "finish_reason": finish,
             }],
             "usage": {
                 "prompt_tokens": len(ids),

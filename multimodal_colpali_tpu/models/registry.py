@@ -306,16 +306,22 @@ def _load_tokenizer_from(ckpt_dir: str) -> Optional[Any]:
         return None
 
     class _Wrapped:
-        """Adds the special-id attributes the processors expect."""
+        """Adds the special-id attributes the processors expect; decode is
+        part of the surface so the generation server can serve real
+        checkpoints with their own vocabulary."""
 
         def __init__(self, t):
             self._t = t
             self.pad_id = t.pad_token_id if t.pad_token_id is not None else 0
             self.bos_id = t.bos_token_id if t.bos_token_id is not None else 2
             self.eos_id = t.eos_token_id if t.eos_token_id is not None else 1
+            self.vocab_size = getattr(t, "vocab_size", None)
 
         def encode(self, text, add_special_tokens=False):
             return self._t.encode(text, add_special_tokens=add_special_tokens)
+
+        def decode(self, ids):
+            return self._t.decode(ids, skip_special_tokens=True)
 
     return _Wrapped(tok)
 

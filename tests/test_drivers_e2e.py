@@ -195,6 +195,23 @@ def test_sweep_matrix_stub_matches_aggregator_regex():
         assert m["perm_flag"] == spec.perm_label
 
 
+def _wait_for_serve(proc, timeout=180):
+    """Wait for driver 07's startup line; surface its output if it dies."""
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        line = proc.stdout.readline()
+        if "[serve]" in line:
+            return line.split(" on ")[1].split()[0]
+        if line == "" and proc.poll() is not None:
+            break
+        if line == "":
+            time.sleep(0.1)
+    rest = proc.stdout.read() if proc.poll() is not None else ""
+    raise AssertionError(f"serve driver did not start: {rest[-2000:]}")
+
+
 def test_serve_driver_end_to_end(tmp_path):
     """Driver 07 boots the generation tier (the reference's docker/vLLM
     bootstrap role) and answers OpenAI-protocol requests."""
@@ -210,14 +227,7 @@ def test_serve_driver_end_to_end(tmp_path):
          "--slots", "2", "--max-seq-len", "128", "--dtype", "float32"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
-        line = ""
-        deadline = time.time() + 180
-        while time.time() < deadline:
-            line = proc.stdout.readline()
-            if "[serve]" in line:
-                break
-        assert "[serve]" in line, line
-        base = line.split(" on ")[1].split()[0]
+        base = _wait_for_serve(proc)
         with urllib.request.urlopen(base.removesuffix("/v1") + "/health",
                                     timeout=10) as r:
             assert _json.load(r)["status"] == "ok"
@@ -254,13 +264,7 @@ def test_experiment01_fully_local_generation(workspace):
          "--slots", "2", "--max-seq-len", "192", "--dtype", "float32"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
-        line = ""
-        deadline = time.time() + 180
-        while time.time() < deadline:
-            line = serve.stdout.readline()
-            if "[serve]" in line:
-                break
-        base = line.split(" on ")[1].split()[0]
+        base = _wait_for_serve(serve)
 
         results = ws / "results" / "local_eval"
         results.mkdir(parents=True, exist_ok=True)
@@ -300,13 +304,7 @@ def test_experiment02_fully_local_multimodal(workspace):
          "--no-batcher", "--max-seq-len", "256", "--dtype", "float32"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
-        line = ""
-        deadline = time.time() + 180
-        while time.time() < deadline:
-            line = serve.stdout.readline()
-            if "[serve]" in line:
-                break
-        base = line.split(" on ")[1].split()[0]
+        base = _wait_for_serve(serve)
 
         results = ws / "results" / "local_evals"
         _run([sys.executable, str(DRIVERS / "05_experiment02.py"),

@@ -460,9 +460,6 @@ def test_server_multimodal_requests(tiny_lm):
     tok = ModuloTokenizer(tcfg.vocab_size)
     pre = ImagePreprocessor(cfg.vision.image_size)
 
-    rng = np.random.default_rng(0)
-    mk = lambda s: Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8))
-
     def ask(srv, img):
         msg = [{"role": "user", "content": [
             {"type": "text", "text": "describe the figure"},
@@ -473,17 +470,37 @@ def test_server_multimodal_requests(tiny_lm):
             "tiny", 0, [msg], base_url=srv.base_url,
             extra_body={"max_tokens": 8, "seed": 0}))[0]
 
+    def ask_raw(srv, img):
+        import json as _json
+        import urllib.request
+
+        msg = [{"role": "user", "content": [
+            {"type": "text", "text": "describe the figure"},
+            {"type": "image_url",
+             "image_url": {"url": pil_image_to_data_url(img)}},
+        ]}]
+        req = urllib.request.Request(
+            srv.base_url + "/chat/completions",
+            data=_json.dumps({"model": "tiny", "max_tokens": 8,
+                              "messages": msg}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return _json.load(r)
+
     black = Image.new("RGB", (64, 64), (0, 0, 0))
-    white = Image.new("RGB", (64, 64), (255, 255, 255))
     with GenerationServer(eng, tok, mm_engine=mm,
                           image_preprocessor=pre) as srv:
-        a_black = ask(srv, black)
-        a_black2 = ask(srv, black)
-        a_white = ask(srv, white)
-    assert a_black and "[error]" not in a_black
-    assert all(0 <= int(t) < tcfg.vocab_size for t in a_black.split())
-    assert a_black == a_black2          # deterministic greedy
-    assert a_black != a_white           # the image actually conditions output
+        a1 = ask(srv, black)
+        a2 = ask(srv, black)
+        raw = ask_raw(srv, black)
+    assert a1 and "[error]" not in a1
+    assert all(0 <= int(t) < tcfg.vocab_size for t in a1.split())
+    assert a1 == a2                       # deterministic greedy
+    # proof the MULTIMODAL branch served it: prompt accounting includes the
+    # PaliGemma image-token prefix (num_patches), not just the text tokens
+    n_text = len(tok.encode("user: describe the figure\nassistant:",
+                            add_special_tokens=True))
+    assert raw["usage"]["prompt_tokens"] >= n_text + cfg.vision.num_patches
 
 
 def test_batcher_fuzz_against_engine(tiny_lm):
