@@ -82,8 +82,8 @@ def main() -> None:
     if not args.no_batcher:
         batcher = ContinuousBatcher(
             engine, batch_slots=args.slots, max_seq_len=args.max_seq_len,
-            chunk=args.chunk,
-            eos_id=getattr(tok, "eos_id", -1)).serve()
+            chunk=args.chunk, eos_id=getattr(tok, "eos_id", -1),
+            mm_engine=mm_engine).serve()
         backend = batcher
 
     srv = GenerationServer(backend, tok, model_name=args.model,

@@ -48,6 +48,7 @@ class _Request:
     eos_id: int = -1
     tokens: List[int] = dataclasses.field(default_factory=list)
     slot: int = -1
+    pixel_values: Optional[np.ndarray] = None  # [1, H, W, 3] -> multimodal
 
 
 class ContinuousBatcher:
@@ -56,8 +57,16 @@ class ContinuousBatcher:
     def __init__(self, engine: GemmaDecodeEngine, batch_slots: int = 4,
                  max_seq_len: int = 512, chunk: int = 8,
                  prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0,
-                 prefill_cache_entries: int = 8):
+                 prefill_cache_entries: int = 8, mm_engine: Any = None):
+        """``mm_engine`` (a PaliGemmaEngine over the same weights/dtype as
+        ``engine``) enables multimodal requests: an image-conditioned prompt
+        prefills through the PaliGemma path (merged image embeds,
+        bidirectional prefix, 1-indexed positions) and then decodes in the
+        SAME slot batch as text requests - one scheduler serves both
+        modalities, the role vLLM's multimodal batching plays for the
+        reference's remote VLMs (functions.py:1036-1064)."""
         self.engine = engine
+        self.mm_engine = mm_engine
         self.cfg = engine.cfg
         self.B = batch_slots
         self.T = max_seq_len
@@ -112,6 +121,26 @@ class ContinuousBatcher:
             x = eng._embed(p, ids)
             hidden, (k, v) = eng._chunk(p, x, positions, kc, kc, 0,
                                         mask.astype(bool))
+            return k, v, eng._logits(p, hidden[:, -1])[0], positions[0, -1]
+
+        return jax.jit(run)
+
+    def _mm_prefill_fn(self, s: int):
+        """Multimodal prefill: image embeds merged into the <image> slots,
+        bidirectional prefix attention, 1-indexed positions (HF PaliGemma
+        conventions; mirrors PaliGemmaEngine._build's prefill). Returns the
+        same (k, v, logits, last_pos) contract as ``_prefill_fn`` - decode
+        from there on is modality-agnostic."""
+        mm, c = self.mm_engine, self.cfg
+        eng = mm.lm
+
+        def run(p, ids, mask, pix):
+            kc = tuple(jnp.zeros((1, s, c.num_key_value_heads, c.head_dim),
+                                 eng.dtype) for _ in range(c.num_hidden_layers))
+            positions = jnp.cumsum(mask, axis=1)  # 1-indexed (PaliGemma)
+            x = mm._merged_embeds(ids, pix)
+            hidden, (k, v) = eng._chunk(p, x, positions, kc, kc, 0,
+                                        mask.astype(bool), causal=False)
             return k, v, eng._logits(p, hidden[:, -1])[0], positions[0, -1]
 
         return jax.jit(run)
@@ -211,7 +240,8 @@ class ContinuousBatcher:
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
                temperature: float = 0.0, seed: int = 0,
-               eos_id: Optional[int] = None) -> Future:
+               eos_id: Optional[int] = None,
+               pixel_values: Optional[Any] = None) -> Future:
         fut: Future = Future()
         s = max(((len(prompt) + self.bucket - 1) // self.bucket) * self.bucket,
                 self.bucket)
@@ -220,10 +250,23 @@ class ContinuousBatcher:
                 f"prompt of {len(prompt)} tokens buckets to {s} >= "
                 f"max_seq_len {self.T}"))
             return fut
+        if pixel_values is not None:
+            if self.mm_engine is None:
+                fut.set_exception(ValueError(
+                    "multimodal request but no mm_engine configured"))
+                return fut
+            pixel_values = np.asarray(pixel_values)
+            if pixel_values.ndim == 3:
+                pixel_values = pixel_values[None]
         self._queue.put(_Request(
             list(prompt), max_new_tokens, float(temperature), seed, fut,
-            eos_id=self.eos_id if eos_id is None else eos_id))
+            eos_id=self.eos_id if eos_id is None else eos_id,
+            pixel_values=pixel_values))
         return fut
+
+    @property
+    def supports_multimodal(self) -> bool:
+        return self.mm_engine is not None
 
     def _admit(self) -> None:
         """Fill free slots from the queue: prefill each prompt and insert
@@ -237,21 +280,36 @@ class ContinuousBatcher:
                 return
             s = max(((len(req.prompt) + self.bucket - 1) // self.bucket)
                     * self.bucket, self.bucket)
-            cache_key = (s, tuple(req.prompt))
+            mm = req.pixel_values is not None
+            pix_digest = None
+            if mm:
+                import hashlib
+
+                pix_digest = hashlib.sha1(
+                    np.ascontiguousarray(req.pixel_values).tobytes()
+                ).hexdigest()
+            cache_key = (s, tuple(req.prompt), pix_digest)
             if cache_key in self._prefill_cache:
                 k, v, logits, last_pos = self._prefill_cache[cache_key]
                 self._prefill_cache.move_to_end(cache_key)
                 self.prefill_cache_hits += 1
             else:
-                if ("prefill", s) not in self._jit:
-                    self._jit[("prefill", s)] = self._prefill_fn(s)
+                kind = "mm_prefill" if mm else "prefill"
+                if (kind, s) not in self._jit:
+                    self._jit[(kind, s)] = (self._mm_prefill_fn(s) if mm
+                                            else self._prefill_fn(s))
                 ids = np.full((1, s), self.pad_id, np.int32)
                 mask = np.zeros((1, s), np.int32)
                 if req.prompt:
                     ids[0, -len(req.prompt):] = req.prompt
                     mask[0, -len(req.prompt):] = 1
-                k, v, logits, last_pos = self._jit[("prefill", s)](
-                    self.engine.params, jnp.asarray(ids), jnp.asarray(mask))
+                if mm:
+                    k, v, logits, last_pos = self._jit[(kind, s)](
+                        self.mm_engine.lm.params, jnp.asarray(ids),
+                        jnp.asarray(mask), jnp.asarray(req.pixel_values))
+                else:
+                    k, v, logits, last_pos = self._jit[(kind, s)](
+                        self.engine.params, jnp.asarray(ids), jnp.asarray(mask))
                 if self._prefill_cache_entries > 0:
                     self._prefill_cache[cache_key] = (k, v, logits, last_pos)
                     while len(self._prefill_cache) > self._prefill_cache_entries:
@@ -383,11 +441,15 @@ class ContinuousBatcher:
             self._thread.join(timeout=10)
 
     # GenerationServer protocol: one-request generate through the batcher.
+    # ``pixel_values``: per-prompt image arrays (or None entries) for
+    # multimodal prompts built with PaliGemmaEngine.build_mm_prompt.
     def generate(self, prompts, max_new_tokens=64, temperature=0.0,
-                 eos_id=None, pad_id=None, seed=0, **_):
+                 eos_id=None, pad_id=None, seed=0, pixel_values=None, **_):
+        if pixel_values is None:
+            pixel_values = [None] * len(prompts)
         futs = [self.submit(p, max_new_tokens, temperature, seed,
-                            eos_id=eos_id)
-                for p in prompts]
+                            eos_id=eos_id, pixel_values=pix)
+                for p, pix in zip(prompts, pixel_values)]
         if not self._serving:
             self.drain()
         return [f.result(timeout=600) for f in futs]

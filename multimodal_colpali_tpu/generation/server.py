@@ -8,11 +8,11 @@ closes the loop: the same protocol served by the first-party
 any external inference server. The client seam is unchanged - point
 ``base_url`` (or $OPENAI_BASE_URL) at this server.
 
-Scope: text chat completions (``messages`` with string/text-part content),
-``max_tokens``, ``temperature``, ``stop`` via the tokenizer's eos. Requests
-are served one at a time per HTTP worker thread; the engine batches the
-prompts of one request together. Multimodal generation and a continuous-
-batching scheduler are layered-above concerns (round-3 candidates).
+Scope: chat completions (``messages`` with string/text-part content and
+base64 data-URL images), ``max_tokens``, ``temperature``, ``stop`` via the
+tokenizer's eos, constrained enum outputs (``response_format``). With a
+ContinuousBatcher engine, concurrent requests - text AND multimodal -
+share one running slot batch (generation/scheduler.py).
 """
 
 from __future__ import annotations
@@ -197,10 +197,18 @@ class GenerationServer:
                 text_ids, bos_id=getattr(self.tokenizer, "bos_id", 2),
                 newline_ids=self.tokenizer.encode("\n"))
             ids = mm_prompt  # usage accounting includes the image tokens
-            out = self.mm_engine.generate(
-                [mm_prompt], pix, max_new_tokens=max_new,
-                temperature=temperature, eos_id=eos_id,
-                seed=int(req.get("seed") or 0))[0]
+            if getattr(self.engine, "supports_multimodal", False):
+                # continuous batcher with an mm_engine: image requests join
+                # the same running slot batch as text requests
+                out = self.engine.generate(
+                    [mm_prompt], max_new_tokens=max_new,
+                    temperature=temperature, eos_id=eos_id,
+                    seed=int(req.get("seed") or 0), pixel_values=[pix])[0]
+            else:
+                out = self.mm_engine.generate(
+                    [mm_prompt], pix, max_new_tokens=max_new,
+                    temperature=temperature, eos_id=eos_id,
+                    seed=int(req.get("seed") or 0))[0]
             text = self.tokenizer.decode(out)
             finish = "stop" if len(out) < max_new else "length"
         else:

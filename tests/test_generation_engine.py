@@ -549,3 +549,110 @@ def test_prefill_cache_reuses_identical_prompts(tiny_lm):
     # a different prompt misses
     bat.generate([[7, 7]], max_new_tokens=3)
     assert bat.prefill_cache_hits == 1
+
+
+def test_batcher_multimodal_joins_text_batch(tiny_lm):
+    """A multimodal request admitted into a running text batch must produce
+    exactly the isolated PaliGemmaEngine generation, and text slots must be
+    unaffected by the image neighbor (mixed-modality continuous batching)."""
+    from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+    from multimodal_colpali_tpu.models.colpali import ColPaliModel
+    from multimodal_colpali_tpu.models.registry import fast_random_params
+
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    params = jax.tree.map(jnp.asarray,
+                          fast_random_params(ColPaliModel(cfg), cfg, seed=3))
+    tcfg = cfg.text
+    eng = GemmaDecodeEngine(tcfg, params)
+    mm = PaliGemmaEngine(cfg, params)
+
+    rng = np.random.default_rng(4)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32)
+    mm_prompt = mm.build_mm_prompt([5, 9, 11], bos_id=2)
+    want_mm = mm.generate([mm_prompt], pix, max_new_tokens=6,
+                          bucket=len(mm_prompt))[0]
+    want_txt = eng.generate([[40, 2, 7]], max_new_tokens=8)[0]
+
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3,
+                            prompt_bucket=len(mm_prompt), mm_engine=mm)
+    assert bat.supports_multimodal
+    txt_fut = bat.submit([40, 2, 7], max_new_tokens=8)
+    with bat._lock:
+        bat._admit()
+        bat._step_chunk()  # text slot is mid-decode when the image joins
+    mm_fut = bat.submit(mm_prompt, max_new_tokens=6, pixel_values=pix)
+    bat.drain()
+    assert mm_fut.result(timeout=60) == want_mm
+    assert txt_fut.result(timeout=60) == want_txt
+
+    # identical multimodal request hits the prefill cache and reproduces
+    assert bat.generate([mm_prompt], max_new_tokens=6,
+                        pixel_values=[pix])[0] == want_mm
+    assert bat.prefill_cache_hits == 1
+    # same prompt, different image must MISS (key includes the pixels)
+    pix2 = np.zeros_like(pix)
+    bat.generate([mm_prompt], max_new_tokens=6, pixel_values=[pix2])
+    assert bat.prefill_cache_hits == 1
+
+    # multimodal submit without an mm_engine fails its Future cleanly
+    bare = ContinuousBatcher(eng, batch_slots=1, max_seq_len=64)
+    bad = bare.submit([5], max_new_tokens=2, pixel_values=pix)
+    with pytest.raises(ValueError, match="mm_engine"):
+        bad.result(timeout=5)
+
+
+def test_server_multimodal_through_batcher(tiny_lm):
+    """The server must route image requests through a multimodal-capable
+    batcher (one slot batch for both modalities) and match the dedicated
+    PaliGemmaEngine path token for token."""
+    from PIL import Image
+
+    from multimodal_colpali_tpu.generation.engine import (
+        ModuloTokenizer, PaliGemmaEngine)
+    from multimodal_colpali_tpu.generation.messages import pil_image_to_data_url
+    from multimodal_colpali_tpu.generation.client import get_responses, run_sync
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+    from multimodal_colpali_tpu.models.colpali import ColPaliModel
+    from multimodal_colpali_tpu.models.processing import ImagePreprocessor
+    from multimodal_colpali_tpu.models.registry import fast_random_params
+
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    params = jax.tree.map(jnp.asarray,
+                          fast_random_params(ColPaliModel(cfg), cfg, seed=3))
+    tcfg = cfg.text
+    eng = GemmaDecodeEngine(tcfg, params)
+    mm = PaliGemmaEngine(cfg, params)
+    tok = ModuloTokenizer(tcfg.vocab_size)
+    pre = ImagePreprocessor(cfg.vision.image_size)
+    img = Image.new("RGB", (64, 64), (30, 60, 90))
+    msg = [{"role": "user", "content": [
+        {"type": "text", "text": "describe the figure"},
+        {"type": "image_url", "image_url": {"url": pil_image_to_data_url(img)}},
+    ]}]
+
+    def ask(srv):
+        return run_sync(get_responses(
+            "tiny", 0, [msg], base_url=srv.base_url,
+            extra_body={"max_tokens": 8, "seed": 0}))[0]
+
+    with GenerationServer(eng, tok, mm_engine=mm,
+                          image_preprocessor=pre) as srv:
+        want = ask(srv)  # dedicated-engine path (no batcher)
+
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=256, chunk=4,
+                            mm_engine=mm).serve()
+    try:
+        with GenerationServer(bat, tok, mm_engine=mm,
+                              image_preprocessor=pre) as srv:
+            got = ask(srv)
+            # text requests still served from the same batch
+            plain = run_sync(get_responses(
+                "tiny", 0, [[{"role": "user", "content": "hi"}]],
+                base_url=srv.base_url, extra_body={"max_tokens": 4}))[0]
+    finally:
+        bat.shutdown()
+    assert got == want
+    assert plain and "[error]" not in plain
