@@ -29,11 +29,13 @@ if _os.environ.get("MMCP_JAX_PLATFORMS"):
 
     _jax.config.update("jax_platforms", _os.environ["MMCP_JAX_PLATFORMS"])
 
-if _os.environ.get("MMCP_FUSED_ATTENTION") == "1":
-    # Opt-in fused-attention Pallas kernel for the encoder hot path; flip on
-    # after scripts/tpu_validate.py confirms hardware parity.
+if _os.environ.get("MMCP_FUSED_ATTENTION") in ("0", "1"):
+    # Fused-attention Pallas kernel for the encoder hot path. Default is
+    # auto (on for TPU backends - hardware parity validated by
+    # scripts/tpu_validate.py); =1 forces on (CPU interpret testing),
+    # =0 forces the einsum path.
     from multimodal_colpali_tpu.models import layers as _layers
 
-    _layers.set_fused_attention(True)
+    _layers.set_fused_attention(_os.environ["MMCP_FUSED_ATTENTION"] == "1")
 
 from multimodal_colpali_tpu.documents import Document  # noqa: F401

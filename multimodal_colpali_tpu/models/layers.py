@@ -89,13 +89,25 @@ def rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0) -> jax.Arra
 
 
 # Global toggle for the fused Pallas attention kernel (ops/attention.py).
-# Off by default; flip with set_fused_attention(True) on validated hardware.
-_FUSED_ATTENTION = False
+# None = auto: enabled on TPU backends (hardware parity validated by
+# scripts/tpu_validate.py, round 2: max|diff| <= 0.016 bf16 across
+# bidirectional/GQA/causal/ragged), disabled elsewhere (the CPU interpret
+# path is for tests only). Override with set_fused_attention(True/False) or
+# MMCP_FUSED_ATTENTION=1/0.
+_FUSED_ATTENTION: Optional[bool] = None
 
 
-def set_fused_attention(enabled: bool) -> None:
+def set_fused_attention(enabled: Optional[bool]) -> None:
     global _FUSED_ATTENTION
-    _FUSED_ATTENTION = bool(enabled)
+    _FUSED_ATTENTION = None if enabled is None else bool(enabled)
+
+
+def _fused_attention_enabled() -> bool:
+    if _FUSED_ATTENTION is not None:
+        return _FUSED_ATTENTION
+    # resolved lazily at trace time so importing the package never touches
+    # the (possibly wedged) remote backend
+    return jax.default_backend() == "tpu"
 
 
 def attention(
@@ -121,7 +133,7 @@ def attention(
     if hkv != hq:
         k = jnp.repeat(k, hq // hkv, axis=2)
         v = jnp.repeat(v, hq // hkv, axis=2)
-    if _FUSED_ATTENTION and mask is None and q.shape[1] == k.shape[1]:
+    if mask is None and q.shape[1] == k.shape[1] and _fused_attention_enabled():
         from multimodal_colpali_tpu.ops.attention import fused_attention
 
         return fused_attention(q, k, v, kv_lens, scale=scale, causal=causal)

@@ -157,7 +157,7 @@ def encoder_mfu(name: str, batch: int, fused: bool) -> float:
         log(msg)
         return pages
     finally:
-        L.set_fused_attention(False)
+        L.set_fused_attention(None)  # restore auto
 
 
 def main() -> None:

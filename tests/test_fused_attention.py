@@ -63,5 +63,5 @@ def test_layers_toggle_routes_to_kernel(rng, monkeypatch):
     try:
         got = L.attention(q, k1, v1, mask=None, scale=0.1)
     finally:
-        L.set_fused_attention(False)
+        L.set_fused_attention(None)  # restore auto
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
