@@ -39,6 +39,14 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--no-batcher", action="store_true",
                    help="Serve straight from the engine (one request at a time).")
+    p.add_argument("--paged", action="store_true",
+                   help="Use the paged-KV batcher (shared page pool + "
+                        "preemption) instead of dense per-slot caches.")
+    p.add_argument("--page-size", type=int, default=16,
+                   help="Tokens per KV page (with --paged).")
+    p.add_argument("--pool-pages", type=int, default=None,
+                   help="Total pages in the shared pool (with --paged); "
+                        "default sizes every slot to max-seq-len.")
     return p.parse_args()
 
 
@@ -80,10 +88,18 @@ def main() -> None:
     backend = engine
     batcher = None
     if not args.no_batcher:
-        batcher = ContinuousBatcher(
-            engine, batch_slots=args.slots, max_seq_len=args.max_seq_len,
-            chunk=args.chunk, eos_id=getattr(tok, "eos_id", -1),
-            mm_engine=mm_engine).serve()
+        kw = dict(batch_slots=args.slots, max_seq_len=args.max_seq_len,
+                  chunk=args.chunk, eos_id=getattr(tok, "eos_id", -1),
+                  mm_engine=mm_engine)
+        if args.paged:
+            from multimodal_colpali_tpu.generation.paged import (
+                PagedContinuousBatcher)
+
+            batcher = PagedContinuousBatcher(
+                engine, page_size=args.page_size,
+                pool_pages=args.pool_pages, **kw).serve()
+        else:
+            batcher = ContinuousBatcher(engine, **kw).serve()
         backend = batcher
 
     srv = GenerationServer(backend, tok, model_name=args.model,

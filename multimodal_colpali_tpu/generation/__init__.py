@@ -33,4 +33,12 @@ def __getattr__(name):
         from multimodal_colpali_tpu.generation import server
 
         return getattr(server, name)
+    if name == "ContinuousBatcher":
+        from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+        return ContinuousBatcher
+    if name == "PagedContinuousBatcher":
+        from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+        return PagedContinuousBatcher
     raise AttributeError(name)

@@ -1,0 +1,307 @@
+"""Paged-KV continuous batching: vLLM's PagedAttention memory model, TPU-native.
+
+``ContinuousBatcher`` preallocates a dense ``[B, max_seq_len]`` KV cache per
+slot; serving B long-context slots costs ``B * T_max`` HBM whether or not the
+requests use it. ``PagedContinuousBatcher`` replaces the dense cache with a
+shared pool of fixed-size pages plus per-slot block tables
+(ops/paged_attention.py), so HBM pins only what requests actually hold -
+the memory architecture that lets vLLM (the reference's generation server,
+00_run_docker_containers.sh:26-39) oversubscribe sequence capacity.
+
+Scheduling additions over the parent:
+
+- **On-demand page allocation**: pages are granted per decode chunk, not
+  reserved for a request's whole ``max_new_tokens`` budget up front.
+- **Preemption with recompute**: when the pool runs dry, the youngest
+  active request is evicted (its pages freed) and requeued; on
+  readmission its prompt + generated-so-far tokens re-prefill, and
+  sampling resumes at its own step counter - the emitted stream is
+  identical to an uninterrupted run (tested), which is vLLM's
+  "recompute" preemption mode.
+- **One jit, static shapes**: the decode step is the parent's layer math
+  with two substitutions - K/V writes scatter into (page, row) picked
+  from the block table, and attention runs the paged kernel. Block
+  tables are small int32 inputs refreshed per chunk; pool tensors are
+  donated through the scan carry exactly like the dense caches.
+
+Physical page 0 is a write-off trash page: inactive slots scatter there so
+the step function stays branch-free.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodal_colpali_tpu.generation.engine import (
+    GemmaDecodeEngine, _lin, _rms)
+from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+from multimodal_colpali_tpu.models import layers as L
+from multimodal_colpali_tpu.ops.paged_attention import paged_attention
+
+
+class PagedContinuousBatcher(ContinuousBatcher):
+    """Slot-based continuous batching over a shared paged KV pool."""
+
+    def __init__(self, engine: GemmaDecodeEngine, batch_slots: int = 4,
+                 max_seq_len: int = 512, chunk: int = 8,
+                 prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0,
+                 prefill_cache_entries: int = 8, mm_engine: Any = None,
+                 page_size: int = 16, pool_pages: Optional[int] = None):
+        """``pool_pages`` sizes the shared pool (default: enough for every
+        slot to reach ``max_seq_len`` - set it lower to exercise
+        oversubscription + preemption). ``page_size`` tokens per page."""
+        super().__init__(engine, batch_slots, max_seq_len, chunk,
+                         prompt_bucket, eos_id, pad_id,
+                         prefill_cache_entries, mm_engine)
+        c = self.cfg
+        self.page = page_size
+        self.NB = -(-max_seq_len // page_size)          # blocks per slot
+        if pool_pages is None:
+            pool_pages = batch_slots * self.NB + 1
+        self.P = max(pool_pages, 2)
+        # the dense per-slot caches are unused; release them
+        self._caches = ()
+        self._kpools = tuple(
+            jnp.zeros((self.P, self.page, c.num_key_value_heads, c.head_dim),
+                      engine.dtype) for _ in range(c.num_hidden_layers))
+        self._vpools = tuple(
+            jnp.zeros((self.P, self.page, c.num_key_value_heads, c.head_dim),
+                      engine.dtype) for _ in range(c.num_hidden_layers))
+        self._len = jnp.zeros((self.B,), jnp.int32)     # tokens held per slot
+        # host-side allocator state; page 0 is the trash page
+        self._free: List[int] = list(range(self.P - 1, 0, -1))
+        self._slot_pages: List[List[int]] = [[] for _ in range(self.B)]
+        self._bt_host = np.zeros((self.B, self.NB), np.int32)
+        self._admit_seq = 0
+        self._slot_age = [0] * self.B                   # admission order
+        self.preemptions = 0
+
+    # -- allocator -------------------------------------------------------------
+
+    def _alloc_to(self, slot: int, n_tokens: int) -> bool:
+        """Grow the slot's page list to cover ``n_tokens``; False if the
+        pool is dry (caller preempts and retries)."""
+        need = -(-n_tokens // self.page)
+        if need > self.NB:
+            return False
+        pages = self._slot_pages[slot]
+        while len(pages) < need:
+            if not self._free:
+                return False
+            phys = self._free.pop()
+            self._bt_host[slot, len(pages)] = phys
+            pages.append(phys)
+        return True
+
+    def _release(self, slot: int) -> None:
+        self._free.extend(reversed(self._slot_pages[slot]))
+        self._slot_pages[slot] = []
+        self._bt_host[slot] = 0
+
+    def _preempt_youngest(self, protect: int) -> bool:
+        """Evict the most recently admitted active slot (never ``protect``)
+        back to the readmission queue; its generation resumes via
+        prompt+tokens re-prefill. Returns False if no victim exists."""
+        victim, best = -1, -1
+        for slot, req in enumerate(self._slots):
+            if req is None or slot == protect:
+                continue
+            if self._slot_age[slot] > best:
+                victim, best = slot, self._slot_age[slot]
+        if victim < 0:
+            return False
+        req = self._slots[victim]
+        self._slots[victim] = None
+        self._release(victim)
+        self._remaining = self._remaining.at[victim].set(0)
+        self._len = self._len.at[victim].set(0)
+        self._readmit.insert(0, req)
+        self.preemptions += 1
+        return True
+
+    # -- ContinuousBatcher hooks -------------------------------------------------
+
+    def _can_admit(self, s: int) -> bool:
+        return (-(-s // self.page)) <= min(len(self._free), self.NB)
+
+    def _slot_capacity(self, s: int) -> int:
+        return self.NB * self.page - s
+
+    def _install_slot(self, slot: int, s: int, n_prompt: int, k, v) -> None:
+        """Scatter the prefill K/V rows (left-padded to ``s``) into freshly
+        allocated pages, valid tokens first (jnp.roll drops the padding), so
+        logical token t of the slot sits at page t//page, row t%page."""
+        if not self._alloc_to(slot, n_prompt):
+            raise RuntimeError("admission without capacity")  # _can_admit gates
+        n_pages = len(self._slot_pages[slot])
+        phys = jnp.asarray(self._slot_pages[slot], jnp.int32)
+        key = ("install", s, n_pages)
+        if key not in self._jit:
+            page = self.page
+
+            def install(kpools, vpools, k, v, phys, n_prompt):
+                outk, outv = [], []
+                for kp, vp, ki, vi in zip(kpools, vpools, k, v):
+                    rows_k = jnp.roll(ki[0], n_prompt - s, axis=0)  # valid first
+                    rows_v = jnp.roll(vi[0], n_prompt - s, axis=0)
+                    width = n_pages * page
+                    if width > s:
+                        padding = ((0, width - s), (0, 0), (0, 0))
+                        rows_k = jnp.pad(rows_k, padding)
+                        rows_v = jnp.pad(rows_v, padding)
+                    else:
+                        rows_k = rows_k[:width]
+                        rows_v = rows_v[:width]
+                    shp = (n_pages, page) + rows_k.shape[1:]
+                    outk.append(kp.at[phys].set(rows_k.reshape(shp)))
+                    outv.append(vp.at[phys].set(rows_v.reshape(shp)))
+                return tuple(outk), tuple(outv)
+
+            self._jit[key] = jax.jit(install)
+        self._kpools, self._vpools = self._jit[key](
+            self._kpools, self._vpools, k, v, phys, jnp.int32(n_prompt))
+        self._len = self._len.at[slot].set(n_prompt)
+        self._slot_age[slot] = self._admit_seq
+        self._admit_seq += 1
+
+    def _finish(self, slot: int) -> None:
+        self._release(slot)
+        self._len = self._len.at[slot].set(0)
+        super()._finish(slot)
+
+    # -- decode ------------------------------------------------------------------
+
+    def _decode_fn(self, chunk: int):
+        """Parent's chunked decode with paged K/V writes + paged attention."""
+        eng, c = self.engine, self.cfg
+        n_layers = c.num_hidden_layers
+        b = self.B
+        page = self.page
+        pad_id = self.pad_id
+
+        def one_step(p, bt, kpools, vpools, tok, pos, length, temp, seed,
+                     remaining, gen_step, eos):
+            x = eng._embed(p, tok[:, None])                     # [B, 1, H]
+            active = remaining > 0
+            rows = jnp.arange(b)
+            # the new token lands at logical position `length`
+            blk = bt[rows, length // page]
+            blk = jnp.where(active, blk, 0)                     # trash page
+            off = length % page
+            att_len = length + active.astype(jnp.int32)
+
+            new_k, new_v = [], []
+            xx = x
+            for i in range(n_layers):
+                lp = p["language_model"][f"layers_{i}"]
+                y = _rms(xx, lp["input_layernorm"]["weight"], c.rms_norm_eps)
+                q = _lin(y, lp["self_attn"]["q_proj"]).reshape(
+                    b, 1, c.num_attention_heads, c.head_dim)
+                k = _lin(y, lp["self_attn"]["k_proj"]).reshape(
+                    b, 1, c.num_key_value_heads, c.head_dim)
+                v = _lin(y, lp["self_attn"]["v_proj"]).reshape(
+                    b, 1, c.num_key_value_heads, c.head_dim)
+                q = L.rope(q, pos[:, None], theta=c.rope_theta)
+                k = L.rope(k, pos[:, None], theta=c.rope_theta)
+                kp = kpools[i].at[blk, off].set(k[:, 0])
+                vp = vpools[i].at[blk, off].set(v[:, 0])
+                new_k.append(kp)
+                new_v.append(vp)
+                att = paged_attention(q[:, 0], kp, vp, bt, att_len,
+                                      scale=c.head_dim ** -0.5)
+                xx = xx + _lin(att.reshape(b, 1, -1),
+                               lp["self_attn"]["o_proj"])
+                y = _rms(xx, lp["post_attention_layernorm"]["weight"],
+                         c.rms_norm_eps)
+                gate = _lin(y, lp["mlp"]["gate_proj"])
+                up = _lin(y, lp["mlp"]["up_proj"])
+                xx = xx + _lin(jax.nn.gelu(gate, approximate=True) * up,
+                               lp["mlp"]["down_proj"])
+            xx = _rms(xx, p["language_model"]["norm"]["weight"],
+                      c.rms_norm_eps)
+            logits = eng._logits(p, xx[:, 0])                   # [B, V]
+
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            keys = jax.vmap(jax.random.fold_in)(
+                jax.vmap(jax.random.PRNGKey)(seed),
+                gen_step.astype(jnp.uint32))
+            sampled = jax.vmap(
+                lambda kk, lg, tt: jax.random.categorical(kk, lg / tt)
+            )(keys, logits, jnp.maximum(temp, 1e-3)).astype(jnp.int32)
+            nxt = jnp.where(temp > 0, sampled, greedy)
+            nxt = jnp.where(active, nxt, jnp.int32(pad_id))
+
+            length = jnp.where(active, length + 1, length)
+            pos = jnp.where(active, pos + 1, pos)
+            gen_step = jnp.where(active, gen_step + 1, gen_step)
+            remaining = jnp.where(active, remaining - 1, remaining)
+            remaining = jnp.where(nxt == eos, 0, remaining)
+            return (tuple(new_k), tuple(new_v), nxt, pos, length, temp,
+                    seed, remaining, gen_step, eos)
+
+        def run(p, bt, kpools, vpools, tok, pos, length, temp, seed,
+                remaining, gen_step, eos):
+            def body(carry, _):
+                carry = one_step(p, bt, *carry)
+                return carry, carry[2]  # next token per slot
+
+            carry, toks = jax.lax.scan(
+                body,
+                (kpools, vpools, tok, pos, length, temp, seed, remaining,
+                 gen_step, eos),
+                None, length=chunk)
+            return carry, toks  # toks: [chunk, B]
+
+        return jax.jit(run, donate_argnums=(2, 3))
+
+    def _ensure_chunk_capacity(self) -> None:
+        """Grant every active slot pages for the coming chunk, preempting
+        youngest-first when the pool runs dry. Oldest slots are served
+        first, so the oldest request always makes progress."""
+        order = sorted(
+            (slot for slot, r in enumerate(self._slots) if r is not None),
+            key=lambda slot: self._slot_age[slot])
+        lens = np.asarray(self._len)
+        rem = np.asarray(self._remaining)
+        for slot in order:
+            if self._slots[slot] is None:   # preempted by an earlier pass
+                continue
+            want = int(lens[slot]) + min(self.chunk, int(rem[slot]))
+            while not self._alloc_to(slot, want):
+                if not self._preempt_youngest(protect=slot):
+                    raise RuntimeError(
+                        f"slot {slot} needs {want} tokens of KV but the "
+                        f"pool cannot hold them even alone")
+
+    def _step_chunk(self) -> None:
+        self._ensure_chunk_capacity()
+        if not any(r is not None for r in self._slots):
+            return
+        if "decode" not in self._jit:
+            self._jit["decode"] = self._decode_fn(self.chunk)
+        rem_before = np.asarray(self._remaining)  # real tokens this chunk
+        carry, toks = self._jit["decode"](
+            self.engine.params, jnp.asarray(self._bt_host),
+            self._kpools, self._vpools, self._tok, self._pos, self._len,
+            self._temp, self._seed, self._remaining, self._gen_step,
+            self._eos)
+        (self._kpools, self._vpools, self._tok, self._pos, self._len,
+         self._temp, self._seed, self._remaining, self._gen_step,
+         self._eos) = carry
+        toks = np.asarray(toks)                 # [chunk, B]
+        remaining = np.asarray(self._remaining)
+        for slot, req in enumerate(self._slots):
+            if req is None:
+                continue
+            for step in range(min(self.chunk, int(rem_before[slot]))):
+                tok = int(toks[step, slot])
+                req.tokens.append(tok)
+                if tok == req.eos_id:
+                    break
+            if (remaining[slot] <= 0 or len(req.tokens) >= req.max_new_tokens
+                    or (req.tokens and req.tokens[-1] == req.eos_id)):
+                self._finish(slot)

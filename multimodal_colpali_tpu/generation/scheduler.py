@@ -92,6 +92,9 @@ class ContinuousBatcher:
 
         self._slots: List[Optional[_Request]] = [None] * self.B
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # Requests to admit before the queue: preempted requests (paged
+        # batcher) and admissions deferred for lack of capacity.
+        self._readmit: List[_Request] = []
         self._jit: Dict[Any, Any] = {}
         # Exact-prompt prefill cache (LRU): RAG evaluation sweeps re-ask the
         # same questions across repeats/iterations, so identical prompts
@@ -268,18 +271,58 @@ class ContinuousBatcher:
     def supports_multimodal(self) -> bool:
         return self.mm_engine is not None
 
+    # Hooks the paged batcher (generation/paged.py) overrides ---------------
+
+    def _can_admit(self, s: int) -> bool:
+        """Is there cache room for a prompt bucketed to ``s`` right now?"""
+        return True
+
+    def _slot_capacity(self, s: int) -> int:
+        """Max tokens a slot can hold after an ``s``-token prompt."""
+        return self.T - s
+
+    def _install_slot(self, slot: int, s: int, n_prompt: int, k, v) -> None:
+        """Insert prefill K/V rows (left-padded to ``s``) into the slot."""
+        n_layers = self.cfg.num_hidden_layers
+        caches = list(self._caches)
+        for i in range(n_layers):
+            caches[i] = caches[i].at[slot, :s].set(k[i][0])
+            caches[n_layers + i] = caches[n_layers + i].at[slot, :s].set(v[i][0])
+        self._caches = tuple(caches)
+        self._start = self._start.at[slot].set(s - n_prompt)
+        self._end = self._end.at[slot].set(s)
+
     def _admit(self) -> None:
-        """Fill free slots from the queue: prefill each prompt and insert
-        its K/V rows + state into the slot."""
+        """Fill free slots (readmissions first, then the queue): prefill
+        each prompt and insert its K/V rows + state into the slot.
+
+        A readmitted request resumes a preempted generation: its prompt is
+        re-prefetched together with the tokens generated so far, and
+        sampling continues from its own step counter, so the final token
+        stream is identical to an uninterrupted run."""
         for slot in range(self.B):
             if self._slots[slot] is not None:
                 continue
-            try:
-                req = self._queue.get_nowait()
-            except queue.Empty:
-                return
-            s = max(((len(req.prompt) + self.bucket - 1) // self.bucket)
+            if self._readmit:
+                req = self._readmit.pop(0)
+            else:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    return
+            prompt_eff = req.prompt + req.tokens
+            s = max(((len(prompt_eff) + self.bucket - 1) // self.bucket)
                     * self.bucket, self.bucket)
+            if not self._can_admit(s):
+                if not any(r is not None for r in self._slots):
+                    # nothing active will ever free capacity: the prompt
+                    # simply does not fit - fail loudly instead of hanging
+                    req.future.set_exception(ValueError(
+                        f"prompt of {len(prompt_eff)} tokens exceeds the "
+                        f"KV capacity of an empty scheduler"))
+                    continue
+                self._readmit.insert(0, req)
+                return
             mm = req.pixel_values is not None
             pix_digest = None
             if mm:
@@ -288,7 +331,7 @@ class ContinuousBatcher:
                 pix_digest = hashlib.sha1(
                     np.ascontiguousarray(req.pixel_values).tobytes()
                 ).hexdigest()
-            cache_key = (s, tuple(req.prompt), pix_digest)
+            cache_key = (s, tuple(prompt_eff), pix_digest)
             if cache_key in self._prefill_cache:
                 k, v, logits, last_pos = self._prefill_cache[cache_key]
                 self._prefill_cache.move_to_end(cache_key)
@@ -300,9 +343,9 @@ class ContinuousBatcher:
                                             else self._prefill_fn(s))
                 ids = np.full((1, s), self.pad_id, np.int32)
                 mask = np.zeros((1, s), np.int32)
-                if req.prompt:
-                    ids[0, -len(req.prompt):] = req.prompt
-                    mask[0, -len(req.prompt):] = 1
+                if prompt_eff:
+                    ids[0, -len(prompt_eff):] = prompt_eff
+                    mask[0, -len(prompt_eff):] = 1
                 if mm:
                     k, v, logits, last_pos = self._jit[(kind, s)](
                         self.mm_engine.lm.params, jnp.asarray(ids),
@@ -314,9 +357,11 @@ class ContinuousBatcher:
                     self._prefill_cache[cache_key] = (k, v, logits, last_pos)
                     while len(self._prefill_cache) > self._prefill_cache_entries:
                         self._prefill_cache.popitem(last=False)
-            # first generated token (prefill output)
+            # next generated token (prefill output); a resumed request
+            # samples at its own step index, matching the uninterrupted run
+            n0 = len(req.tokens)
             if req.temperature > 0:
-                key = jax.random.fold_in(jax.random.PRNGKey(req.seed), 0)
+                key = jax.random.fold_in(jax.random.PRNGKey(req.seed), n0)
                 tok0 = int(jax.random.categorical(
                     key, jnp.asarray(logits) / max(req.temperature, 1e-3)))
             else:
@@ -325,22 +370,15 @@ class ContinuousBatcher:
             req.slot = slot
             self._slots[slot] = req
             # token budget is bounded by the cache rows left after the prompt
-            budget = min(req.max_new_tokens, self.T - s)
+            budget = min(req.max_new_tokens - n0, self._slot_capacity(s))
             done0 = tok0 == req.eos_id or budget <= 1
-            n_layers = self.cfg.num_hidden_layers
-            caches = list(self._caches)
-            for i in range(n_layers):
-                caches[i] = caches[i].at[slot, :s].set(k[i][0])
-                caches[n_layers + i] = caches[n_layers + i].at[slot, :s].set(v[i][0])
-            self._caches = tuple(caches)
+            self._install_slot(slot, s, len(prompt_eff), k, v)
             self._tok = self._tok.at[slot].set(tok0)
             self._pos = self._pos.at[slot].set(int(last_pos) + 1)
-            self._start = self._start.at[slot].set(s - len(req.prompt))
-            self._end = self._end.at[slot].set(s)
             self._temp = self._temp.at[slot].set(req.temperature)
             self._seed = self._seed.at[slot].set(req.seed)
             self._eos = self._eos.at[slot].set(req.eos_id)
-            self._gen_step = self._gen_step.at[slot].set(1)
+            self._gen_step = self._gen_step.at[slot].set(n0 + 1)
             self._remaining = self._remaining.at[slot].set(
                 0 if done0 else budget - 1)
             if done0:
@@ -361,6 +399,10 @@ class ContinuousBatcher:
                 self._slots[slot] = None
                 if not req.future.done():
                     req.future.set_exception(exc)
+        for req in self._readmit:
+            if not req.future.done():
+                req.future.set_exception(exc)
+        self._readmit.clear()
         while True:
             try:
                 req = self._queue.get_nowait()
@@ -399,8 +441,8 @@ class ContinuousBatcher:
     def drain(self) -> None:
         """Run until every queued/active request completes (synchronous)."""
         with self._lock:
-            while not self._queue.empty() or any(
-                    r is not None for r in self._slots):
+            while (not self._queue.empty() or self._readmit
+                   or any(r is not None for r in self._slots)):
                 self._admit()
                 if any(r is not None for r in self._slots):
                     self._step_chunk()

@@ -74,8 +74,14 @@ def validate_fused_attention() -> bool:
         v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
         kv_lens = jnp.asarray(rng.integers(s // 2, s, (b,)), jnp.int32) \
             if ragged else None
-        want = L.attention(q, k, v, mask=None, scale=d ** -0.5,
-                           kv_lens=kv_lens, causal=causal)
+        # Force the einsum reference path: fused now defaults ON for TPU, so
+        # without this the comparison would be fused-vs-fused (vacuous).
+        L.set_fused_attention(False)
+        try:
+            want = L.attention(q, k, v, mask=None, scale=d ** -0.5,
+                               kv_lens=kv_lens, causal=causal)
+        finally:
+            L.set_fused_attention(None)
         # the fused kernel takes pre-repeated KV heads for GQA
         kr = jnp.repeat(k, hq // hkv, 2)
         vr = jnp.repeat(v, hq // hkv, 2)
@@ -113,12 +119,15 @@ def encoder_mfu(name: str, batch: int, fused: bool) -> float:
         args = [jnp.asarray(a) for a in ret._batch_args(proc, True)]
         model, params = ret.model, ret.params
 
-        def fwd(*a):
+        # params MUST be jit arguments, not closed over: a closure bakes all
+        # weights into the HLO as constants, and the serialized program blows
+        # past the remote-compile tunnel's request-size limit (HTTP 413).
+        def fwd(params, *a):
             return model.apply({"params": params}, *a)
 
         flops = None
         try:
-            cost = jax.jit(fwd).lower(*args).compile().cost_analysis()
+            cost = jax.jit(fwd).lower(params, *args).compile().cost_analysis()
             c = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(c.get("flops", 0)) or None
         except Exception as e:  # noqa: BLE001
@@ -126,27 +135,24 @@ def encoder_mfu(name: str, batch: int, fused: bool) -> float:
 
         # value-dependent chain through the pixel input
         pix_i = len(args) - 1
-
-        def fwd_pix(pix):
-            inner = args[:pix_i] + [pix]
-            return model.apply({"params": params}, *inner)
+        small_args = args[:pix_i]  # token ids etc. - tiny, safe to close over
 
         @functools.partial(jax.jit, static_argnames=("reps",))
-        def chain(reps, pix):
+        def chain(params, reps, pix):
             def body(carry, _):
                 p, acc = carry
-                emb = fwd_pix(p)
+                emb = fwd(params, *small_args, p)
                 s = jnp.sum(emb.astype(jnp.float32))
                 return (p + (s * 0).astype(p.dtype), acc + s), ()
             (_, acc), _ = jax.lax.scan(body, (pix, jnp.float32(0)),
                                        None, length=reps)
             return acc
 
-        np.asarray(chain(1, args[pix_i]))
-        t0 = time.time(); np.asarray(chain(1, args[pix_i])); t1 = time.time()
+        np.asarray(chain(params, 1, args[pix_i]))
+        t0 = time.time(); np.asarray(chain(params, 1, args[pix_i])); t1 = time.time()
         n = 8
-        np.asarray(chain(n + 1, args[pix_i]))
-        t2 = time.time(); np.asarray(chain(n + 1, args[pix_i])); t3 = time.time()
+        np.asarray(chain(params, n + 1, args[pix_i]))
+        t2 = time.time(); np.asarray(chain(params, n + 1, args[pix_i])); t3 = time.time()
         per = max(((t3 - t2) - (t1 - t0)) / n, 1e-9)
         pages = batch / per
         msg = f"[mfu] {name} fused={fused} batch={batch}: {pages:.1f} pages/s"

@@ -1,0 +1,157 @@
+"""Paged-KV decode attention + paged continuous batcher.
+
+Oracle for the kernel: models/layers.attention over the equivalent dense
+cache (the same math the contiguous scheduler uses). Oracle for the
+batcher: GemmaDecodeEngine.generate / the contiguous ContinuousBatcher.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodal_colpali_tpu.models import layers as L
+from multimodal_colpali_tpu.ops.paged_attention import (
+    paged_attention, paged_attention_xla)
+
+
+def _make_case(rng, b=3, hq=8, hkv=2, d=64, page=16, nb=4, dtype=jnp.float32):
+    p_phys = b * nb + 3  # a few spare pages
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), dtype)
+    k_pool = jnp.asarray(rng.standard_normal((p_phys, page, hkv, d)), dtype)
+    v_pool = jnp.asarray(rng.standard_normal((p_phys, page, hkv, d)), dtype)
+    # shuffled non-contiguous page assignment, like a real allocator
+    perm = rng.permutation(p_phys)[: b * nb].reshape(b, nb)
+    block_tables = jnp.asarray(perm, jnp.int32)
+    lengths = jnp.asarray(rng.integers(1, nb * page + 1, (b,)), jnp.int32)
+    return q, k_pool, v_pool, block_tables, lengths
+
+
+def _dense_oracle(q, k_pool, v_pool, block_tables, lengths, scale):
+    """Gather the logical view and run the production einsum attention."""
+    b, hq, d = q.shape
+    _, page, hkv, _ = k_pool.shape
+    nb = block_tables.shape[1]
+    k = k_pool[block_tables].reshape(b, nb * page, hkv, d)
+    v = v_pool[block_tables].reshape(b, nb * page, hkv, d)
+    out = L.attention(q[:, None], k, v, mask=None, scale=scale,
+                      kv_lens=lengths)
+    return out[:, 0]
+
+
+def test_paged_attention_xla_matches_dense_attention():
+    rng = np.random.default_rng(0)
+    q, kp, vp, bt, lens = _make_case(rng)
+    scale = 0.125
+    got = paged_attention_xla(q, kp, vp, bt, lens, scale=scale)
+    want = _dense_oracle(q, kp, vp, bt, lens, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("hq,hkv", [(8, 8), (8, 2), (8, 1)])
+def test_paged_kernel_interpret_matches_xla(hq, hkv):
+    rng = np.random.default_rng(1)
+    q, kp, vp, bt, lens = _make_case(rng, hq=hq, hkv=hkv)
+    scale = 0.125
+    got = paged_attention(q, kp, vp, bt, lens, scale=scale, interpret=True)
+    want = paged_attention_xla(q, kp, vp, bt, lens, scale=scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_paged_kernel_zero_length_slot_is_finite():
+    rng = np.random.default_rng(2)
+    q, kp, vp, bt, lens = _make_case(rng, b=2)
+    lens = jnp.asarray([0, 5], jnp.int32)
+    out = paged_attention(q, kp, vp, bt, lens, scale=0.125, interpret=True)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+# -- paged continuous batcher --------------------------------------------------
+
+from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+from multimodal_colpali_tpu.models.colpali import ColPaliModel
+from multimodal_colpali_tpu.models.configs import ColPaliModelConfig
+from multimodal_colpali_tpu.models.registry import fast_random_params
+
+
+@pytest.fixture(scope="module")
+def tiny_lm():
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    model = ColPaliModel(cfg)
+    params = jax.tree.map(jnp.asarray, fast_random_params(model, cfg, seed=3))
+    return cfg.text, params
+
+
+def test_paged_batcher_matches_engine_greedy(tiny_lm):
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [[5, 9, 17, 3], [40, 2], list(range(3, 24))]
+    want = eng.generate(prompts, max_new_tokens=6)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8)
+    got = bat.generate(prompts, max_new_tokens=6)
+    assert got == want
+
+
+def test_paged_batcher_matches_engine_sampled(tiny_lm):
+    """Temperature sampling must replay the engine's per-request stream
+    (seed folded with the request's own step index). The batcher contract
+    is per-request: each stream matches an ISOLATED engine.generate (the
+    engine's batched sampling draws one noise tensor for the whole batch,
+    so batched rows are not the per-request streams)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [[5, 9, 17, 3], [40, 2]]
+    kw = dict(max_new_tokens=7, temperature=1.3, seed=11)
+    want = [eng.generate([p], **kw)[0] for p in prompts]
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=4, page_size=8)
+    got = bat.generate(prompts, **kw)
+    assert got == want
+
+
+def test_paged_pool_oversubscription_preempts_and_completes(tiny_lm):
+    """A pool too small for all requests at once must still complete every
+    request, via preemption + recompute, with bit-identical tokens."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [list(range(2, 18)), list(range(5, 17)), list(range(7, 21))]
+    want = eng.generate(prompts, max_new_tokens=10)
+    # 3 slots want ~16 prompt + 10 new tokens each (4 pages apiece @ page=8);
+    # 8 usable pages force eviction while all three run
+    bat = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64,
+                                 chunk=4, page_size=8, pool_pages=9)
+    got = bat.generate(prompts, max_new_tokens=10)
+    assert got == want
+    assert bat.preemptions > 0, "pool was sized to force preemption"
+
+
+def test_paged_prompt_exceeding_pool_fails_loudly(tiny_lm):
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=4, page_size=8, pool_pages=3)
+    fut = bat.submit(list(range(2, 34)), max_new_tokens=4)  # 4 pages needed
+    bat.drain()
+    with pytest.raises(ValueError, match="exceeds the KV capacity"):
+        fut.result(timeout=10)
+
+
+def test_paged_staggered_admission_matches_isolated(tiny_lm):
+    """Requests admitted while others are mid-decode produce exactly the
+    isolated-generation tokens (the parent scheduler's key invariant)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=2, page_size=8)
+    f1 = bat.submit([5, 9, 17, 3], max_new_tokens=8)
+    with bat._lock:
+        bat._admit()
+        bat._step_chunk()          # first request mid-flight
+    f2 = bat.submit([40, 2, 7], max_new_tokens=6)
+    bat.drain()
+    assert f1.result(10) == eng.generate([[5, 9, 17, 3]], max_new_tokens=8)[0]
+    assert f2.result(10) == eng.generate([[40, 2, 7]], max_new_tokens=6)[0]
