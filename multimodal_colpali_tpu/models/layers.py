@@ -89,12 +89,17 @@ def rope(x: jax.Array, positions: jax.Array, theta: float = 10000.0) -> jax.Arra
 
 
 # Global toggle for the fused Pallas attention kernel (ops/attention.py).
-# None = auto: enabled on TPU backends (hardware parity validated by
-# scripts/tpu_validate.py, round 2: max|diff| <= 0.016 bf16 across
-# bidirectional/GQA/causal/ragged), disabled elsewhere (the CPU interpret
-# path is for tests only). Override with set_fused_attention(True/False) or
-# MMCP_FUSED_ATTENTION=1/0.
+# None = auto: enabled on TPU backends when the sequence is long enough for
+# the kernel to win. Hardware parity validated by scripts/tpu_validate.py
+# (round 2: max|diff| <= 0.016 bf16 across bidirectional/GQA/causal/ragged).
+# The auto seq threshold comes from round-2 TPU v5e measurements: the kernel
+# is a 1.09x win on ColPali-3B (Gemma attention at S=1056, MFU 74.4->79.1%)
+# but a 0.95x loss on ColFlor (Florence-2's small DaViT windows/short text
+# seqs, where XLA's fused einsum already wins and the [S, S] HBM round-trip
+# the kernel saves is small). Override with set_fused_attention(True/False)
+# or MMCP_FUSED_ATTENTION=1/0 (True forces it at every length).
 _FUSED_ATTENTION: Optional[bool] = None
+_FUSED_AUTO_MIN_SEQ = 512
 
 
 def set_fused_attention(enabled: Optional[bool]) -> None:
@@ -102,9 +107,11 @@ def set_fused_attention(enabled: Optional[bool]) -> None:
     _FUSED_ATTENTION = None if enabled is None else bool(enabled)
 
 
-def _fused_attention_enabled() -> bool:
+def _fused_attention_enabled(seq_len: int) -> bool:
     if _FUSED_ATTENTION is not None:
         return _FUSED_ATTENTION
+    if seq_len < _FUSED_AUTO_MIN_SEQ:
+        return False
     # resolved lazily at trace time so importing the package never touches
     # the (possibly wedged) remote backend
     return jax.default_backend() == "tpu"
@@ -133,7 +140,8 @@ def attention(
     if hkv != hq:
         k = jnp.repeat(k, hq // hkv, axis=2)
         v = jnp.repeat(v, hq // hkv, axis=2)
-    if mask is None and q.shape[1] == k.shape[1] and _fused_attention_enabled():
+    if (mask is None and q.shape[1] == k.shape[1]
+            and _fused_attention_enabled(q.shape[1])):
         from multimodal_colpali_tpu.ops.attention import fused_attention
 
         return fused_attention(q, k, v, kv_lens, scale=scale, causal=causal)

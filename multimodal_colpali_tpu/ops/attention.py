@@ -7,9 +7,14 @@ block, reading K/V once. At the encoders' sequence lengths (<=1056) a full
 K/V per (batch, head) fits VMEM, so the kernel uses exact row-block softmax
 (single K pass, no online rescaling needed).
 
-Opt-in via models.layers.set_fused_attention(True) (default off until
-validated on hardware); numerics are interpret-tested against the einsum
-reference for bidirectional, padded-KV, and causal cases.
+Enabled automatically on TPU backends for sequences >= 512 (hardware
+parity + perf validated on v5e: 1.09x / +4.7 MFU points on ColPali-3B at
+S=1056; a loss on short sequences, where XLA's einsum fusion wins - see
+models/layers._fused_attention_enabled). Force with
+models.layers.set_fused_attention(True/False) or MMCP_FUSED_ATTENTION=1/0;
+numerics are interpret-tested against the einsum reference for
+bidirectional, padded-KV, and causal cases and hardware-tested by
+scripts/tpu_validate.py.
 """
 
 from __future__ import annotations
