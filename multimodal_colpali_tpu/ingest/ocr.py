@@ -25,12 +25,12 @@ resource, like a real OCR stack shares its training font bank. Custom
 atlases (e.g. harvested from another font at the same cell geometry) can be
 passed in.
 
-Honest limitations (inherent to the shared skeleton font, documented for
-parity review): the atlas renders lowercase with the uppercase skeleton and
-most digits with one shared shape, so recognition emits the canonical class
-- uppercase letters, and '0' for the ambiguous digit glyph ('1' and '7' are
-distinct). Case- and digit-exact OCR needs a richer atlas, not different
-code.
+The atlas carries distinct glyphs for uppercase, lowercase (x-height forms
+with ascenders/descenders), and every digit, so recognition is case- and
+digit-exact. Because lowercase lines start their ink at a different atlas
+row than capitals (x-height row 4 vs cap row 1) and descenders extend to
+row 12, line decoding hypothesizes (cell height, first-ink-row) layout
+pairs and keeps the best-correlating one (``_layout_candidates``).
 """
 
 from __future__ import annotations
@@ -107,21 +107,34 @@ class TemplateOcr:
     # -- recognition ---------------------------------------------------------
 
     @staticmethod
-    def _drawn_height(ih: int) -> int:
-        """Ink rows a typical letter (atlas rows 1..11) paints in an ih-px
-        cell, per draw_glyph's ``srow = py*13//ih`` truncation."""
+    def _drawn_height(ih: int, row0: int = 1, row1: int = 11) -> int:
+        """Ink rows painted in an ih-px cell by glyphs spanning atlas rows
+        ``row0..row1``, per draw_glyph's ``srow = py*13//ih`` truncation."""
         import math
 
-        return math.ceil(12 * ih / _CELL_ROWS) - math.ceil(ih / _CELL_ROWS)
+        return (math.ceil((row1 + 1) * ih / _CELL_ROWS)
+                - math.ceil(row0 * ih / _CELL_ROWS))
 
-    def _cell_candidates(self, h: int) -> List[int]:
-        """Cell heights whose drawn ink height inverts to ``h`` (plus the
-        continuous-estimate neighbors for descender/short-glyph lines)."""
-        exact = [ih for ih in range(4, 4 * h + 8)
-                 if self._drawn_height(ih) == h]
-        base = int(round(h * _CELL_ROWS / _INK_ROWS))
-        return sorted({ih for ih in exact + [base - 1, base, base + 1]
-                       if ih >= 4})
+    # A text line's ink span depends on which atlas rows its glyphs occupy:
+    # capitals/ascenders start at row 1, x-height lowercase at row 4, digits
+    # at row 2; descenders (g j p q y) reach row 12. Each family inverts the
+    # observed ink height to a different cell height AND a different top
+    # offset, so hypotheses are (cell_height, first_ink_row) pairs.
+    _ROW_FAMILIES = ((1, 11), (1, 12), (4, 11), (4, 12), (2, 11), (2, 10))
+
+    def _layout_candidates(self, h: int) -> List[Tuple[int, int]]:
+        """(cell height, first atlas ink row) hypotheses whose drawn ink
+        height inverts to ``h`` (exact truncation inversions plus the
+        continuous-estimate neighbors)."""
+        out = set()
+        for row0, row1 in self._ROW_FAMILIES:
+            span = row1 + 1 - row0
+            base = int(round(h * _CELL_ROWS / span))
+            cands = {ih for ih in range(max(base - 2, 4), base + 3)
+                     if self._drawn_height(ih, row0, row1) == h}
+            cands |= {base - 1, base, base + 1}
+            out |= {(ih, row0) for ih in cands if ih >= 4}
+        return sorted(out)
 
     def _decode_grid(self, ink: np.ndarray, top: int, ih: int, iw: int,
                      p0: int, pitch: float, n_cells: int) -> Tuple[float, str]:
@@ -177,10 +190,11 @@ class TemplateOcr:
             return 0.0, ""
         return float(np.mean(scores_kept)), "".join(chars).rstrip()
 
-    def _read_line(self, ink: np.ndarray, y0: int, y1: int, ih: int
-                   ) -> Tuple[float, str]:
-        """Decode one line at cell-height hypothesis ``ih`` -> (mean IoU of
-        the best grid phase, text).
+    def _read_line(self, ink: np.ndarray, y0: int, y1: int, ih: int,
+                   row0: int = 1) -> Tuple[float, str]:
+        """Decode one line at layout hypothesis (cell height ``ih``, first
+        ink at atlas row ``row0``) -> (mean IoU of the best grid phase,
+        text).
 
         The renderer is monospace (advance = S/2 regardless of glyph), so
         instead of segmenting touching glyphs apart - impossible when wide
@@ -196,7 +210,7 @@ class TemplateOcr:
         # (S*8/13): wider would swallow the next glyph's left edge.
         iw = min(max(int(math.ceil(pitch)) + 1, 3),
                  max(int(round(ih * _CELL_COLS / _CELL_ROWS)), 3))
-        pad = math.ceil(ih / _CELL_ROWS)       # atlas row 1 offset
+        pad = math.ceil(row0 * ih / _CELL_ROWS)  # first-ink-row offset
         top = y0 - pad
         cols = np.flatnonzero(ink[y0:y1 + 1].any(axis=0))
         if cols.size == 0:
@@ -237,11 +251,12 @@ class TemplateOcr:
         for y0, y1 in self._spans(ink.sum(axis=1) >= self.MIN_ROW_INK):
             if y1 - y0 + 1 > self.MAX_LINE_HEIGHT:
                 continue  # not machine-printed text at a sane size
-            # The glyph cell height is ambiguous from ink height alone
-            # (integer truncation, descenders); decode under each candidate
-            # and keep the hypothesis with the best mean correlation.
-            decoded = [self._read_line(ink, y0, y1, ih)
-                       for ih in self._cell_candidates(y1 - y0 + 1)]
+            # The glyph cell height and vertical alignment are ambiguous
+            # from ink height alone (integer truncation, case mix,
+            # descenders); decode under each layout hypothesis and keep the
+            # one with the best mean correlation.
+            decoded = [self._read_line(ink, y0, y1, ih, row0)
+                       for ih, row0 in self._layout_candidates(y1 - y0 + 1)]
             if decoded:
                 _, text = max(decoded, key=lambda t: t[0])
                 if text:

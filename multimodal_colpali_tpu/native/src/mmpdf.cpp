@@ -630,14 +630,46 @@ struct Font8x13 {
         case 'Z': hline(gl,1); hline(gl,11); px(gl,9,2); px(gl,7,3); px(gl,5,4); px(gl,3,5); px(gl,2,6); break;
       }
     }
-    for (char c = 'a'; c <= 'z'; c++)
-      memcpy(g(c), g((char)toupper(c)), 13);  // same skeleton, fine for layout
-    for (char c = '0'; c <= '9'; c++) {
-      uint8_t* gl = g(c);
-      vline(gl,1,3,9); vline(gl,6,3,9); hline(gl,2,2,5); hline(gl,10,2,5);
-      if (c == '1') { memset(gl, 0, 13); vline(gl,4,2,10); px(gl,3,3); hline(gl,11,2,6); }
-      if (c == '7') { memset(gl, 0, 13); hline(gl,2); px(gl,4,6); px(gl,6,5); px(gl,8,4); px(gl,10,3); }
-    }
+    // Lowercase: distinct x-height forms (rows 4..11), ascenders reach row 1,
+    // descenders row 12 - so OCR over the shared atlas is case-exact.
+    { uint8_t* gl = g('a'); hline(gl,4,2,5); vline(gl,6,5,10); hline(gl,7,2,5); vline(gl,1,8,10); hline(gl,11,2,6); }
+    { uint8_t* gl = g('b'); vline(gl,1,1,11); hline(gl,4,2,5); vline(gl,6,5,10); hline(gl,11,2,5); }
+    { uint8_t* gl = g('c'); hline(gl,4,2,6); vline(gl,1,5,10); hline(gl,11,2,6); }
+    { uint8_t* gl = g('d'); vline(gl,6,1,11); hline(gl,4,2,5); vline(gl,1,5,10); hline(gl,11,2,5); }
+    { uint8_t* gl = g('e'); hline(gl,4,2,5); vline(gl,1,5,10); vline(gl,6,5,7); hline(gl,7,2,5); hline(gl,11,2,6); }
+    { uint8_t* gl = g('f'); hline(gl,1,4,6); vline(gl,3,2,11); hline(gl,6,1,5); }
+    { uint8_t* gl = g('g'); hline(gl,4,2,5); vline(gl,1,5,9); hline(gl,10,2,5); vline(gl,6,4,11); hline(gl,12,2,5); }
+    { uint8_t* gl = g('h'); vline(gl,1,1,11); hline(gl,4,2,5); vline(gl,6,5,11); }
+    { uint8_t* gl = g('i'); px(gl,2,3); vline(gl,3,5,11); }
+    { uint8_t* gl = g('j'); px(gl,2,4); vline(gl,4,5,12); px(gl,12,2); px(gl,12,3); }
+    { uint8_t* gl = g('k'); vline(gl,1,1,11); px(gl,5,5); px(gl,6,4); px(gl,7,2); px(gl,7,3); px(gl,8,4); px(gl,9,5); px(gl,10,6); px(gl,11,6); }
+    { uint8_t* gl = g('l'); vline(gl,3,1,10); px(gl,11,4); }
+    { uint8_t* gl = g('m'); hline(gl,4,2,6); vline(gl,1,4,11); vline(gl,4,5,11); vline(gl,7,5,11); }
+    { uint8_t* gl = g('n'); hline(gl,4,2,5); vline(gl,1,4,11); vline(gl,6,5,11); }
+    { uint8_t* gl = g('o'); hline(gl,4,2,5); hline(gl,11,2,5); vline(gl,1,5,10); vline(gl,6,5,10); }
+    { uint8_t* gl = g('p'); hline(gl,4,2,5); vline(gl,1,4,12); vline(gl,6,5,9); hline(gl,10,2,5); }
+    { uint8_t* gl = g('q'); hline(gl,4,2,5); vline(gl,6,4,12); vline(gl,1,5,9); hline(gl,10,2,5); }
+    { uint8_t* gl = g('r'); vline(gl,1,4,11); px(gl,5,2); hline(gl,4,3,5); px(gl,5,6); }
+    { uint8_t* gl = g('s'); hline(gl,4,2,6); vline(gl,1,5,6); hline(gl,7,2,5); vline(gl,6,8,10); hline(gl,11,1,5); }
+    { uint8_t* gl = g('t'); vline(gl,3,1,10); hline(gl,4,1,6); px(gl,11,4); px(gl,11,5); }
+    { uint8_t* gl = g('u'); vline(gl,1,4,10); vline(gl,6,4,10); hline(gl,11,2,5); }
+    { uint8_t* gl = g('v'); vline(gl,1,4,8); vline(gl,6,4,8); px(gl,9,2); px(gl,9,5); px(gl,10,3); px(gl,10,4); px(gl,11,3); }
+    { uint8_t* gl = g('w'); vline(gl,1,4,10); vline(gl,4,6,10); vline(gl,7,4,10); hline(gl,11,2,3); hline(gl,11,5,6); }
+    { uint8_t* gl = g('x'); px(gl,4,1); px(gl,5,2); px(gl,6,3); px(gl,7,3); px(gl,8,4); px(gl,9,4); px(gl,10,5); px(gl,11,6);
+                            px(gl,4,6); px(gl,5,5); px(gl,6,4); px(gl,8,3); px(gl,9,3); px(gl,10,2); px(gl,11,1); }
+    { uint8_t* gl = g('y'); vline(gl,1,4,9); hline(gl,10,2,5); vline(gl,6,4,11); hline(gl,12,2,5); }
+    { uint8_t* gl = g('z'); hline(gl,4,1,6); px(gl,5,5); px(gl,6,4); px(gl,7,4); px(gl,8,3); px(gl,9,3); px(gl,10,2); hline(gl,11,1,6); }
+    // Digits: each shape distinct (previously one shared rounded box).
+    { uint8_t* gl = g('0'); vline(gl,1,3,9); vline(gl,6,3,9); hline(gl,2,2,5); hline(gl,10,2,5); }
+    { uint8_t* gl = g('1'); vline(gl,4,2,10); px(gl,3,3); hline(gl,11,2,6); }
+    { uint8_t* gl = g('2'); hline(gl,2,2,5); px(gl,3,1); vline(gl,6,3,5); px(gl,6,5); px(gl,7,4); px(gl,8,3); px(gl,9,2); px(gl,10,1); hline(gl,11,1,6); }
+    { uint8_t* gl = g('3'); hline(gl,2,1,5); vline(gl,6,3,5); hline(gl,6,3,5); vline(gl,6,7,9); hline(gl,10,1,5); }
+    { uint8_t* gl = g('4'); vline(gl,1,2,7); hline(gl,8,1,7); vline(gl,5,2,11); }
+    { uint8_t* gl = g('5'); hline(gl,2,1,6); vline(gl,1,2,5); hline(gl,6,1,5); vline(gl,6,7,9); hline(gl,10,1,5); }
+    { uint8_t* gl = g('6'); hline(gl,2,2,6); vline(gl,1,3,9); hline(gl,6,2,5); vline(gl,6,7,9); hline(gl,10,2,5); }
+    { uint8_t* gl = g('7'); hline(gl,2); px(gl,4,6); px(gl,6,5); px(gl,8,4); px(gl,10,3); }
+    { uint8_t* gl = g('8'); hline(gl,2,2,5); vline(gl,1,3,5); vline(gl,6,3,5); hline(gl,6,2,5); vline(gl,1,7,9); vline(gl,6,7,9); hline(gl,10,2,5); }
+    { uint8_t* gl = g('9'); hline(gl,2,2,5); vline(gl,1,3,5); vline(gl,6,3,9); hline(gl,6,2,5); hline(gl,10,1,5); }
     { uint8_t* gl = g('.'); px(gl,10,3); px(gl,11,3); }
     { uint8_t* gl = g(','); px(gl,10,3); px(gl,11,3); px(gl,12,2); }
     { uint8_t* gl = g('-'); hline(gl,6,2,5); }

@@ -357,3 +357,28 @@ def test_table_detector_no_false_positives(sample_pdf):
     doc = PdfDocument(sample_pdf)
     for page in range(len(doc)):
         assert detect_tables(doc.extract_runs(page)) == []
+
+
+def test_template_ocr_case_and_digit_exact():
+    """The enriched atlas (distinct lowercase x-height glyphs, distinct
+    digits) makes OCR case- and digit-exact, including lowercase-only lines
+    whose ink starts at atlas row 4 rather than the cap row 1 (layout
+    hypotheses in TemplateOcr._layout_candidates)."""
+    import difflib
+
+    from multimodal_colpali_tpu.ingest.ocr import TemplateOcr
+
+    cases = [
+        ("Glycans bind Selectins on page 42", 12),
+        ("the quick brown fox jumps over 13 lazy dogs", 14),
+        ("MiXeD Case 0123456789", 12),
+        ("all lowercase no ascenders: our source uses zero cursor", 12),
+    ]
+    ocr = TemplateOcr()
+    for text, size in cases:
+        w = PdfWriter()
+        w.add_page(text_lines=[text], font_size=size)
+        got = ocr.recognize(
+            np.asarray(PdfDocument(w.tobytes()).render(0, dpi=144.0)))
+        ratio = difflib.SequenceMatcher(None, got, text).ratio()
+        assert ratio > 0.95, (text, got)
