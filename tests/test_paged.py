@@ -155,3 +155,34 @@ def test_paged_staggered_admission_matches_isolated(tiny_lm):
     bat.drain()
     assert f1.result(10) == eng.generate([[5, 9, 17, 3]], max_new_tokens=8)[0]
     assert f2.result(10) == eng.generate([[40, 2, 7]], max_new_tokens=6)[0]
+
+
+def test_paged_batcher_multimodal_matches_isolated(tiny_lm):
+    """A multimodal (image-conditioned) request decodes in the paged slot
+    batch next to a text request, matching the isolated PaliGemmaEngine
+    stream (prefill goes through the parent's mm path; the paged layout is
+    modality-agnostic from the first decode step on)."""
+    from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    params = jax.tree.map(jnp.asarray,
+                          fast_random_params(ColPaliModel(cfg), cfg, seed=3))
+    eng = GemmaDecodeEngine(cfg.text, params)
+    mm = PaliGemmaEngine(cfg, params)
+
+    rng = np.random.default_rng(4)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(np.float32)
+    mm_prompt = mm.build_mm_prompt([5, 9, 11], bos_id=2)
+    want_mm = mm.generate([mm_prompt], pix, max_new_tokens=6,
+                          bucket=len(mm_prompt))[0]
+    want_txt = eng.generate([[40, 2, 7]], max_new_tokens=8)[0]
+
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3,
+                                 prompt_bucket=len(mm_prompt), mm_engine=mm,
+                                 page_size=8)
+    txt_fut = bat.submit([40, 2, 7], max_new_tokens=8)
+    mm_fut = bat.submit(mm_prompt, max_new_tokens=6, pixel_values=pix)
+    bat.drain()
+    assert mm_fut.result(timeout=60) == want_mm
+    assert txt_fut.result(timeout=60) == want_txt
