@@ -166,10 +166,54 @@ def encoder_mfu(name: str, batch: int, fused: bool) -> float:
         L.set_fused_attention(None)  # restore auto
 
 
+def decode_throughput(name: str = "vidore/colpali-v1.3", slots: int = 4,
+                      chunk: int = 16, max_new: int = 64,
+                      paged: bool = False) -> float:
+    """Serving-tier tokens/s: continuous batcher over the model's Gemma LM,
+    ``slots`` concurrent requests decoding ``max_new`` tokens each. The
+    chunked decode amortizes the tunnel's ~35-40 ms dispatch overhead."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+    from multimodal_colpali_tpu.models.registry import load_retriever
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ret = load_retriever(name)
+    eng = GemmaDecodeEngine(ret.model.cfg.text, ret.params, dtype=jnp.bfloat16)
+    if paged:
+        from multimodal_colpali_tpu.generation.paged import (
+            PagedContinuousBatcher)
+
+        bat = PagedContinuousBatcher(eng, batch_slots=slots,
+                                     max_seq_len=256, chunk=chunk,
+                                     page_size=32)
+    else:
+        from multimodal_colpali_tpu.generation.scheduler import (
+            ContinuousBatcher)
+
+        bat = ContinuousBatcher(eng, batch_slots=slots, max_seq_len=256,
+                                chunk=chunk)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(3, 200, (24,)).tolist() for _ in range(slots)]
+    bat.generate(prompts, max_new_tokens=2)   # warm prefill+decode compiles
+    t0 = time.time()
+    outs = bat.generate(prompts, max_new_tokens=max_new)
+    dt = time.time() - t0
+    n_tok = sum(len(o) for o in outs)
+    log(f"[decode] {name} {'paged' if paged else 'dense'} slots={slots} "
+        f"chunk={chunk}: {n_tok} tokens in {dt:.2f}s = {n_tok/dt:.1f} tok/s")
+    return n_tok / dt
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--flagship", action="store_true",
                    help="also measure ColPali-3B (remote compile: 5-10 min)")
+    p.add_argument("--decode", action="store_true",
+                   help="measure serving-tier decode tokens/s (dense + paged)")
     p.add_argument("--skip-bench", action="store_true")
     args = p.parse_args()
 
@@ -192,6 +236,9 @@ def main() -> None:
         encoder_mfu("vidore/colpali-v1.3", batch=8, fused=False)
         if fused_ok:
             encoder_mfu("vidore/colpali-v1.3", batch=8, fused=True)
+    if args.decode:
+        decode_throughput(paged=False)
+        decode_throughput(paged=True)
 
     if not args.skip_bench:
         r = subprocess.run([sys.executable,
