@@ -318,6 +318,165 @@ def prompt_prep(docs: Sequence[Document], prompt_image: str, prompt_text: str):
     return q_prompt
 
 
+def modify_orig(orig_documents, gen_texts):
+    """Replace image docs' text with generated summaries, zip-ordered
+    (reference functions.py:616-631)."""
+    new_doc = []
+    for gen_text, el in zip(gen_texts, orig_documents):
+        if el.metadata["type"] in ["image"]:
+            el.page_content = gen_text
+        new_doc.append(el)
+    return new_doc
+
+
+def show_results(qdrant_retrieval, display_fn=print):
+    """Print a retrieval result set (reference functions.py:633-651).
+
+    Behavioral deviation: the reference calls IPython ``display`` on images
+    and markdown; this framework is headless, so entries are printed and
+    returned as ``(kind, payload)`` tuples for the caller to render.
+    """
+    shown = []
+    if hasattr(qdrant_retrieval, "points"):
+        for el in qdrant_retrieval.points:
+            display_fn(
+                f"Score: {el.score}, file: {el.payload['document_name']}, "
+                f"page: {el.payload['page_no']}, type: {el.payload['type']}, "
+                f"link: {el.payload['document_link']}. ")
+            shown.append(("image", el.payload.get("img_link")))
+    else:
+        for el in qdrant_retrieval:
+            doc, score = el[0], el[1]
+            display_fn(
+                f"Score: {score}, file: {doc.metadata['document_name']}, "
+                f"page: {doc.metadata['page_no']}, type: {doc.metadata['type']}, "
+                f"link: {doc.metadata['document_link']}. ")
+            kind = doc.metadata["type"]
+            if kind in ["image", "pdf_page"]:
+                shown.append(("image", doc.metadata.get("img_link")))
+            elif kind in ["text"]:
+                display_fn(f"{doc.page_content} \n")
+                shown.append(("text", doc.page_content))
+            elif kind in ["table"]:
+                shown.append(("markdown", doc.page_content))
+    return shown
+
+
+def extract_tarfile(input_filename: str, output_dir: str) -> None:
+    """Unpack a snapshot tarball (reference functions.py:1863-1864)."""
+    setup_initial_vector_db(input_filename, output_dir)
+
+
+# ---------------------------------------------------------------------------
+# Query-time prompt preparation (reference functions.py:1479-1665)
+# ---------------------------------------------------------------------------
+
+def _context_prompts(context_docs, prompt_image: str, prompt_text: str,
+                     join_context: bool):
+    """(Document, score) context -> per-item or joined multimodal prompts
+    (the shared tail of the reference's three prompt_prep_query variants)."""
+    if not join_context:
+        q_prompt = []
+        for el in context_docs:
+            if el[0].metadata["type"] in ["image"]:
+                part = format_msgs(prompt_image, [el[0].metadata["img_link"]], "")
+            elif el[0].metadata["type"] in ["text", "table"]:
+                part = format_msgs(prompt_text, [], el[0].page_content)
+            else:
+                part = format_msgs(prompt_text, [], "")
+            q_prompt.append(part)
+        return q_prompt
+    img_links = [el[0].metadata["img_link"] for el in context_docs
+                 if el[0].metadata["type"] in ["image"]]
+    text_joined = "\n".join(el[0].page_content for el in context_docs
+                            if el[0].metadata["type"] in ["text", "table"])
+    return format_msgs(prompt_image, img_links, text_joined)
+
+
+def prompt_prep_query(query, prompts, qdrant_client, username, vector_db,
+                      embeddings, top_k, type, cp_model="", cp_processor="",
+                      join_context=False):
+    """Retrieve top-k context for ``query`` and build generation prompts
+    (reference functions.py:1479-1557): ``type`` selects no-RAG (''),
+    mm_RAG (dense similarity search with a username filter), or colpali
+    (late-interaction MaxSim); ``join_context`` merges all context into one
+    multimodal prompt instead of one prompt per hit."""
+    prompt_image = prompts.format(query=query)
+    prompt_text = prompts.format(query=query)
+    if type in ["", "mm_RAG"]:
+        if type == "":
+            context = []
+        else:
+            store = TpuVectorStore(qdrant_client, vector_db, embeddings)
+            flt = Filter(must=[FieldCondition(
+                key="metadata.username", match=MatchValue(value=username))])
+            context = store.similarity_search_with_score(query, top_k, filter=flt)
+        q_prompt = _context_prompts(context, prompt_image, prompt_text,
+                                    join_context)
+    elif type == "colpali" and cp_processor != "" and cp_model != "":
+        context = retrieve_colpali(query, cp_processor, cp_model,
+                                   qdrant_client, username, vector_db, top_k)
+        if not join_context:
+            q_prompt = [format_msgs(prompt_image, [el.payload["img_link"]], "")
+                        for el in context.points]
+        else:
+            img_links = [el.payload["img_link"] for el in context.points]
+            q_prompt = format_msgs(prompt_image, img_links, "")
+    else:
+        print("Error, either enter mm_RAG or colpali or '' for RAG variable")
+        context, q_prompt = [], []
+    return {"query": query, "context": context, "q_prompts": q_prompt}
+
+
+def prompt_prep_query_emb(query, prompts, qdrant_client, username, vector_db,
+                          embed_prompt, top_k, type, join_context=False):
+    """prompt_prep_query over a PRECOMPUTED dense query embedding
+    (reference functions.py:1559-1610): queries the collection directly via
+    query_points and reads the langchain payload layout."""
+    prompt_image = prompts["rag_summary_query"].format(query=query)
+    prompt_text = prompts["text_summary_query"].format(query=query)
+    if type not in ["", "mm_RAG"]:
+        print("Error, either enter mm_RAG or '' for RAG variable")
+        return {"query": query, "context": [], "q_prompts": []}
+    if type == "":
+        return {"query": query, "context": "",
+                "q_prompts": format_msgs(prompt_text, [], "")}
+    context = qdrant_client.query_points(vector_db, query=embed_prompt,
+                                         limit=top_k)
+    docs = [(Document(page_content=p.payload.get("page_content", ""),
+                      metadata=dict(p.payload.get("metadata", {}))), p.score)
+            for p in context.points]
+    q_prompt = _context_prompts(docs, prompt_image, prompt_text, join_context)
+    return {"query": query, "context": context, "q_prompts": q_prompt}
+
+
+def prompt_prep_query1(query, prompts, username, vector_db, embeddings,
+                       top_k, type, join_context=False, qdrant_client=None,
+                       path: str = ""):
+    """prompt_prep_query against an EXISTING collection
+    (reference functions.py:1612-1665; there the collection lives on a
+    Qdrant server at localhost, here it is an in-process client loaded from
+    ``path`` or passed as ``qdrant_client``). Retrieval errors degrade to an
+    empty context exactly like the reference."""
+    prompt_query = prompts.format(query=query)
+    context = []
+    if type in ["mm_vd", "text_vd"]:
+        try:
+            client = qdrant_client or VectorClient(path or None)
+            store = TpuVectorStore(client, vector_db, embeddings)
+            flt = Filter(must=[FieldCondition(
+                key="metadata.username", match=MatchValue(value=username))])
+            context = store.similarity_search_with_score(query, top_k, filter=flt)
+        except Exception:  # noqa: BLE001 - mirror the reference's degrade
+            context = []
+            print("Error accessing qdrant vectorstore")
+    elif type != "":
+        print("Error, either enter mm_RAG or colpali or '' for RAG variable")
+    q_prompt = _context_prompts(context, prompt_query, prompt_query,
+                                join_context)
+    return {"query": query, "context": context, "q_prompts": q_prompt}
+
+
 async def get_img_summary(docs_multi, prompts, model, vllm_port, save_output,
                           base_url: Optional[str] = None):
     """Replace image docs' text with VLM summaries

@@ -1,5 +1,6 @@
 from multimodal_colpali_tpu.generation.client import (  # noqa: F401
     ERROR_SENTINEL,
+    get_response_context,
     get_responses,
     mcq_response_format,
     post_request_with_retries,

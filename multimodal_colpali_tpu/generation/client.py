@@ -112,6 +112,48 @@ async def get_responses(
         return list(await asyncio.gather(*tasks))
 
 
+async def get_response_context(
+    query: str,
+    context: Sequence[List[Dict]],
+    model_name: str,
+    url: str,
+    headers: Dict[str, str],
+    connector_limit: int = 512,
+) -> str:
+    """Two-phase ask: summarize every context prompt concurrently, then
+    answer ``query`` over the joined summaries (reference
+    functions.py:1684-1719).
+
+    Behavioral deviation (intentional fix): the reference's second phase
+    iterates ``for msg in fin_query`` and posts each message DICT as the
+    ``messages`` field - an invalid OpenAI payload, since format_msgs
+    returns one single-message list. The intended semantics (one final
+    request with the full message list) are implemented instead, returning
+    the answer string.
+    """
+    from multimodal_colpali_tpu.generation.messages import format_msgs
+
+    conn = aiohttp.TCPConnector(limit=connector_limit)
+    async with aiohttp.ClientSession(connector=conn) as session:
+        tasks = [
+            post_request_with_retries(
+                session, url=url, headers=headers,
+                data={"model": model_name, "messages": msg},
+            )
+            for msg in context
+        ]
+        responses = await asyncio.gather(*tasks)
+
+    fin_query = format_msgs(query + "Here is context information:", [],
+                            "\n".join(responses))
+    conn = aiohttp.TCPConnector(limit=connector_limit)
+    async with aiohttp.ClientSession(connector=conn) as session:
+        return await post_request_with_retries(
+            session, url=url, headers=headers,
+            data={"model": model_name, "messages": fin_query},
+        )
+
+
 def mcq_response_format() -> Dict[str, Any]:
     """Structured-output schema forcing {"answer": "A|B|C|D"} - the pydantic
     ``MCQ`` schema of the reference (02_experiment01.py:50-55) as a raw

@@ -206,3 +206,133 @@ def test_models_local_against_fake_server():
     finally:
         del os.environ["API_URL"]
         srv.shutdown()
+
+
+def _meta(name, typ, username="u1", content_img=""):
+    return {"document_name": name, "type": typ, "page_no": 1,
+            "document_id": name, "document_link": "", "ref": "", "caption": "",
+            "img_link": content_img, "username": username}
+
+
+def test_prompt_prep_query_mm_rag_and_no_rag(bge, tmp_path):
+    """prompt_prep_query (reference functions.py:1479-1557): mm_RAG builds
+    per-hit prompts from filtered dense retrieval; join_context merges; ''
+    yields an empty context."""
+    from PIL import Image as PILImage
+
+    img_path = str(tmp_path / "fig.png")
+    PILImage.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_path)
+    client = VectorClient()
+    docs = [
+        Document("glycans bind lectins", _meta("a.pdf", "text")),
+        Document("", _meta("a.pdf", "image", content_img=img_path)),
+        Document("other user's doc", _meta("c.pdf", "text", username="u2")),
+    ]
+    api.TpuVectorStore.from_documents(docs, bge, client, "mm_vd", emb_dim=32)
+
+    out = api.prompt_prep_query("what binds lectins?", "Answer: {query}",
+                                client, "u1", "mm_vd", bge, top_k=3,
+                                type="mm_RAG")
+    assert len(out["context"]) == 2  # u2's doc filtered out
+    assert len(out["q_prompts"]) == 2
+    kinds = {c["type"] for p in out["q_prompts"] for c in p[0]["content"]}
+    assert "image_url" in kinds and "text" in kinds
+
+    joined = api.prompt_prep_query("q?", "Answer: {query}", client, "u1",
+                                   "mm_vd", bge, top_k=3, type="mm_RAG",
+                                   join_context=True)
+    assert joined["q_prompts"][0]["role"] == "user"  # one merged prompt
+
+    none = api.prompt_prep_query("q?", "Answer: {query}", client, "u1",
+                                 "mm_vd", bge, top_k=3, type="")
+    assert none["context"] == [] and none["q_prompts"] == []
+
+
+def test_prompt_prep_query_colpali(retriever, pdf_dir, tmp_path):
+    """prompt_prep_query type=colpali goes through retrieve_colpali and
+    emits one image prompt per retrieved page."""
+    from PIL import Image as PILImage
+
+    img_path = str(tmp_path / "pg.png")
+    PILImage.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img_path)
+    client = VectorClient()
+    api.ensure_colpali_collection(client, "cp_vd", vector_size=8, max_tokens=16)
+    from multimodal_colpali_tpu.ingest import convert_pdf_dir_to_images as c2i
+    images = c2i(pdf_dir)
+    dataset = [{"image": img, "filename": fname, "page_no": i + 1,
+                "img_link": img_path}
+               for fname, pages in images.items()
+               for i, img in enumerate(pages)]
+    api.colpali_qdrant(dataset, [f"{pdf_dir}/alpha.pdf", f"{pdf_dir}/beta.pdf"],
+                       ["doi:a", "doi:b"], retriever, retriever.processor,
+                       client, "cp_vd", batch_size=4, username="u1")
+    out = api.prompt_prep_query("glycans", "Q: {query}", client, "u1",
+                                "cp_vd", None, top_k=2, type="colpali",
+                                cp_model=retriever, cp_processor=retriever.processor)
+    assert len(out["q_prompts"]) == 2
+    assert out["q_prompts"][0][0]["content"][1]["type"] == "image_url"
+
+
+def test_prompt_prep_query_emb_and_query1(bge, tmp_path):
+    """prompt_prep_query_emb consumes a precomputed dense embedding
+    (functions.py:1559-1610); prompt_prep_query1 degrades to empty context
+    on store errors (functions.py:1612-1665)."""
+    client = VectorClient()
+    docs = [Document("glycans bind lectins", _meta("a.pdf", "text"))]
+    api.TpuVectorStore.from_documents(docs, bge, client, "text_vd", emb_dim=32)
+    prompts = {"rag_summary_query": "IMG {query}",
+               "text_summary_query": "TXT {query}"}
+
+    qv = bge.embed_query("glycans bind lectins")
+    out = api.prompt_prep_query_emb("glycans?", prompts, client, "u1",
+                                    "text_vd", qv, top_k=1, type="mm_RAG")
+    assert len(out["q_prompts"]) == 1
+    assert out["q_prompts"][0][0]["content"][0]["text"].startswith("TXT")
+
+    none = api.prompt_prep_query_emb("q?", prompts, client, "u1", "text_vd",
+                                     qv, top_k=1, type="")
+    assert none["context"] == ""
+
+    ok = api.prompt_prep_query1("glycans?", "P: {query}", "u1", "text_vd",
+                                bge, 1, "text_vd", qdrant_client=client)
+    assert len(ok["q_prompts"]) == 1
+    # missing collection degrades exactly like the reference (empty context)
+    bad = api.prompt_prep_query1("q?", "P: {query}", "u1", "nope", bge, 1,
+                                 "mm_vd", qdrant_client=client)
+    assert bad["context"] == [] and bad["q_prompts"] == []
+
+
+def test_modify_orig_and_show_results(capsys):
+    docs = [Document("t", _meta("a.pdf", "text")),
+            Document("", _meta("a.pdf", "image"))]
+    out = api.modify_orig(docs, ["ignored", "summary!"])
+    assert out[0].page_content == "t" and out[1].page_content == "summary!"
+
+    shown = api.show_results([(docs[0], 0.9)])
+    printed = capsys.readouterr().out
+    assert "Score: 0.9" in printed and "a.pdf" in printed
+    assert shown == [("text", "t")]
+
+
+def test_get_response_context_two_phase():
+    """get_response_context summarizes each context prompt then answers the
+    query over the joined summaries (functions.py:1684-1719; final request
+    fixed to post a valid messages list - see the docstring deviation)."""
+    from multimodal_colpali_tpu.generation.client import get_response_context
+    from multimodal_colpali_tpu.generation.messages import format_msgs
+
+    seen = []
+
+    def answer(req):
+        text = req["messages"][0]["content"][0]["text"]
+        seen.append(text)
+        return f"S({text[:12]})"
+
+    ctx = [format_msgs("summarize one", [], ""),
+           format_msgs("summarize two", [], "")]
+    with FakeOpenAIServer(answer) as srv:
+        got = run_sync(get_response_context(
+            "What? ", ctx, "gemma", f"{srv.base_url}/chat/completions", {}))
+    assert got.startswith("S(What? Here")
+    # the final request carried both phase-1 summaries
+    assert "S(summarize on" in seen[-1] and "S(summarize tw" in seen[-1]
