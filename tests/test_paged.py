@@ -186,3 +186,40 @@ def test_paged_batcher_multimodal_matches_isolated(tiny_lm):
     bat.drain()
     assert mm_fut.result(timeout=60) == want_mm
     assert txt_fut.result(timeout=60) == want_txt
+
+
+def test_paged_batcher_fuzz_with_preemption(tiny_lm):
+    """Property test: random prompts/budgets under random admission, a
+    deliberately tight page pool (forcing preemption + readmission), and
+    mixed temperatures must reproduce isolated engine generations exactly."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    rng = np.random.default_rng(7)
+    reqs = []
+    for i in range(9):
+        n = int(rng.integers(1, 24))
+        prompt = rng.integers(2, tcfg.vocab_size - 2, n).tolist()
+        budget = int(rng.integers(1, 10))
+        temp = float(rng.choice([0.0, 1.2]))
+        reqs.append((prompt, budget, temp, i))
+    want = [eng.generate([p], max_new_tokens=b, temperature=t, seed=s)[0]
+            for p, b, t, s in reqs]
+
+    # 3 slots, pool of 10 usable pages @ 8 tokens: three 24-token prompts
+    # can't coexist, so growth forces preemptions mid-run
+    bat = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64, chunk=2,
+                                 page_size=8, pool_pages=11)
+    futs = []
+    for i, (p, b, t, s) in enumerate(reqs):
+        futs.append(bat.submit(p, max_new_tokens=b, temperature=t, seed=s))
+        if i % 3 == 2:  # interleave admission with decoding
+            with bat._lock:
+                bat._admit()
+                if any(r is not None for r in bat._slots):
+                    bat._step_chunk()
+    bat.drain()
+    got = [f.result(timeout=120) for f in futs]
+    assert got == want
+    # allocator bookkeeping: every page returned to the free list
+    assert sorted(bat._free) == list(range(1, bat.P))
+    assert all(not pages for pages in bat._slot_pages)
