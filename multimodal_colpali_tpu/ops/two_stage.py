@@ -228,6 +228,49 @@ def sharded_two_stage_maxsim_topk(
     return fn(*args)
 
 
+@functools.partial(jax.jit, static_argnames=("n_candidates",))
+def coarse_topk(
+    q: jax.Array,            # [NQ, DIM] one query's tokens
+    q_len: jax.Array,        # scalar int32
+    pooled: jax.Array,       # [P, DIM] or [P, K, DIM]
+    d_lens: jax.Array,       # [P] int32 (0 = filtered/padded page)
+    n_candidates: int = 32,
+) -> jax.Array:
+    """Stage 1 alone: the candidate page indices [n_candidates].
+
+    The host-resident ("on_disk") corpus tier splits the two-stage search
+    around a host gather: this function runs on device over the pooled
+    index, the caller gathers the candidates' original token tensors from
+    host memory (Qdrant's on_disk=True role, reference
+    01_create_context_qdrant.py:217), and ``rescore_candidates`` finishes on
+    device."""
+    coarse, _, _ = _coarse_scores(q, q_len, pooled, d_lens)
+    _, cand = jax.lax.top_k(coarse, n_candidates)
+    return cand
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def rescore_candidates(
+    q: jax.Array,            # [NQ, DIM]
+    q_len: jax.Array,        # scalar int32
+    cand_pages: jax.Array,   # [C, NT, DIM] gathered original tokens
+    cand_lens: jax.Array,    # [C] int32
+    k: int = 5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Stage 2 over host-gathered candidates -> (scores [k], positions [k]
+    into the candidate axis; the caller maps positions to global ids)."""
+    nq, nt = q.shape[0], cand_pages.shape[1]
+    qf = q.astype(jnp.float32)
+    qmask = (jnp.arange(nq) < q_len).astype(jnp.float32)
+    sim = jnp.einsum("qd,ctd->cqt", qf, cand_pages.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    tok_valid = jnp.arange(nt)[None, None, :] < cand_lens[:, None, None]
+    sim = jnp.where(tok_valid, sim, MASK_VALUE)
+    exact = jnp.einsum("cq,q->c", jnp.max(sim, axis=-1), qmask)
+    vals, order = topk_with_stable_ties(exact[None, :], k)
+    return vals[0], order[0]
+
+
 def build_two_stage_index(
     d: jax.Array, d_lens: jax.Array, n_centroids: int = 1
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:

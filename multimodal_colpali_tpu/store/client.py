@@ -73,6 +73,7 @@ class VectorClient:
         **_: Any,
     ) -> bool:
         if vectors_config.multivector_config is not None:
+            on_disk = bool(getattr(vectors_config, "on_disk", False))
             store: Union[DenseVectorStore, MultiVectorStore] = MultiVectorStore(
                 name=collection_name,
                 dim=vectors_config.size,
@@ -80,7 +81,8 @@ class VectorClient:
                 distance=vectors_config.distance,
                 quantized=quantized,
                 prefilter=prefilter,
-                mesh=self.mesh,
+                on_disk=on_disk,
+                mesh=None if on_disk else self.mesh,
                 mesh_axis=self.mesh_axis,
             )
         else:

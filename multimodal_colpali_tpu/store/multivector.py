@@ -53,6 +53,7 @@ class MultiVectorStore:
         quantized: bool = False,
         prefilter: str = "int8",
         pooled_centroids: int = 1,
+        on_disk: bool = False,
         mesh: Optional[Mesh] = None,
         mesh_axis: str = "corpus",
     ):
@@ -63,15 +64,30 @@ class MultiVectorStore:
         ``pooled_centroids > 1`` uses k farthest-point-sampled tokens per
         page for stage 1 - a k-token subsampled MaxSim - which keeps
         minority-topic pages retrievable (better recall on multi-topic
-        corpora at k x the - tiny - stage-1 cost)."""
+        corpora at k x the - tiny - stage-1 cost).
+
+        ``on_disk=True`` (Qdrant's parameter at reference
+        01_create_context_qdrant.py:217) keeps the ORIGINAL token tensors
+        off the accelerator: HBM holds only the pooled stage-1 index (~0.25
+        GB per million pages) plus token counts, and each query gathers just
+        its oversampled candidates from host memory for the exact device
+        rescore - so corpora far beyond HBM (the 1M-page-per-chip
+        configuration) serve from one chip. Loading a saved on_disk
+        collection memory-maps the originals, so even host RAM holds only
+        the touched pages. Implies ``prefilter="pooled"``; the mesh path
+        keeps originals device-resident and is mutually exclusive."""
         self.name = name
         self.dim = dim
         self.max_tokens = max_tokens
         self.distance = distance
         self.dtype = dtype
-        self.quantized = quantized
-        self.prefilter = prefilter
+        self.quantized = quantized or on_disk
+        self.prefilter = "pooled" if on_disk else prefilter
         self.pooled_centroids = pooled_centroids
+        self.on_disk = on_disk
+        if on_disk and mesh is not None:
+            raise ValueError("on_disk and mesh corpus sharding are mutually "
+                             "exclusive (shard the host tier instead)")
         self.mesh = mesh
         self.mesh_axis = mesh_axis
 
@@ -91,7 +107,14 @@ class MultiVectorStore:
     def __len__(self) -> int:
         return len(self._ids)
 
+    def _materialize(self) -> None:
+        """Mutations on a memmapped (on_disk-loaded) corpus copy it into
+        writable host memory first; save() re-establishes the disk tier."""
+        if isinstance(self._vectors, np.memmap) or not self._vectors.flags.writeable:
+            self._vectors = np.array(self._vectors)
+
     def upsert(self, points: Sequence[t.PointStruct]) -> t.UpdateResult:
+        self._materialize()
         new_vecs, new_lens, new_rows = [], [], []
         for pt in points:
             vec = np.asarray(pt.vector, dtype=np.float32)
@@ -137,6 +160,7 @@ class MultiVectorStore:
         if not drop:
             return t.UpdateResult()
         keep = [i for i in range(len(self._ids)) if i not in drop]
+        self._materialize()
         self._vectors = self._vectors[keep]
         self._lens = self._lens[keep]
         self._ids = [self._ids[i] for i in keep]
@@ -180,6 +204,40 @@ class MultiVectorStore:
         if self.mesh is None:
             return None
         return NamedSharding(self.mesh, spec)
+
+    def _ensure_device_on_disk(self) -> Tuple[jax.Array, jax.Array]:
+        """on_disk tier: HBM holds ONLY the pooled stage-1 index + lens.
+
+        The pooled vectors are computed by streaming the host corpus through
+        the device in bounded chunks - the full token tensor never exists in
+        HBM, which is the point of this tier."""
+        if self._device_cache_pooled is not None and not self._dirty:
+            return self._device_cache_pooled, self._device_cache[1]
+        from multimodal_colpali_tpu.ops.two_stage import (
+            pool_corpus, pool_corpus_fps)
+
+        # Chunked streaming WITHOUT touching the whole host array at once
+        # (it may be a memmap far larger than RAM); only the pooled index
+        # and lens are padded, both tiny.
+        chunk = 8192
+        pooled_parts = []
+        n = self._vectors.shape[0]
+        for s in range(0, n, chunk):
+            dv = jnp.asarray(np.asarray(self._vectors[s: s + chunk],
+                                        np.float32), self.dtype)
+            dl = jnp.asarray(self._lens[s: s + chunk])
+            if self.pooled_centroids > 1:
+                pooled_parts.append(np.asarray(pool_corpus_fps(
+                    dv, dl, k=self.pooled_centroids)))
+            else:
+                pooled_parts.append(np.asarray(pool_corpus(dv, dl)))
+        pooled_np = (np.concatenate(pooled_parts, axis=0) if pooled_parts
+                     else np.zeros((0, self.dim), np.float32))
+        self._device_cache_pooled = jnp.asarray(self._pad_to_block(pooled_np, 8))
+        dl_all = jnp.asarray(self._pad_to_block(self._lens, 8))
+        self._device_cache = (None, dl_all)  # originals stay on host
+        self._dirty = False
+        return self._device_cache_pooled, dl_all
 
     def _ensure_device(self) -> Tuple[jax.Array, jax.Array]:
         if self._device_cache is not None and not self._dirty:
@@ -244,6 +302,10 @@ class MultiVectorStore:
             q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
         if len(self._ids) == 0:
             return t.QueryResponse(points=[])
+
+        if self.on_disk:
+            return self._query_on_disk(q, limit, query_filter, search_params,
+                                       with_vectors)
 
         d, dl = self._ensure_device()
         dl_eff = self._filter_lens(dl, query_filter)
@@ -328,19 +390,83 @@ class MultiVectorStore:
             )
         return t.QueryResponse(points=points[:limit])
 
+    def _query_on_disk(
+        self,
+        q: np.ndarray,
+        limit: int,
+        query_filter: Optional[t.Filter],
+        search_params: Optional[t.SearchParams],
+        with_vectors: bool,
+    ) -> t.QueryResponse:
+        """Two-stage search with host-resident originals: device pooled
+        prefilter -> host gather of the oversampled candidates -> exact
+        device rescore. Bit-matches the device-resident pooled path (the
+        rescore math is identical; only where the originals live differs)."""
+        from multimodal_colpali_tpu.ops.two_stage import (
+            coarse_topk, rescore_candidates)
+
+        pooled, dl = self._ensure_device_on_disk()
+        dl_eff = self._filter_lens(dl, query_filter)
+        quant = search_params.quantization if search_params else None
+        oversampling = quant.oversampling if quant else 2.0
+        p_total = pooled.shape[0]
+        n_cand = min(max(int(np.ceil(limit * max(oversampling, 1.0))), limit),
+                     p_total)
+
+        cand = np.asarray(coarse_topk(
+            jnp.asarray(q, jnp.float32), jnp.int32(q.shape[0]),
+            pooled, dl_eff, n_candidates=n_cand))
+
+        # host gather: only the candidates' originals travel to the device
+        # (memmap-friendly row indexing when the store was loaded on_disk)
+        n_real = len(self._ids)
+        safe = np.minimum(cand, max(n_real - 1, 0))
+        pages = np.asarray(self._vectors[safe], dtype=np.float32)
+        lens = self._lens[safe].astype(np.int32).copy()
+        for row, idx in enumerate(cand.tolist()):
+            if idx >= n_real or (query_filter is not None
+                                 and not query_filter.matches(self._payloads[idx])):
+                lens[row] = 0  # padded/filtered candidate scores MASK_VALUE
+        vals, order = rescore_candidates(
+            jnp.asarray(q, jnp.float32), jnp.int32(q.shape[0]),
+            jnp.asarray(pages, self.dtype), jnp.asarray(lens),
+            k=min(limit, n_cand))
+        vals = np.asarray(vals)
+        inds = cand[np.asarray(order)]
+
+        points = []
+        for score, idx in zip(vals.tolist(), inds.tolist()):
+            if idx >= n_real or score < _FILTERED_SCORE_FLOOR:
+                continue
+            points.append(t.ScoredPoint(
+                id=self._ids[idx], score=float(score),
+                payload=dict(self._payloads[idx]),
+                vector=(self._vectors[idx, : self._lens[idx]].tolist()
+                        if with_vectors else None),
+            ))
+        return t.QueryResponse(points=points[:limit])
+
     # -- persistence -------------------------------------------------------
 
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
-        np.savez_compressed(
-            os.path.join(directory, "vectors.npz"),
-            vectors=self._vectors, lens=self._lens,
-        )
+        if self.on_disk:
+            # raw .npy so load() can memory-map the originals - the disk
+            # file IS the storage tier, not a compressed snapshot of it
+            np.save(os.path.join(directory, "vectors.npy"),
+                    np.ascontiguousarray(self._vectors))
+            np.save(os.path.join(directory, "lens.npy"), self._lens)
+        else:
+            np.savez_compressed(
+                os.path.join(directory, "vectors.npz"),
+                vectors=self._vectors, lens=self._lens,
+            )
         meta = {
             "name": self.name, "dim": self.dim, "max_tokens": self.max_tokens,
             "distance": self.distance.value, "quantized": self.quantized,
             "prefilter": self.prefilter,
             "pooled_centroids": self.pooled_centroids,
+            "on_disk": self.on_disk,
             "dtype": jnp.dtype(self.dtype).name,
             "kind": "multivector",
             "ids": self._ids, "payloads": self._payloads,
@@ -358,12 +484,21 @@ class MultiVectorStore:
             distance=t.Distance(meta["distance"]), quantized=meta["quantized"],
             prefilter=meta.get("prefilter", "int8"),
             pooled_centroids=meta.get("pooled_centroids", 1),
+            on_disk=meta.get("on_disk", False),
             dtype=jnp.dtype(meta["dtype"]) if "dtype" in meta else jnp.bfloat16,
-            mesh=mesh, mesh_axis=mesh_axis,
+            mesh=None if meta.get("on_disk", False) else mesh,
+            mesh_axis=mesh_axis,
         )
-        data = np.load(os.path.join(directory, "vectors.npz"))
-        store._vectors = data["vectors"]
-        store._lens = data["lens"]
+        if store.on_disk:
+            # memory-map: host RAM holds only pages a query actually touches
+            store._vectors = np.load(os.path.join(directory, "vectors.npy"),
+                                     mmap_mode="r")
+            store._lens = np.asarray(
+                np.load(os.path.join(directory, "lens.npy")))
+        else:
+            data = np.load(os.path.join(directory, "vectors.npz"))
+            store._vectors = data["vectors"]
+            store._lens = data["lens"]
         store._ids = meta["ids"]
         store._payloads = meta["payloads"]
         store._id_to_idx = {pid: i for i, pid in enumerate(store._ids)}

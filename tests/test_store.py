@@ -277,3 +277,89 @@ def test_distributed_corpus_view_single_process(mesh8, rng):
     _, ids = view.query(q, limit=5, oversampling=4.0)
     assert ids.tolist() == want
     assert ids[0] == 21
+
+
+def test_on_disk_store_matches_pooled_device_path(rng):
+    """on_disk=True (Qdrant's host/disk-resident originals,
+    01_create_context_qdrant.py:217): pooled device prefilter + host-gather
+    rescore must bit-match the fully device-resident pooled store, including
+    score values, payload filters, and with_vectors."""
+    p, nt, dim = 40, 8, 128
+    centers = rng.standard_normal((p, dim)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    pts = []
+    for i in range(p):
+        vec = centers[i][None] + 0.05 * rng.standard_normal((nt, dim)).astype(np.float32)
+        pts.append(PointStruct(id=i, vector=vec,
+                               payload={"username": "a" if i % 2 == 0 else "b"}))
+    device = MultiVectorStore("dev", dim=dim, max_tokens=nt,
+                              quantized=True, prefilter="pooled")
+    hosted = MultiVectorStore("host", dim=dim, max_tokens=nt, on_disk=True)
+    device.upsert(pts)
+    hosted.upsert(pts)
+    sp = SearchParams(quantization=QuantizationSearchParams(
+        ignore=False, oversampling=4.0))
+    q = centers[23][None].repeat(4, axis=0) + \
+        0.02 * rng.standard_normal((4, dim)).astype(np.float32)
+
+    r_dev = device.query(q, limit=5, search_params=sp)
+    r_host = hosted.query(q, limit=5, search_params=sp, with_vectors=True)
+    assert [pt.id for pt in r_host.points] == [pt.id for pt in r_dev.points]
+    for a, b in zip(r_host.points, r_dev.points):
+        assert a.score == pytest.approx(b.score, rel=1e-5)
+    assert len(r_host.points[0].vector) == nt  # originals still reachable
+
+    flt = Filter(must=[FieldCondition(key="username", match=MatchValue(value="a"))])
+    r_df = device.query(q, limit=5, query_filter=flt, search_params=sp)
+    r_hf = hosted.query(q, limit=5, query_filter=flt, search_params=sp)
+    assert [pt.id for pt in r_hf.points] == [pt.id for pt in r_df.points]
+    assert all(pt.id % 2 == 0 for pt in r_hf.points)
+
+
+def test_on_disk_store_memmap_roundtrip(rng, tmp_path):
+    """Saving an on_disk store writes raw .npy originals; loading
+    memory-maps them (no RAM copy of the corpus), queries still work, and a
+    mutation after load materializes safely."""
+    nt, dim = 6, 64
+    store = MultiVectorStore("od", dim=dim, max_tokens=nt, on_disk=True)
+    pts = _mv_points(rng, 16, nt=nt, dim=dim)
+    store.upsert(pts)
+    want = [pt.id for pt in store.query(pts[5].vector, limit=3).points]
+
+    d = str(tmp_path / "od")
+    store.save(d)
+    import os
+    assert os.path.exists(os.path.join(d, "vectors.npy"))
+
+    loaded = MultiVectorStore.load(d)
+    assert loaded.on_disk and isinstance(loaded._vectors, np.memmap)
+    got = [pt.id for pt in loaded.query(pts[5].vector, limit=3).points]
+    assert got == want
+
+    # mutation on the memmapped corpus materializes and keeps working
+    extra = _mv_points(rng, 1, nt=nt, dim=dim)[0]
+    extra = PointStruct(id=99, vector=np.asarray(pts[5].vector) * 1.0,
+                        payload={"index": 99, "ref": "doc_99"})
+    loaded.upsert([extra])
+    top = loaded.query(pts[5].vector, limit=2).points
+    assert {top[0].id, top[1].id} == {5, 99}
+
+
+def test_on_disk_collection_via_client(rng, tmp_path):
+    """VectorParams(on_disk=True) flows through the client facade and
+    survives the client's save/load cycle."""
+    client = VectorClient(path=str(tmp_path / "store"))
+    client.create_collection(
+        "cp", vectors_config=VectorParams(
+            size=64, distance=Distance.COSINE,
+            multivector_config=MultiVectorConfig(), on_disk=True),
+        max_tokens=6)
+    pts = _mv_points(rng, 10, nt=6, dim=64)
+    client.upsert("cp", pts)
+    res = client.query_points("cp", query=pts[4].vector, limit=2)
+    assert res.points[0].id == 4
+    client.save()
+    client2 = VectorClient(path=str(tmp_path / "store"))
+    assert client2._collections["cp"].on_disk
+    res2 = client2.query_points("cp", query=pts[4].vector, limit=2)
+    assert [p.id for p in res2.points] == [p.id for p in res.points]
