@@ -202,6 +202,44 @@ def bench_retrieval(jax, jnp, backend: str) -> dict:
     except Exception as e:  # noqa: BLE001
         log(f"[bench] multi-centroid diagnostic skipped: {e}")
 
+    # Diagnostic: the on_disk tier (host-resident originals; Qdrant's
+    # on_disk=True role) - pooled device prefilter + host candidate gather +
+    # device rescore. Measures the end-to-end host-hop query latency, the
+    # configuration that serves corpora beyond HBM from one chip.
+    try:
+        from multimodal_colpali_tpu.ops.two_stage import (
+            coarse_topk, rescore_candidates)
+
+        p_host = min(P, 20_000)
+        host_vecs = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(11), (p_host, NT, DIM),
+                              dtype=jnp.float32))
+        lens_host = np.full((p_host,), NT, np.int32)
+        pooled_h = jnp.asarray(host_vecs.mean(axis=1), jnp.bfloat16)
+        dlh = jnp.asarray(lens_host)
+        qf = q.astype(jnp.float32)
+        reps = 20
+        # warm
+        cand = np.asarray(coarse_topk(qf, q_len, pooled_h, dlh,
+                                      n_candidates=CAND))
+        pages = jnp.asarray(host_vecs[cand], jnp.bfloat16)
+        np.asarray(rescore_candidates(qf, q_len, pages,
+                                      jnp.asarray(lens_host[cand]), k=K))
+        t10 = time.time()
+        for _ in range(reps):
+            cand = np.asarray(coarse_topk(qf, q_len, pooled_h, dlh,
+                                          n_candidates=CAND))
+            pages = jnp.asarray(host_vecs[cand], jnp.bfloat16)
+            vals, order = rescore_candidates(
+                qf, q_len, pages, jnp.asarray(lens_host[cand]), k=K)
+            np.asarray(vals)
+        t11 = time.time()
+        log(f"[bench] on_disk tier (host originals, {p_host} pages): "
+            f"{(t11-t10)/reps*1e3:.1f} ms/query end-to-end incl host gather "
+            f"+ {2 if backend == 'tpu' else 0}x tunnel hops")
+    except Exception as e:  # noqa: BLE001
+        log(f"[bench] on_disk diagnostic skipped: {e}")
+
     # Diagnostic: exact bf16 kernel bandwidth on a slice.
     try:
         p_small = min(4096, P)
@@ -297,7 +335,12 @@ def bench_embed_throughput(jax, jnp, backend: str) -> dict:
     t2 = time.time()
     np.asarray(chain(params, n_iters + 1, *args))
     t3 = time.time()
-    per_iter = max(((t3 - t2) - (t1 - t0)) / n_iters, 1e-6)
+    per_iter = ((t3 - t2) - (t1 - t0)) / n_iters
+    if per_iter <= 0:
+        # host-contention timing noise: the long chain measured no slower
+        # than the short one; a rate computed from that would be garbage
+        log("[bench] embed timing washed out by host noise; skipping rate")
+        return {"embed_model": name}
     pages_per_sec = batch / per_iter
     out = {"embed_model": name, "embed_pages_per_sec": round(pages_per_sec, 2)}
     msg = (f"[bench] embed throughput ({name}, batch {batch}): "
