@@ -211,9 +211,11 @@ def bench_retrieval(jax, jnp, backend: str) -> dict:
             coarse_topk, rescore_candidates)
 
         p_host = min(P, 20_000)
-        host_vecs = np.asarray(
-            jax.random.normal(jax.random.PRNGKey(11), (p_host, NT, DIM),
-                              dtype=jnp.float32))
+        # generate on the HOST: this corpus models data that does not fit
+        # HBM, and a device-side normal() here would be a ~10 GB HBM
+        # allocation next to the already-resident int8 corpus (OOM on v5e)
+        host_vecs = np.random.default_rng(11).standard_normal(
+            (p_host, NT, DIM), dtype=np.float32)
         lens_host = np.full((p_host,), NT, np.int32)
         pooled_h = jnp.asarray(host_vecs.mean(axis=1), jnp.bfloat16)
         dlh = jnp.asarray(lens_host)

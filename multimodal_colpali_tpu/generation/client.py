@@ -144,8 +144,13 @@ async def get_response_context(
         ]
         responses = await asyncio.gather(*tasks)
 
+    # A 200 response whose choices carry no message content comes back as
+    # None; degrade it to the sentinel (like exhausted retries) instead of
+    # letting "\n".join raise TypeError and fail the whole two-phase ask.
+    summaries = [r if isinstance(r, str) else ERROR_SENTINEL
+                 for r in responses]
     fin_query = format_msgs(query + "Here is context information:", [],
-                            "\n".join(responses))
+                            "\n".join(summaries))
     conn = aiohttp.TCPConnector(limit=connector_limit)
     async with aiohttp.ClientSession(connector=conn) as session:
         return await post_request_with_retries(

@@ -52,6 +52,51 @@ def _lin(x: jax.Array, p: Dict[str, Any]) -> jax.Array:
     return L.dense(x, p["kernel"], p.get("bias"))
 
 
+def layer_stack(p, c: "GemmaTextConfig", x: jax.Array, positions: jax.Array,
+                kv_write, attend):
+    """The Gemma per-layer decode body (rms -> qkv proj -> rope -> attend ->
+    o_proj -> rms -> gated mlp), shared by every decode path so the math
+    lives in ONE place (CLAUDE.md: must mirror models/gemma.py exactly).
+
+    The two things that differ between the dense-chunk, per-slot and
+    paged-pool paths are injected:
+
+    - ``kv_write(i, k, v) -> (kc, vc)``: store this chunk's K/V rows
+      (``[B, S, n_kv, head_dim]``) for layer ``i``, return the updated
+      cache/pool operands the attention reads from.
+    - ``attend(i, q, kc, vc) -> att``: attention for layer ``i``; any
+      shape that reshapes to ``[B, S, n_heads*head_dim]``.
+
+    x: [B, S, H]; positions: [B, S]. Returns (hidden [B, S, H] after the
+    final norm, (k_caches, v_caches) as tuples over layers).
+    """
+    b, s, _ = x.shape
+    new_k, new_v = [], []
+    for i in range(c.num_hidden_layers):
+        lp = p["language_model"][f"layers_{i}"]
+        y = _rms(x, lp["input_layernorm"]["weight"], c.rms_norm_eps)
+        q = _lin(y, lp["self_attn"]["q_proj"]).reshape(
+            b, s, c.num_attention_heads, c.head_dim)
+        k = _lin(y, lp["self_attn"]["k_proj"]).reshape(
+            b, s, c.num_key_value_heads, c.head_dim)
+        v = _lin(y, lp["self_attn"]["v_proj"]).reshape(
+            b, s, c.num_key_value_heads, c.head_dim)
+        q = L.rope(q, positions, theta=c.rope_theta)
+        k = L.rope(k, positions, theta=c.rope_theta)
+        kc, vc = kv_write(i, k, v)
+        new_k.append(kc)
+        new_v.append(vc)
+        att = attend(i, q, kc, vc)
+        x = x + _lin(att.reshape(b, s, -1), lp["self_attn"]["o_proj"])
+        y = _rms(x, lp["post_attention_layernorm"]["weight"], c.rms_norm_eps)
+        gate = _lin(y, lp["mlp"]["gate_proj"])
+        up = _lin(y, lp["mlp"]["up_proj"])
+        x = x + _lin(jax.nn.gelu(gate, approximate=True) * up,
+                     lp["mlp"]["down_proj"])
+    x = _rms(x, p["language_model"]["norm"]["weight"], c.rms_norm_eps)
+    return x, (tuple(new_k), tuple(new_v))
+
+
 @dataclasses.dataclass
 class GemmaDecodeEngine:
     """Causal Gemma LM over a ColPali-style param tree (embed +
@@ -108,31 +153,15 @@ class GemmaDecodeEngine:
             mask = mask & (jnp.arange(t)[None, :] <= gq[:, None])[None, None]
         mask = jnp.broadcast_to(mask, (b, 1, s, t)).astype(bool)
 
-        new_k, new_v = [], []
-        for i in range(c.num_hidden_layers):
-            lp = p["language_model"][f"layers_{i}"]
-            y = _rms(x, lp["input_layernorm"]["weight"], c.rms_norm_eps)
-            q = _lin(y, lp["self_attn"]["q_proj"]).reshape(
-                b, s, c.num_attention_heads, c.head_dim)
-            k = _lin(y, lp["self_attn"]["k_proj"]).reshape(
-                b, s, c.num_key_value_heads, c.head_dim)
-            v = _lin(y, lp["self_attn"]["v_proj"]).reshape(
-                b, s, c.num_key_value_heads, c.head_dim)
-            q = L.rope(q, positions, theta=c.rope_theta)
-            k = L.rope(k, positions, theta=c.rope_theta)
+        def kv_write(i, k, v):
             kc = jax.lax.dynamic_update_slice(kcaches[i], k, (0, write_idx, 0, 0))
             vc = jax.lax.dynamic_update_slice(vcaches[i], v, (0, write_idx, 0, 0))
-            new_k.append(kc)
-            new_v.append(vc)
-            att = L.attention(q, kc, vc, mask=mask, scale=c.head_dim ** -0.5)
-            x = x + _lin(att.reshape(b, s, -1), lp["self_attn"]["o_proj"])
-            y = _rms(x, lp["post_attention_layernorm"]["weight"], c.rms_norm_eps)
-            gate = _lin(y, lp["mlp"]["gate_proj"])
-            up = _lin(y, lp["mlp"]["up_proj"])
-            x = x + _lin(jax.nn.gelu(gate, approximate=True) * up,
-                         lp["mlp"]["down_proj"])
-        x = _rms(x, p["language_model"]["norm"]["weight"], c.rms_norm_eps)
-        return x, (tuple(new_k), tuple(new_v))
+            return kc, vc
+
+        def attend(i, q, kc, vc):
+            return L.attention(q, kc, vc, mask=mask, scale=c.head_dim ** -0.5)
+
+        return layer_stack(p, c, x, positions, kv_write, attend)
 
     def _logits(self, p, hidden: jax.Array) -> jax.Array:
         # tied LM head: logits = hidden @ embed_table.T, fp32

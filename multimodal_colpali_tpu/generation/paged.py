@@ -37,9 +37,8 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_colpali_tpu.generation.engine import (
-    GemmaDecodeEngine, _lin, _rms)
+    GemmaDecodeEngine, layer_stack)
 from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
-from multimodal_colpali_tpu.models import layers as L
 from multimodal_colpali_tpu.ops.paged_attention import paged_attention
 
 
@@ -125,7 +124,23 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     # -- ContinuousBatcher hooks -------------------------------------------------
 
-    def _can_admit(self, s: int) -> bool:
+    def _can_admit(self, s: int, budget: int) -> bool:
+        """Admit only requests that (a) fit the free pool right now and
+        (b) could finish with the pool to themselves. Without (b), a
+        request whose prompt consumes the whole pool but still has decode
+        budget is admitted and later crashes `_ensure_chunk_capacity` (no
+        victim left to preempt), killing every in-flight request instead
+        of failing alone through the empty-scheduler guard."""
+        usable = self.P - 1                       # page 0 is the trash page
+        if budget <= 1:
+            # finishes at prefill (tok0 comes from the prefill logits);
+            # only the prompt pages are ever allocated
+            worst_tokens = s
+        else:
+            # budget is clamped to the slot row capacity at install time
+            worst_tokens = min(s + budget, self.NB * self.page)
+        if -(-worst_tokens // self.page) > min(usable, self.NB):
+            return False
         return (-(-s // self.page)) <= min(len(self._free), self.NB)
 
     def _slot_capacity(self, s: int) -> int:
@@ -178,7 +193,6 @@ class PagedContinuousBatcher(ContinuousBatcher):
     def _decode_fn(self, chunk: int):
         """Parent's chunked decode with paged K/V writes + paged attention."""
         eng, c = self.engine, self.cfg
-        n_layers = c.num_hidden_layers
         b = self.B
         page = self.page
         pad_id = self.pad_id
@@ -194,35 +208,17 @@ class PagedContinuousBatcher(ContinuousBatcher):
             off = length % page
             att_len = length + active.astype(jnp.int32)
 
-            new_k, new_v = [], []
-            xx = x
-            for i in range(n_layers):
-                lp = p["language_model"][f"layers_{i}"]
-                y = _rms(xx, lp["input_layernorm"]["weight"], c.rms_norm_eps)
-                q = _lin(y, lp["self_attn"]["q_proj"]).reshape(
-                    b, 1, c.num_attention_heads, c.head_dim)
-                k = _lin(y, lp["self_attn"]["k_proj"]).reshape(
-                    b, 1, c.num_key_value_heads, c.head_dim)
-                v = _lin(y, lp["self_attn"]["v_proj"]).reshape(
-                    b, 1, c.num_key_value_heads, c.head_dim)
-                q = L.rope(q, pos[:, None], theta=c.rope_theta)
-                k = L.rope(k, pos[:, None], theta=c.rope_theta)
-                kp = kpools[i].at[blk, off].set(k[:, 0])
-                vp = vpools[i].at[blk, off].set(v[:, 0])
-                new_k.append(kp)
-                new_v.append(vp)
-                att = paged_attention(q[:, 0], kp, vp, bt, att_len,
-                                      scale=c.head_dim ** -0.5)
-                xx = xx + _lin(att.reshape(b, 1, -1),
-                               lp["self_attn"]["o_proj"])
-                y = _rms(xx, lp["post_attention_layernorm"]["weight"],
-                         c.rms_norm_eps)
-                gate = _lin(y, lp["mlp"]["gate_proj"])
-                up = _lin(y, lp["mlp"]["up_proj"])
-                xx = xx + _lin(jax.nn.gelu(gate, approximate=True) * up,
-                               lp["mlp"]["down_proj"])
-            xx = _rms(xx, p["language_model"]["norm"]["weight"],
-                      c.rms_norm_eps)
+            # engine.layer_stack with paged K/V writes + paged attention
+            def kv_write(i, k, v):
+                return (kpools[i].at[blk, off].set(k[:, 0]),
+                        vpools[i].at[blk, off].set(v[:, 0]))
+
+            def attend(i, q, kp, vp):
+                return paged_attention(q[:, 0], kp, vp, bt, att_len,
+                                       scale=c.head_dim ** -0.5)
+
+            xx, (new_k, new_v) = layer_stack(p, c, x, pos[:, None],
+                                             kv_write, attend)
             logits = eng._logits(p, xx[:, 0])                   # [B, V]
 
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)

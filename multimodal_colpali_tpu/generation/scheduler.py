@@ -168,36 +168,20 @@ class ContinuousBatcher:
             cols = jnp.arange(t)
             mask = ((cols[None, :] >= start[:, None])
                     & (cols[None, :] <= end[:, None]))[:, None, None, :]
-            from multimodal_colpali_tpu.generation.engine import _lin, _rms
+            from multimodal_colpali_tpu.generation.engine import layer_stack
             from multimodal_colpali_tpu.models import layers as L
 
-            new_caches = []
-            xx = x
-            for i in range(n_layers):
-                # mirror engine._chunk for a single token, per-slot indices
-                lp = p["language_model"][f"layers_{i}"]
-                y = _rms(xx, lp["input_layernorm"]["weight"], c.rms_norm_eps)
-                q = _lin(y, lp["self_attn"]["q_proj"]).reshape(
-                    b, 1, c.num_attention_heads, c.head_dim)
-                k = _lin(y, lp["self_attn"]["k_proj"]).reshape(
-                    b, 1, c.num_key_value_heads, c.head_dim)
-                v = _lin(y, lp["self_attn"]["v_proj"]).reshape(
-                    b, 1, c.num_key_value_heads, c.head_dim)
-                q = L.rope(q, pos[:, None], theta=c.rope_theta)
-                k = L.rope(k, pos[:, None], theta=c.rope_theta)
-                kc = kcs[i].at[rows, end].set(k[:, 0])
-                vc = vcs[i].at[rows, end].set(v[:, 0])
-                new_caches.append((kc, vc))
-                att = L.attention(q, kc, vc, mask=mask,
-                                  scale=c.head_dim ** -0.5)
-                xx = xx + _lin(att.reshape(b, 1, -1), lp["self_attn"]["o_proj"])
-                y = _rms(xx, lp["post_attention_layernorm"]["weight"],
-                         c.rms_norm_eps)
-                gate = _lin(y, lp["mlp"]["gate_proj"])
-                up = _lin(y, lp["mlp"]["up_proj"])
-                xx = xx + _lin(jax.nn.gelu(gate, approximate=True) * up,
-                               lp["mlp"]["down_proj"])
-            xx = _rms(xx, p["language_model"]["norm"]["weight"], c.rms_norm_eps)
+            # single-token engine.layer_stack pass with per-slot cache rows
+            def kv_write(i, k, v):
+                return (kcs[i].at[rows, end].set(k[:, 0]),
+                        vcs[i].at[rows, end].set(v[:, 0]))
+
+            def attend(i, q, kc, vc):
+                return L.attention(q, kc, vc, mask=mask,
+                                   scale=c.head_dim ** -0.5)
+
+            xx, (nk, nv) = layer_stack(p, c, x, pos[:, None], kv_write, attend)
+            new_caches = list(zip(nk, nv))
             logits = eng._logits(p, xx[:, 0])                   # [B, V]
 
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -273,8 +257,9 @@ class ContinuousBatcher:
 
     # Hooks the paged batcher (generation/paged.py) overrides ---------------
 
-    def _can_admit(self, s: int) -> bool:
-        """Is there cache room for a prompt bucketed to ``s`` right now?"""
+    def _can_admit(self, s: int, budget: int) -> bool:
+        """Is there cache room right now for a prompt bucketed to ``s``
+        with up to ``budget`` decode tokens to come?"""
         return True
 
     def _slot_capacity(self, s: int) -> int:
@@ -313,13 +298,14 @@ class ContinuousBatcher:
             prompt_eff = req.prompt + req.tokens
             s = max(((len(prompt_eff) + self.bucket - 1) // self.bucket)
                     * self.bucket, self.bucket)
-            if not self._can_admit(s):
+            if not self._can_admit(s, req.max_new_tokens - len(req.tokens)):
                 if not any(r is not None for r in self._slots):
-                    # nothing active will ever free capacity: the prompt
+                    # nothing active will ever free capacity: the request
                     # simply does not fit - fail loudly instead of hanging
                     req.future.set_exception(ValueError(
-                        f"prompt of {len(prompt_eff)} tokens exceeds the "
-                        f"KV capacity of an empty scheduler"))
+                        f"prompt of {len(prompt_eff)} tokens (+ decode "
+                        f"budget) exceeds the KV capacity of an empty "
+                        f"scheduler"))
                     continue
                 self._readmit.insert(0, req)
                 return

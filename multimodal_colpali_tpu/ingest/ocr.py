@@ -78,6 +78,12 @@ class TemplateOcr:
                 self._classes.append(i)
         self._chars = np.array([chars[i] for i in self._classes])
         self._template_cache: Dict[Tuple[int, int], np.ndarray] = {}
+        # Widest left bearing in the atlas (in atlas columns): bounds the
+        # grid-phase search when a line starts with a narrow glyph ('i',
+        # 'l', '!' start their ink well inside the cell).
+        self._max_left_bearing = max(
+            int(np.flatnonzero(self.atlas[i].any(axis=0))[0])
+            for i in self._classes)
 
     # -- rendering-model helpers -------------------------------------------
 
@@ -120,7 +126,10 @@ class TemplateOcr:
     # at row 2; descenders (g j p q y) reach row 12. Each family inverts the
     # observed ink height to a different cell height AND a different top
     # offset, so hypotheses are (cell_height, first_ink_row) pairs.
-    _ROW_FAMILIES = ((1, 11), (1, 12), (4, 11), (4, 12), (2, 11), (2, 10))
+    # (2, 12): digit tops (row 2) or merged i/j dots through descenders
+    # (row 12) with no ascender present - e.g. "juju 9", "go 42 jumps".
+    _ROW_FAMILIES = ((1, 11), (1, 12), (4, 11), (4, 12), (2, 11), (2, 10),
+                     (2, 12))
 
     def _layout_candidates(self, h: int) -> List[Tuple[int, int]]:
         """(cell height, first atlas ink row) hypotheses whose drawn ink
@@ -200,8 +209,9 @@ class TemplateOcr:
         instead of segmenting touching glyphs apart - impossible when wide
         glyphs like 'T' overlap the next cell - the line is decoded on the
         pitch grid directly. The grid phase is ambiguous by the first
-        glyph's in-cell ink offset (0..~2.5 atlas columns), so every
-        physical phase is decoded and the best mean IoU wins.
+        glyph's in-cell ink offset (0 up to the atlas's widest left bearing
+        - e.g. 'i'/'l' start at atlas col 3), so every physical phase is
+        decoded and the best mean IoU wins.
         """
         import math
 
@@ -218,7 +228,8 @@ class TemplateOcr:
         x_min, x_max = int(cols[0]), int(cols[-1])
 
         best: Tuple[float, str] = (0.0, "")
-        for d in range(int(math.ceil(2.5 * ih / _CELL_ROWS)) + 1):
+        max_phase = (self._max_left_bearing + 0.5) * ih / _CELL_ROWS
+        for d in range(int(math.ceil(max_phase)) + 1):
             p0 = x_min - d
             n_cells = int((x_max - p0) // pitch) + 1
             got = self._decode_grid(ink, top, ih, iw, p0, pitch, n_cells)
@@ -247,8 +258,27 @@ class TemplateOcr:
         n4[:, :-1] |= ink[:, 1:]
         ink = ink & n4
 
+        # Merge detached-dot spans: the i/j dot sits at atlas row 2 with
+        # row 3 empty, so the row-ink projection splits an all-lowercase
+        # line into a thin dot span floating just above the body span.
+        # A span at most a quarter the height of its neighbor, separated
+        # by at most a quarter-height gap, is part of the same line - real
+        # adjacent text lines have comparable heights and larger gaps.
+        raw = self._spans(ink.sum(axis=1) >= self.MIN_ROW_INK)
+        spans: List[Tuple[int, int]] = []
+        for s in raw:
+            if spans:
+                p0, p1 = spans[-1]
+                gap = s[0] - p1 - 1
+                h_prev, h_cur = p1 - p0 + 1, s[1] - s[0] + 1
+                small, big = min(h_prev, h_cur), max(h_prev, h_cur)
+                if small <= max(2, big // 4) and gap <= max(2, big // 4):
+                    spans[-1] = (p0, s[1])
+                    continue
+            spans.append(s)
+
         lines: List[str] = []
-        for y0, y1 in self._spans(ink.sum(axis=1) >= self.MIN_ROW_INK):
+        for y0, y1 in spans:
             if y1 - y0 + 1 > self.MAX_LINE_HEIGHT:
                 continue  # not machine-printed text at a sane size
             # The glyph cell height and vertical alignment are ambiguous

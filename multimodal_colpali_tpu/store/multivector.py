@@ -401,9 +401,20 @@ class MultiVectorStore:
         """Two-stage search with host-resident originals: device pooled
         prefilter -> host gather of the oversampled candidates -> exact
         device rescore. Bit-matches the device-resident pooled path (the
-        rescore math is identical; only where the originals live differs)."""
+        rescore math is identical; only where the originals live differs).
+
+        ``QuantizationSearchParams.ignore=True`` is honored exactly as on
+        the device path: the prefilter is bypassed and the full corpus is
+        streamed through the exact scorer. As on the device pooled path,
+        ``rescore`` is not consulted (candidates are always rescored from
+        the originals)."""
         from multimodal_colpali_tpu.ops.two_stage import (
             coarse_topk, rescore_candidates)
+
+        quant0 = search_params.quantization if search_params else None
+        if quant0 is not None and quant0.ignore:
+            return self._query_on_disk_exact(q, limit, query_filter,
+                                             with_vectors)
 
         pooled, dl = self._ensure_device_on_disk()
         dl_eff = self._filter_lens(dl, query_filter)
@@ -446,16 +457,67 @@ class MultiVectorStore:
             ))
         return t.QueryResponse(points=points[:limit])
 
+    def _query_on_disk_exact(
+        self,
+        q: np.ndarray,
+        limit: int,
+        query_filter: Optional[t.Filter],
+        with_vectors: bool,
+        chunk: int = 2048,
+    ) -> t.QueryResponse:
+        """Exact full scan over a host-resident corpus: stream memmap
+        chunks of originals through the device MaxSim scorer and keep a
+        host-side running ranking (score desc, index asc on ties — same
+        tie rule as ``topk_with_stable_ties``)."""
+        n_real = len(self._ids)
+        qj = jnp.asarray(q[None, ...], self.dtype)
+        lens_eff = self._lens[:n_real].astype(np.int32).copy()
+        if query_filter is not None:
+            for i, payload in enumerate(self._payloads):
+                if not query_filter.matches(payload):
+                    lens_eff[i] = 0
+        all_scores = np.empty(n_real, dtype=np.float32)
+        for start in range(0, n_real, chunk):
+            stop = min(start + chunk, n_real)
+            pages = np.asarray(self._vectors[start:stop], dtype=np.float32)
+            scores = maxsim_ops.maxsim_scores(
+                qj, jnp.asarray(pages, self.dtype), None,
+                jnp.asarray(lens_eff[start:stop]))
+            all_scores[start:stop] = np.asarray(scores[0], dtype=np.float32)
+        k = min(limit, n_real)
+        order = np.lexsort((np.arange(n_real), -all_scores))[:k]
+
+        points = []
+        for idx in order.tolist():
+            score = float(all_scores[idx])
+            if score < _FILTERED_SCORE_FLOOR:
+                continue
+            points.append(t.ScoredPoint(
+                id=self._ids[idx], score=score,
+                payload=dict(self._payloads[idx]),
+                vector=(self._vectors[idx, : self._lens[idx]].tolist()
+                        if with_vectors else None),
+            ))
+        return t.QueryResponse(points=points[:limit])
+
     # -- persistence -------------------------------------------------------
 
     def save(self, directory: str) -> None:
         os.makedirs(directory, exist_ok=True)
         if self.on_disk:
             # raw .npy so load() can memory-map the originals - the disk
-            # file IS the storage tier, not a compressed snapshot of it
-            np.save(os.path.join(directory, "vectors.npy"),
-                    np.ascontiguousarray(self._vectors))
-            np.save(os.path.join(directory, "lens.npy"), self._lens)
+            # file IS the storage tier, not a compressed snapshot of it.
+            # Write-to-temp + rename: self._vectors may BE the memmap of
+            # the destination file (load -> save round trip); np.save'ing
+            # straight over it would truncate the backing file before the
+            # data is read out and corrupt the corpus.
+            for fname, arr in (("vectors.npy", self._vectors),
+                               ("lens.npy", self._lens)):
+                dest = os.path.join(directory, fname)
+                tmp = dest + ".tmp"
+                with open(tmp, "wb") as f:
+                    np.save(f, np.ascontiguousarray(arr))
+                os.replace(tmp, dest)
         else:
             np.savez_compressed(
                 os.path.join(directory, "vectors.npz"),

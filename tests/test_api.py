@@ -336,3 +336,30 @@ def test_get_response_context_two_phase():
     assert got.startswith("S(What? Here")
     # the final request carried both phase-1 summaries
     assert "S(summarize on" in seen[-1] and "S(summarize tw" in seen[-1]
+
+
+def test_get_response_context_degrades_on_contentless_summary():
+    """A 200 phase-1 response whose choices carry no message content comes
+    back from post_request_with_retries as None; the two-phase ask must
+    substitute the retry sentinel and still answer, not crash joining
+    summaries."""
+    from multimodal_colpali_tpu.generation.client import (
+        ERROR_SENTINEL, get_response_context)
+    from multimodal_colpali_tpu.generation.messages import format_msgs
+
+    seen = []
+
+    def answer(req):
+        text = req["messages"][0]["content"][0]["text"]
+        seen.append(text)
+        if "summarize two" in text:
+            return None          # server emits "content": null
+        return f"S({text[:12]})"
+
+    ctx = [format_msgs("summarize one", [], ""),
+           format_msgs("summarize two", [], "")]
+    with FakeOpenAIServer(answer) as srv:
+        got = run_sync(get_response_context(
+            "What? ", ctx, "gemma", f"{srv.base_url}/chat/completions", {}))
+    assert got.startswith("S(What? Here")
+    assert "S(summarize on" in seen[-1] and ERROR_SENTINEL in seen[-1]

@@ -373,6 +373,16 @@ def test_template_ocr_case_and_digit_exact():
         ("the quick brown fox jumps over 13 lazy dogs", 14),
         ("MiXeD Case 0123456789", 12),
         ("all lowercase no ascenders: our source uses zero cursor", 12),
+        # detached i/j dots (atlas row 2, row 3 empty) split the line's
+        # row-ink projection in two; the dot span must merge into the body
+        ("vision is our mission", 12),
+        # digit tops / dots through descenders with no ascender: the
+        # (2, 12) row family
+        ("juju 9", 12),
+        ("go 42 jumps", 12),
+        # starts with a narrow glyph ('i' inks at atlas col 3): the grid
+        # phase search must cover the atlas's widest left bearing
+        ("in jail with no money", 12),
     ]
     ocr = TemplateOcr()
     for text, size in cases:

@@ -140,6 +140,29 @@ def test_paged_prompt_exceeding_pool_fails_loudly(tiny_lm):
         fut.result(timeout=10)
 
 
+def test_paged_infeasible_decode_budget_fails_alone(tiny_lm):
+    """A request whose PROMPT fits the free pool but whose decode budget
+    can never fit even with the pool to itself must fail with its own
+    ValueError - not get admitted and then crash the whole scheduler from
+    `_ensure_chunk_capacity` (which would fail every in-flight request)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8, pool_pages=5)
+    ok = bat.submit([5, 9, 17], max_new_tokens=4)        # 1 page, feasible
+    # 32-token prompt = all 4 usable pages; budget 8 needs a 5th page
+    bad = bat.submit(list(range(1, 33)), max_new_tokens=8)
+    bat.drain()
+    assert ok.result(timeout=10) == eng.generate(
+        [[5, 9, 17]], max_new_tokens=4)[0]
+    with pytest.raises(ValueError, match="exceeds the KV capacity"):
+        bad.result(timeout=10)
+    # a budget that ends at prefill (single token) needs only prompt pages
+    one = bat.submit(list(range(1, 33)), max_new_tokens=1)
+    bat.drain()
+    assert len(one.result(timeout=10)) <= 1
+
+
 def test_paged_staggered_admission_matches_isolated(tiny_lm):
     """Requests admitted while others are mid-decode produce exactly the
     isolated-generation tokens (the parent scheduler's key invariant)."""

@@ -345,6 +345,60 @@ def test_on_disk_store_memmap_roundtrip(rng, tmp_path):
     assert {top[0].id, top[1].id} == {5, 99}
 
 
+def test_on_disk_save_over_loaded_memmap_is_safe(rng, tmp_path):
+    """Saving an on_disk store back into the directory it was loaded from
+    must not corrupt the corpus: the live ``self._vectors`` IS the memmap
+    of the destination file, so the writer has to go through a temp file
+    (a plain np.save would truncate the backing file before reading it)."""
+    nt, dim = 6, 64
+    store = MultiVectorStore("od", dim=dim, max_tokens=nt, on_disk=True)
+    pts = _mv_points(rng, 12, nt=nt, dim=dim)
+    store.upsert(pts)
+    d = str(tmp_path / "od")
+    store.save(d)
+    originals = np.array(store._vectors, copy=True)
+
+    loaded = MultiVectorStore.load(d)           # memmaps vectors.npy
+    assert isinstance(loaded._vectors, np.memmap)
+    loaded.save(d)                              # save over our own source
+
+    reloaded = MultiVectorStore.load(d)
+    np.testing.assert_array_equal(np.asarray(reloaded._vectors), originals)
+    got = [pt.id for pt in reloaded.query(pts[5].vector, limit=3).points]
+    assert got[0] == 5
+
+
+def test_on_disk_ignore_true_is_exact_scan(rng):
+    """QuantizationSearchParams(ignore=True) must bypass the pooled
+    prefilter on on_disk collections exactly as it does on device-resident
+    ones (retrieve_colpali always passes ignore=True): ranking and scores
+    match the exact unquantized device scan, including under a filter."""
+    p, nt, dim = 48, 8, 128
+    pts = _mv_points(rng, p, nt=nt, dim=dim)
+    exact = MultiVectorStore("ex", dim=dim, max_tokens=nt)   # plain scan
+    hosted = MultiVectorStore("od", dim=dim, max_tokens=nt, on_disk=True)
+    exact.upsert(pts)
+    hosted.upsert(pts)
+    sp = SearchParams(quantization=QuantizationSearchParams(
+        ignore=True, rescore=True, oversampling=2.0))
+    q = np.asarray(pts[31].vector) + \
+        0.01 * rng.standard_normal((nt, dim)).astype(np.float32)
+
+    r_ex = exact.query(q, limit=5, search_params=sp)
+    r_od = hosted.query(q, limit=5, search_params=sp, with_vectors=True)
+    assert [pt.id for pt in r_od.points] == [pt.id for pt in r_ex.points]
+    for a, b in zip(r_od.points, r_ex.points):
+        assert a.score == pytest.approx(b.score, rel=1e-4)
+    assert len(r_od.points[0].vector) == nt
+
+    flt = Filter(must=[FieldCondition(key="ref",
+                                      match=MatchValue(value="doc_7_pg_7"))])
+    r_exf = exact.query(q, limit=5, query_filter=flt, search_params=sp)
+    r_odf = hosted.query(q, limit=5, query_filter=flt, search_params=sp)
+    assert [pt.id for pt in r_odf.points] == [pt.id for pt in r_exf.points] \
+        == [7]
+
+
 def test_on_disk_collection_via_client(rng, tmp_path):
     """VectorParams(on_disk=True) flows through the client facade and
     survives the client's save/load cycle."""
