@@ -288,16 +288,4 @@ class PagedContinuousBatcher(ContinuousBatcher):
         (self._kpools, self._vpools, self._tok, self._pos, self._len,
          self._temp, self._seed, self._remaining, self._gen_step,
          self._eos) = carry
-        toks = np.asarray(toks)                 # [chunk, B]
-        remaining = np.asarray(self._remaining)
-        for slot, req in enumerate(self._slots):
-            if req is None:
-                continue
-            for step in range(min(self.chunk, int(rem_before[slot]))):
-                tok = int(toks[step, slot])
-                req.tokens.append(tok)
-                if tok == req.eos_id:
-                    break
-            if (remaining[slot] <= 0 or len(req.tokens) >= req.max_new_tokens
-                    or (req.tokens and req.tokens[-1] == req.eos_id)):
-                self._finish(slot)
+        self._account_chunk(np.asarray(toks), rem_before)

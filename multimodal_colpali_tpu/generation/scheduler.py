@@ -49,6 +49,8 @@ class _Request:
     tokens: List[int] = dataclasses.field(default_factory=list)
     slot: int = -1
     pixel_values: Optional[np.ndarray] = None  # [1, H, W, 3] -> multimodal
+    on_token: Optional[Any] = None   # streaming callback(token_id)
+    streamed: int = 0                # tokens already delivered to on_token
 
 
 class ContinuousBatcher:
@@ -228,7 +230,13 @@ class ContinuousBatcher:
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
                temperature: float = 0.0, seed: int = 0,
                eos_id: Optional[int] = None,
-               pixel_values: Optional[Any] = None) -> Future:
+               pixel_values: Optional[Any] = None,
+               on_token: Optional[Any] = None) -> Future:
+        """``on_token(token_id)`` streams each generated token as the
+        scheduler syncs it off-device (at most one chunk of latency). The
+        stream never includes eos or anything past it, and a preempted +
+        readmitted request resumes streaming where it left off - the
+        streamed sequence equals ``future.result()``."""
         fut: Future = Future()
         s = max(((len(prompt) + self.bucket - 1) // self.bucket) * self.bucket,
                 self.bucket)
@@ -248,7 +256,7 @@ class ContinuousBatcher:
         self._queue.put(_Request(
             list(prompt), max_new_tokens, float(temperature), seed, fut,
             eos_id=self.eos_id if eos_id is None else eos_id,
-            pixel_values=pixel_values))
+            pixel_values=pixel_values, on_token=on_token))
         return fut
 
     @property
@@ -353,6 +361,7 @@ class ContinuousBatcher:
             else:
                 tok0 = int(jnp.argmax(logits))
             req.tokens.append(tok0)
+            self._emit_stream(req)   # first token streams at prefill time
             req.slot = slot
             self._slots[slot] = req
             # token budget is bounded by the cache rows left after the prompt
@@ -409,7 +418,29 @@ class ContinuousBatcher:
         (self._caches, self._tok, self._pos, self._start, self._end,
          self._temp, self._seed, self._remaining, self._gen_step,
          self._eos) = carry
-        toks = np.asarray(toks)                 # [chunk, B]
+        self._account_chunk(np.asarray(toks), rem_before)
+
+    @staticmethod
+    def _emit_stream(req: _Request) -> None:
+        """Deliver not-yet-streamed tokens to ``req.on_token`` (eos and
+        anything past it excluded). A broken consumer must not kill the
+        scheduler loop, so callback errors are swallowed."""
+        if req.on_token is None:
+            return
+        toks = req.tokens
+        if req.eos_id in toks:
+            toks = toks[: toks.index(req.eos_id)]
+        while req.streamed < len(toks):
+            tok = toks[req.streamed]
+            req.streamed += 1
+            try:
+                req.on_token(tok)
+            except Exception:  # noqa: BLE001
+                pass
+
+    def _account_chunk(self, toks: np.ndarray, rem_before: np.ndarray) -> None:
+        """Sync one decoded chunk into per-request state: append the real
+        (non-pad) tokens, stream them, and retire finished slots."""
         remaining = np.asarray(self._remaining)
         for slot, req in enumerate(self._slots):
             if req is None:
@@ -420,6 +451,7 @@ class ContinuousBatcher:
                 req.tokens.append(tok)
                 if tok == req.eos_id:
                     break
+            self._emit_stream(req)
             if (remaining[slot] <= 0 or len(req.tokens) >= req.max_new_tokens
                     or (req.tokens and req.tokens[-1] == req.eos_id)):
                 self._finish(slot)

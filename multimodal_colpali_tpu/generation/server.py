@@ -10,9 +10,11 @@ any external inference server. The client seam is unchanged - point
 
 Scope: chat completions (``messages`` with string/text-part content and
 base64 data-URL images), ``max_tokens``, ``temperature``, ``stop`` via the
-tokenizer's eos, constrained enum outputs (``response_format``). With a
-ContinuousBatcher engine, concurrent requests - text AND multimodal -
-share one running slot batch (generation/scheduler.py).
+tokenizer's eos, constrained enum outputs (``response_format``), and SSE
+streaming (``stream: true`` -> ``chat.completion.chunk`` events, per-token
+with a batcher engine). With a ContinuousBatcher engine, concurrent
+requests - text AND multimodal - share one running slot batch
+(generation/scheduler.py).
 """
 
 from __future__ import annotations
@@ -107,6 +109,11 @@ class GenerationServer:
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(length) or b"{}")
+                    if req.get("stream"):
+                        # only raises BEFORE headers are written; post-header
+                        # errors surface as an SSE error event instead
+                        outer._stream_complete(req, self)
+                        return
                     resp = outer._complete(req)
                     code = 200
                 except Exception as e:  # noqa: BLE001 - protocol error reply
@@ -158,44 +165,176 @@ class GenerationServer:
         # first token PAST the scaffold - encode(choice) alone returns the
         # standalone form (or a BOS) under SentencePiece/BPE tokenizers,
         # which scores the wrong vocabulary rows.
-        base_len = len(self.tokenizer.encode(scaffold))
+        base_len = len(self._encode(scaffold))
         first_tokens = []
         for c in choices:
-            full = self.tokenizer.encode(scaffold + c)
+            full = self._encode(scaffold + c)
             first_tokens.append(full[base_len] if len(full) > base_len
                                 else full[-1])
         if images and self.mm_engine is not None:
             pix = self.image_preprocessor([images[0]])
             ids = self.mm_engine.build_mm_prompt(
-                self.tokenizer.encode(scaffold),
+                self._encode(scaffold),
                 bos_id=getattr(self.tokenizer, "bos_id", 2))
             logits = self.mm_engine.next_token_logits([ids], pix)[0]
         else:
             engine = getattr(self.engine, "engine", self.engine)  # unwrap batcher
-            ids = self.tokenizer.encode(scaffold, add_special_tokens=True)
+            ids = self._encode(scaffold, add_special_tokens=True)
             logits = engine.next_token_logits([ids])[0]
         best = choices[int(np.argmax([logits[t] for t in first_tokens]))]
         return _json.dumps({field: best})
 
+    def _encode(self, text: str, add_special_tokens: bool = False):
+        """Encode through any tokenizer honoring the documented contract
+        (``encode``/``decode``): tokenizers without an
+        ``add_special_tokens`` kwarg (e.g. SimpleTokenizer) get the bos
+        prepended here instead of raising TypeError."""
+        try:
+            return list(self.tokenizer.encode(
+                text, add_special_tokens=add_special_tokens))
+        except TypeError:
+            ids = list(self.tokenizer.encode(text))
+            if add_special_tokens and hasattr(self.tokenizer, "bos_id"):
+                ids = [self.tokenizer.bos_id] + ids
+            return ids
+
+    def _stream_complete(self, req: Dict[str, Any], handler) -> None:
+        """``stream: true`` - serve the completion as OpenAI SSE
+        (``chat.completion.chunk`` events ending in ``data: [DONE]``), the
+        protocol vLLM streams (the reference's generation server). With a
+        ContinuousBatcher engine, tokens stream as the scheduler syncs each
+        decoded chunk (per-token callback via ``submit(on_token=...)``);
+        other configurations (bare engines, constrained enum outputs,
+        non-batcher multimodal) generate fully and emit one content chunk.
+
+        Raises only before the response headers are written; later errors
+        are emitted as an SSE ``error`` event so the connection terminates
+        cleanly instead of leaving half a JSON body."""
+        import queue as _queue
+
+        prompt, images = extract_chat_content(req.get("messages", []))
+        max_new = int(req.get("max_tokens") or self.default_max_new)
+        temperature = float(req.get("temperature") or 0.0)
+        eos_id = getattr(self.tokenizer, "eos_id", -1)
+        enum = self._schema_enum(req)
+        rid = f"chatcmpl-{int(time.time() * 1e3)}"
+        created = int(time.time())
+        model = req.get("model", self.model_name)
+
+        # Resolve the token source BEFORE sending headers so protocol-level
+        # failures still produce a clean HTTP 400.
+        tok_queue: Optional[Any] = None
+        full_out: Optional[List[int]] = None
+        text_override: Optional[str] = None
+        fut = None
+        if enum is not None:
+            text_override = self._constrained_choice(prompt, *enum,
+                                                     images=images)
+        else:
+            submit = getattr(self.engine, "submit", None)
+            pix = None
+            ids = self._encode(prompt, add_special_tokens=True)
+            if images and self.mm_engine is not None:
+                pix = self.image_preprocessor([images[0]])
+                ids = self.mm_engine.build_mm_prompt(
+                    self._encode(prompt),
+                    bos_id=getattr(self.tokenizer, "bos_id", 2),
+                    newline_ids=self._encode("\n"))
+            if submit is not None and (
+                    pix is None or getattr(self.engine, "supports_multimodal",
+                                           False)):
+                tok_queue = _queue.Queue()
+                fut = submit(ids, max_new_tokens=max_new,
+                             temperature=temperature, eos_id=eos_id,
+                             seed=int(req.get("seed") or 0),
+                             pixel_values=[pix] if pix is not None else None,
+                             on_token=tok_queue.put)
+                # all on_token calls happen before the result is set, so the
+                # sentinel always trails the last token
+                fut.add_done_callback(lambda f: tok_queue.put(None))
+            elif pix is not None:
+                full_out = self.mm_engine.generate(
+                    [ids], pix, max_new_tokens=max_new,
+                    temperature=temperature, eos_id=eos_id,
+                    seed=int(req.get("seed") or 0))[0]
+            else:
+                full_out = self.engine.generate(
+                    [ids], max_new_tokens=max_new, temperature=temperature,
+                    eos_id=eos_id, seed=int(req.get("seed") or 0))[0]
+
+        handler.send_response(200)
+        handler.send_header("Content-Type", "text/event-stream")
+        handler.send_header("Cache-Control", "no-cache")
+        handler.send_header("Connection", "close")
+        handler.end_headers()
+
+        def sse(obj) -> None:
+            handler.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+            handler.wfile.flush()
+
+        def chunk(delta: Dict[str, Any], finish: Optional[str] = None):
+            return {"id": rid, "object": "chat.completion.chunk",
+                    "created": created, "model": model,
+                    "choices": [{"index": 0, "delta": delta,
+                                 "finish_reason": finish}]}
+
+        try:
+            sse(chunk({"role": "assistant", "content": ""}))
+            finish = "stop"
+            if tok_queue is not None:
+                out: List[int] = []
+                prev = ""
+                while True:
+                    tok = tok_queue.get(timeout=600)
+                    if tok is None:
+                        break
+                    out.append(tok)
+                    # incremental detokenization by whole-prefix diff: safe
+                    # for BPE/byte tokenizers where one token may not be a
+                    # complete decodable unit
+                    text = self.tokenizer.decode(out)
+                    if text[: len(prev)] == prev and len(text) > len(prev):
+                        sse(chunk({"content": text[len(prev):]}))
+                        prev = text
+                out = fut.result()  # re-raises scheduler-side failures
+                finish = "stop" if len(out) < max_new else "length"
+            else:
+                if text_override is not None:
+                    text = text_override
+                else:
+                    text = self.tokenizer.decode(full_out)
+                    finish = ("stop" if len(full_out) < max_new else "length")
+                if text:
+                    sse(chunk({"content": text}))
+            sse(chunk({}, finish))
+            handler.wfile.write(b"data: [DONE]\n\n")
+            handler.wfile.flush()
+        except Exception as e:  # noqa: BLE001 - post-header failure
+            try:
+                sse({"error": {"message": str(e),
+                               "type": type(e).__name__}})
+            except Exception:  # noqa: BLE001 - consumer already gone
+                pass
+
     def _complete(self, req: Dict[str, Any]) -> Dict[str, Any]:
         prompt, images = extract_chat_content(req.get("messages", []))
-        ids = self.tokenizer.encode(prompt, add_special_tokens=True)
+        ids = self._encode(prompt, add_special_tokens=True)
         max_new = int(req.get("max_tokens") or self.default_max_new)
         temperature = float(req.get("temperature") or 0.0)
         eos_id = getattr(self.tokenizer, "eos_id", -1)
         enum = self._schema_enum(req)
         if enum is not None:
             text = self._constrained_choice(prompt, *enum, images=images)
-            out = self.tokenizer.encode(text)
+            out = self._encode(text)
             finish = "stop"  # constrained decoding always completes
         elif images and self.mm_engine is not None:
             # image-conditioned generation (first image = the PaliGemma
             # prefix; multi-image prompts are a round-3 candidate)
             pix = self.image_preprocessor([images[0]])
-            text_ids = self.tokenizer.encode(prompt)
+            text_ids = self._encode(prompt)
             mm_prompt = self.mm_engine.build_mm_prompt(
                 text_ids, bos_id=getattr(self.tokenizer, "bos_id", 2),
-                newline_ids=self.tokenizer.encode("\n"))
+                newline_ids=self._encode("\n"))
             ids = mm_prompt  # usage accounting includes the image tokens
             if getattr(self.engine, "supports_multimodal", False):
                 # continuous batcher with an mm_engine: image requests join

@@ -656,3 +656,171 @@ def test_server_multimodal_through_batcher(tiny_lm):
         bat.shutdown()
     assert got == want
     assert plain and "[error]" not in plain
+
+
+def _sse_events(resp):
+    """Parse an SSE body into its `data:` payload strings."""
+    out = []
+    for line in resp:
+        line = line.decode().strip()
+        if line.startswith("data: "):
+            out.append(line[6:])
+    return out
+
+
+def test_batcher_streaming_callback_matches_result(tiny_lm):
+    """submit(on_token=...) streams exactly the tokens future.result()
+    returns - including under pool preemption + readmission (paged), where
+    the stream must resume where it left off rather than replaying."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [list(range(2, 18)), list(range(5, 17)), list(range(7, 21))]
+    # pool sized to force preemption while all three run (same shape as
+    # test_paged_pool_oversubscription_preempts_and_completes)
+    bat = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64,
+                                 chunk=4, page_size=8, pool_pages=9)
+    streams = [[] for _ in prompts]
+    futs = [bat.submit(p, max_new_tokens=10, temperature=0.7, seed=i,
+                       on_token=streams[i].append)
+            for i, p in enumerate(prompts)]
+    bat.drain()
+    assert bat.preemptions > 0
+    for fut, seen in zip(futs, streams):
+        assert seen == fut.result(timeout=10)
+
+
+def test_server_sse_stream_matches_non_streaming(tiny_lm):
+    """stream: true serves OpenAI chat.completion.chunk SSE whose
+    concatenated deltas equal the non-streaming content, ending in
+    data: [DONE] (the vLLM streaming protocol surface)."""
+    import json
+    import urllib.request
+
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+
+    tcfg, params = tiny_lm
+    tok = ByteTokenizer()
+
+    class ModTok:
+        pad_id, bos_id, eos_id = 0, 1, -1
+
+        def encode(self, text, add_special_tokens=False):
+            ids = [2 + (i % 60) for i in tok.encode(text)]
+            return ([self.bos_id] + ids) if add_special_tokens else ids
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3).serve()
+    try:
+        with GenerationServer(bat, ModTok(), model_name="tiny-gemma") as srv:
+            req = {"model": "tiny-gemma", "max_tokens": 6, "seed": 0,
+                   "messages": [{"role": "user", "content": "stream me"}]}
+            r = urllib.request.urlopen(urllib.request.Request(
+                f"{srv.base_url}/chat/completions",
+                data=json.dumps({**req, "stream": True}).encode(),
+                headers={"Content-Type": "application/json"}), timeout=120)
+            assert r.headers.get("Content-Type") == "text/event-stream"
+            events = _sse_events(r)
+            assert events[-1] == "[DONE]"
+            chunks = [json.loads(e) for e in events[:-1]]
+            assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+            text = "".join(c["choices"][0]["delta"].get("content", "")
+                           for c in chunks)
+            assert chunks[0]["choices"][0]["delta"]["role"] == "assistant"
+            assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+            # content arrived incrementally, not as one terminal blob
+            assert sum(1 for c in chunks
+                       if c["choices"][0]["delta"].get("content")) > 1
+
+            r2 = urllib.request.urlopen(urllib.request.Request(
+                f"{srv.base_url}/chat/completions",
+                data=json.dumps(req).encode(),
+                headers={"Content-Type": "application/json"}), timeout=120)
+            want = json.loads(r2.read())["choices"][0]["message"]["content"]
+            assert text == want
+    finally:
+        bat.shutdown()
+
+
+def test_server_streaming_constrained_and_plain_engine(tiny_lm):
+    """Streaming also covers the non-incremental configurations: a bare
+    (non-batcher) engine emits its completion as one SSE content chunk, and
+    a constrained enum request streams the full JSON answer."""
+    import json
+    import urllib.request
+
+    from multimodal_colpali_tpu.generation.client import mcq_response_format
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+
+    tcfg, params = tiny_lm
+    tok = ByteTokenizer()
+
+    class ModTok:
+        pad_id, bos_id, eos_id = 0, 1, -1
+
+        def encode(self, text, add_special_tokens=False):
+            ids = [2 + (i % 60) for i in tok.encode(text)]
+            return ([self.bos_id] + ids) if add_special_tokens else ids
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    eng = GemmaDecodeEngine(tcfg, params)
+    with GenerationServer(eng, ModTok(), model_name="tiny-gemma") as srv:
+        req = {"model": "tiny-gemma", "max_tokens": 4, "stream": True,
+               "messages": [{"role": "user", "content": "pick"}]}
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"{srv.base_url}/chat/completions", data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"}), timeout=120)
+        events = _sse_events(r)
+        chunks = [json.loads(e) for e in events[:-1]]
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in chunks)
+        assert events[-1] == "[DONE]" and text
+
+        req["response_format"] = mcq_response_format()
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"{srv.base_url}/chat/completions", data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"}), timeout=120)
+        chunks = [json.loads(e) for e in _sse_events(r)[:-1]]
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in chunks)
+        assert json.loads(text)["answer"] in {"A", "B", "C", "D"}
+        assert chunks[-1]["choices"][0]["finish_reason"] == "stop"
+
+
+def test_server_tokenizer_without_special_kwarg(tiny_lm):
+    """The documented tokenizer contract is just encode/decode; a tokenizer
+    whose encode() lacks the add_special_tokens kwarg (SimpleTokenizer
+    shape) must work through the server's encode shim, not TypeError."""
+    import json
+    import urllib.request
+
+    tcfg, params = tiny_lm
+    tok = ByteTokenizer()
+
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+
+    class BareTok:
+        pad_id, bos_id, eos_id = 0, 1, -1
+
+        def encode(self, text):
+            return [2 + (i % 60) for i in tok.encode(text)]
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    eng = GemmaDecodeEngine(tcfg, params)
+    with GenerationServer(eng, BareTok(), model_name="tiny-gemma") as srv:
+        req = {"model": "tiny-gemma", "max_tokens": 4,
+               "messages": [{"role": "user", "content": "no kwarg"}]}
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"{srv.base_url}/chat/completions", data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"}), timeout=120)
+        out = json.loads(r.read())
+        assert out["choices"][0]["message"]["content"]
