@@ -210,10 +210,12 @@ def bench_retrieval(jax, jnp, backend: str) -> dict:
         from multimodal_colpali_tpu.ops.two_stage import (
             coarse_topk, rescore_candidates)
 
-        p_host = min(P, 20_000)
         # generate on the HOST: this corpus models data that does not fit
         # HBM, and a device-side normal() here would be a ~10 GB HBM
-        # allocation next to the already-resident int8 corpus (OOM on v5e)
+        # allocation next to the already-resident int8 corpus (OOM on v5e).
+        # Sized so single-core generation stays ~10 s (the latency being
+        # measured is per-candidate host gather, not corpus-size-bound).
+        p_host = min(P, 4_000)
         host_vecs = np.random.default_rng(11).standard_normal(
             (p_host, NT, DIM), dtype=np.float32)
         lens_host = np.full((p_host,), NT, np.int32)

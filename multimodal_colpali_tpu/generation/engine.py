@@ -52,6 +52,52 @@ def _lin(x: jax.Array, p: Dict[str, Any]) -> jax.Array:
     return L.dense(x, p["kernel"], p.get("bias"))
 
 
+def filter_top_p_top_k(logits: jax.Array, top_p, top_k) -> jax.Array:
+    """Nucleus (top-p) and top-k logit filtering, vLLM-style (the caller
+    applies temperature FIRST, then filters, then samples).
+
+    ``logits`` is ``[..., V]``; ``top_p``/``top_k`` broadcast over the
+    leading axes (per-slot arrays in the batchers, scalars in the engine).
+    ``top_p >= 1`` and ``top_k <= 0`` are exact no-ops - the returned
+    logits are bit-identical to the input, so default-parameter sampling
+    reproduces historical streams.
+    """
+    v = logits.shape[-1]
+    batch_shape = logits.shape[:-1]
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, logits.dtype), batch_shape)
+    top_k = jnp.broadcast_to(jnp.asarray(top_k, jnp.int32), batch_shape)
+    sorted_desc = jnp.flip(jnp.sort(logits, axis=-1), axis=-1)
+    # top-k: keep logits >= the kth largest (ties at the boundary all kept)
+    k_idx = jnp.clip(jnp.where(top_k > 0, top_k, v) - 1, 0, v - 1)
+    kth = jnp.take_along_axis(sorted_desc, k_idx[..., None], axis=-1)
+    # top-p: smallest prefix of the sorted distribution reaching mass top_p
+    probs = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p[..., None]   # mass BEFORE token < top_p
+    cutoff = jnp.min(jnp.where(keep, sorted_desc, jnp.inf), axis=-1,
+                     keepdims=True)
+    mask = (logits >= kth) & (logits >= cutoff)
+    return jnp.where(mask, logits, -jnp.inf)
+
+
+def sample_per_slot(logits: jax.Array, seed: jax.Array, gen_step: jax.Array,
+                    temp: jax.Array, top_p: jax.Array,
+                    top_k: jax.Array) -> jax.Array:
+    """Per-slot next-token sampling shared by the continuous batchers
+    (dense and paged): each request's PRNGKey(seed) is folded with the
+    request's OWN step index, so a (prompt, seed, temperature) triple
+    reproduces the same stream regardless of admission timing and matches
+    GemmaDecodeEngine.generate's per-request fold. ``temp <= 0`` rows
+    decode greedily."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    keys = jax.vmap(jax.random.fold_in)(
+        jax.vmap(jax.random.PRNGKey)(seed), gen_step.astype(jnp.uint32))
+    scaled = logits / jnp.maximum(temp, 1e-3)[:, None]
+    filtered = filter_top_p_top_k(scaled, top_p, top_k)
+    sampled = jax.vmap(jax.random.categorical)(keys, filtered).astype(jnp.int32)
+    return jnp.where(temp > 0, sampled, greedy)
+
+
 def layer_stack(p, c: "GemmaTextConfig", x: jax.Array, positions: jax.Array,
                 kv_write, attend):
     """The Gemma per-layer decode body (rms -> qkv proj -> rope -> attend ->
@@ -172,7 +218,7 @@ class GemmaDecodeEngine:
     # -- generation ----------------------------------------------------------
 
     def _build(self, s: int, max_new: int, temperature: float,
-               eos_id: int, pad_id: int):
+               eos_id: int, pad_id: int, top_p: float = 1.0, top_k: int = 0):
         """Jitted whole-generation function for a (prompt_len, max_new)
         bucket."""
         c = self.cfg
@@ -182,8 +228,11 @@ class GemmaDecodeEngine:
             if temperature <= 0.0:
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)
             key = jax.random.fold_in(rng, step)
+            scaled = logits / temperature
+            if top_p < 1.0 or top_k > 0:
+                scaled = filter_top_p_top_k(scaled, top_p, top_k)
             return jax.random.categorical(
-                key, logits / temperature, axis=-1).astype(jnp.int32)
+                key, scaled, axis=-1).astype(jnp.int32)
 
         def run(p, ids, mask, rng):
             b = ids.shape[0]
@@ -268,11 +317,15 @@ class GemmaDecodeEngine:
         pad_id: int = 0,
         seed: int = 0,
         bucket: int = 16,
+        top_p: float = 1.0,
+        top_k: int = 0,
     ) -> List[List[int]]:
         """Generate continuations for token-id prompts.
 
         Prompts are LEFT-padded to a shared length bucket (static jit
         shapes); output token lists are truncated at ``eos_id``.
+        ``top_p``/``top_k`` filter the sampled distribution (vLLM
+        semantics; no effect when temperature is 0).
         """
         if not prompts:
             return []
@@ -290,10 +343,12 @@ class GemmaDecodeEngine:
                 mask[n, -len(pr):] = 1
         mask[len(prompts):, -1] = 1  # padding rows: one dummy valid token
 
-        key = (s, max_new_tokens, float(temperature), eos_id, pad_id)
+        key = (s, max_new_tokens, float(temperature), eos_id, pad_id,
+               float(top_p), int(top_k))
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build(
-                s, max_new_tokens, float(temperature), eos_id, pad_id)
+                s, max_new_tokens, float(temperature), eos_id, pad_id,
+                top_p=float(top_p), top_k=int(top_k))
         jids, jmask = jnp.asarray(ids), jnp.asarray(mask)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -359,7 +414,7 @@ class PaliGemmaEngine:
         return (embeds.astype(jnp.float32) * scale).astype(self.lm.dtype)
 
     def _build(self, s: int, max_new: int, temperature: float,
-               eos_id: int, pad_id: int):
+               eos_id: int, pad_id: int, top_p: float = 1.0, top_k: int = 0):
         c = self.cfg.text
         eng = self.lm
         t = s + max_new
@@ -368,8 +423,11 @@ class PaliGemmaEngine:
             if temperature <= 0.0:
                 return jnp.argmax(logits, axis=-1).astype(jnp.int32)
             key = jax.random.fold_in(rng, step)
+            scaled = logits / temperature
+            if top_p < 1.0 or top_k > 0:
+                scaled = filter_top_p_top_k(scaled, top_p, top_k)
             return jax.random.categorical(
-                key, logits / temperature, axis=-1).astype(jnp.int32)
+                key, scaled, axis=-1).astype(jnp.int32)
 
         def run(p, ids, mask, pix, rng):
             b = ids.shape[0]
@@ -417,7 +475,8 @@ class PaliGemmaEngine:
     def generate(self, prompts: Sequence[Sequence[int]], pixel_values,
                  max_new_tokens: int = 32, temperature: float = 0.0,
                  eos_id: int = -1, pad_id: int = 0, seed: int = 0,
-                 bucket: int = 16) -> List[List[int]]:
+                 bucket: int = 16, top_p: float = 1.0,
+                 top_k: int = 0) -> List[List[int]]:
         """Image-conditioned continuations. ``prompts`` are token ids
         already containing the image-token prefix (use ``build_mm_prompt``);
         ``pixel_values`` is [B, H, W, 3] normalized."""
@@ -429,10 +488,12 @@ class PaliGemmaEngine:
         for n, pr in enumerate(prompts):
             ids[n, -len(pr):] = pr
             mask[n, -len(pr):] = 1
-        key = (s, max_new_tokens, float(temperature), eos_id, pad_id)
+        key = (s, max_new_tokens, float(temperature), eos_id, pad_id,
+               float(top_p), int(top_k))
         if key not in self._jit_cache:
             self._jit_cache[key] = self._build(
-                s, max_new_tokens, float(temperature), eos_id, pad_id)
+                s, max_new_tokens, float(temperature), eos_id, pad_id,
+                top_p=float(top_p), top_k=int(top_k))
         out = np.asarray(self._jit_cache[key](
             self.lm.params, jnp.asarray(ids), jnp.asarray(mask),
             jnp.asarray(pixel_values), jax.random.PRNGKey(seed)))

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_colpali_tpu.generation.engine import (
-    GemmaDecodeEngine, layer_stack)
+    GemmaDecodeEngine, layer_stack, sample_per_slot)
 from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
 from multimodal_colpali_tpu.ops.paged_attention import paged_attention
 
@@ -198,7 +198,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         pad_id = self.pad_id
 
         def one_step(p, bt, kpools, vpools, tok, pos, length, temp, seed,
-                     remaining, gen_step, eos):
+                     remaining, gen_step, eos, top_p, top_k):
             x = eng._embed(p, tok[:, None])                     # [B, 1, H]
             active = remaining > 0
             rows = jnp.arange(b)
@@ -221,14 +221,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
                                              kv_write, attend)
             logits = eng._logits(p, xx[:, 0])                   # [B, V]
 
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            keys = jax.vmap(jax.random.fold_in)(
-                jax.vmap(jax.random.PRNGKey)(seed),
-                gen_step.astype(jnp.uint32))
-            sampled = jax.vmap(
-                lambda kk, lg, tt: jax.random.categorical(kk, lg / tt)
-            )(keys, logits, jnp.maximum(temp, 1e-3)).astype(jnp.int32)
-            nxt = jnp.where(temp > 0, sampled, greedy)
+            nxt = sample_per_slot(logits, seed, gen_step, temp, top_p, top_k)
             nxt = jnp.where(active, nxt, jnp.int32(pad_id))
 
             length = jnp.where(active, length + 1, length)
@@ -237,10 +230,10 @@ class PagedContinuousBatcher(ContinuousBatcher):
             remaining = jnp.where(active, remaining - 1, remaining)
             remaining = jnp.where(nxt == eos, 0, remaining)
             return (tuple(new_k), tuple(new_v), nxt, pos, length, temp,
-                    seed, remaining, gen_step, eos)
+                    seed, remaining, gen_step, eos, top_p, top_k)
 
         def run(p, bt, kpools, vpools, tok, pos, length, temp, seed,
-                remaining, gen_step, eos):
+                remaining, gen_step, eos, top_p, top_k):
             def body(carry, _):
                 carry = one_step(p, bt, *carry)
                 return carry, carry[2]  # next token per slot
@@ -248,7 +241,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
             carry, toks = jax.lax.scan(
                 body,
                 (kpools, vpools, tok, pos, length, temp, seed, remaining,
-                 gen_step, eos),
+                 gen_step, eos, top_p, top_k),
                 None, length=chunk)
             return carry, toks  # toks: [chunk, B]
 
@@ -284,8 +277,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
             self.engine.params, jnp.asarray(self._bt_host),
             self._kpools, self._vpools, self._tok, self._pos, self._len,
             self._temp, self._seed, self._remaining, self._gen_step,
-            self._eos)
+            self._eos, self._top_p, self._top_k)
         (self._kpools, self._vpools, self._tok, self._pos, self._len,
          self._temp, self._seed, self._remaining, self._gen_step,
-         self._eos) = carry
+         self._eos, self._top_p, self._top_k) = carry
         self._account_chunk(np.asarray(toks), rem_before)

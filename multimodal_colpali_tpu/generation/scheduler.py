@@ -51,6 +51,8 @@ class _Request:
     pixel_values: Optional[np.ndarray] = None  # [1, H, W, 3] -> multimodal
     on_token: Optional[Any] = None   # streaming callback(token_id)
     streamed: int = 0                # tokens already delivered to on_token
+    top_p: float = 1.0               # nucleus sampling mass (1.0 = off)
+    top_k: int = 0                   # top-k cutoff (0 = off)
 
 
 class ContinuousBatcher:
@@ -91,6 +93,8 @@ class ContinuousBatcher:
         self._seed = jnp.zeros((self.B,), jnp.uint32)
         self._eos = jnp.full((self.B,), eos_id, jnp.int32)   # per-request eos
         self._gen_step = jnp.zeros((self.B,), jnp.int32)     # per-slot rng step
+        self._top_p = jnp.ones((self.B,), jnp.float32)       # per-slot nucleus
+        self._top_k = jnp.zeros((self.B,), jnp.int32)        # per-slot top-k
 
         self._slots: List[Optional[_Request]] = [None] * self.B
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -160,7 +164,7 @@ class ContinuousBatcher:
         pad_id = self.pad_id
 
         def one_step(p, caches, tok, pos, start, end, temp, seed, remaining,
-                     gen_step, eos):
+                     gen_step, eos, top_p, top_k):
             kcs, vcs = caches[:n_layers], caches[n_layers:]
             x = eng._embed(p, tok[:, None])                     # [B, 1, H]
             active = remaining > 0
@@ -170,7 +174,8 @@ class ContinuousBatcher:
             cols = jnp.arange(t)
             mask = ((cols[None, :] >= start[:, None])
                     & (cols[None, :] <= end[:, None]))[:, None, None, :]
-            from multimodal_colpali_tpu.generation.engine import layer_stack
+            from multimodal_colpali_tpu.generation.engine import (
+                layer_stack, sample_per_slot)
             from multimodal_colpali_tpu.models import layers as L
 
             # single-token engine.layer_stack pass with per-slot cache rows
@@ -186,18 +191,7 @@ class ContinuousBatcher:
             new_caches = list(zip(nk, nv))
             logits = eng._logits(p, xx[:, 0])                   # [B, V]
 
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            # per-slot key: request seed folded with the request's OWN step
-            # index, so a (prompt, seed, temperature) triple reproduces the
-            # same sample regardless of admission timing, and matches
-            # GemmaDecodeEngine.generate's per-request fold.
-            keys = jax.vmap(jax.random.fold_in)(
-                jax.vmap(jax.random.PRNGKey)(seed),
-                gen_step.astype(jnp.uint32))
-            sampled = jax.vmap(
-                lambda kk, lg, tt: jax.random.categorical(kk, lg / tt)
-            )(keys, logits, jnp.maximum(temp, 1e-3)).astype(jnp.int32)
-            nxt = jnp.where(temp > 0, sampled, greedy)
+            nxt = sample_per_slot(logits, seed, gen_step, temp, top_p, top_k)
             nxt = jnp.where(active, nxt, jnp.int32(pad_id))
 
             end = jnp.where(active, end + 1, end)
@@ -208,10 +202,10 @@ class ContinuousBatcher:
             caches = tuple(kc for kc, _ in new_caches) + tuple(
                 vc for _, vc in new_caches)
             return (caches, nxt, pos, start, end, temp, seed, remaining,
-                    gen_step, eos)
+                    gen_step, eos, top_p, top_k)
 
         def run(p, caches, tok, pos, start, end, temp, seed, remaining,
-                gen_step, eos):
+                gen_step, eos, top_p, top_k):
             def body(carry, _):
                 carry = one_step(p, *carry)
                 return carry, carry[1]  # next token per slot
@@ -219,7 +213,7 @@ class ContinuousBatcher:
             carry, toks = jax.lax.scan(
                 body,
                 (caches, tok, pos, start, end, temp, seed, remaining,
-                 gen_step, eos),
+                 gen_step, eos, top_p, top_k),
                 None, length=chunk)
             return carry, toks  # toks: [chunk, B]
 
@@ -231,7 +225,8 @@ class ContinuousBatcher:
                temperature: float = 0.0, seed: int = 0,
                eos_id: Optional[int] = None,
                pixel_values: Optional[Any] = None,
-               on_token: Optional[Any] = None) -> Future:
+               on_token: Optional[Any] = None,
+               top_p: float = 1.0, top_k: int = 0) -> Future:
         """``on_token(token_id)`` streams each generated token as the
         scheduler syncs it off-device (at most one chunk of latency). The
         stream never includes eos or anything past it, and a preempted +
@@ -256,7 +251,8 @@ class ContinuousBatcher:
         self._queue.put(_Request(
             list(prompt), max_new_tokens, float(temperature), seed, fut,
             eos_id=self.eos_id if eos_id is None else eos_id,
-            pixel_values=pixel_values, on_token=on_token))
+            pixel_values=pixel_values, on_token=on_token,
+            top_p=float(top_p), top_k=int(top_k)))
         return fut
 
     @property
@@ -355,9 +351,15 @@ class ContinuousBatcher:
             # samples at its own step index, matching the uninterrupted run
             n0 = len(req.tokens)
             if req.temperature > 0:
+                from multimodal_colpali_tpu.generation.engine import (
+                    filter_top_p_top_k)
+
                 key = jax.random.fold_in(jax.random.PRNGKey(req.seed), n0)
-                tok0 = int(jax.random.categorical(
-                    key, jnp.asarray(logits) / max(req.temperature, 1e-3)))
+                scaled = jnp.asarray(logits) / max(req.temperature, 1e-3)
+                if req.top_p < 1.0 or req.top_k > 0:
+                    scaled = filter_top_p_top_k(scaled[None], req.top_p,
+                                                req.top_k)[0]
+                tok0 = int(jax.random.categorical(key, scaled))
             else:
                 tok0 = int(jnp.argmax(logits))
             req.tokens.append(tok0)
@@ -373,6 +375,8 @@ class ContinuousBatcher:
             self._temp = self._temp.at[slot].set(req.temperature)
             self._seed = self._seed.at[slot].set(req.seed)
             self._eos = self._eos.at[slot].set(req.eos_id)
+            self._top_p = self._top_p.at[slot].set(req.top_p)
+            self._top_k = self._top_k.at[slot].set(req.top_k)
             self._gen_step = self._gen_step.at[slot].set(n0 + 1)
             self._remaining = self._remaining.at[slot].set(
                 0 if done0 else budget - 1)
@@ -414,10 +418,10 @@ class ContinuousBatcher:
         carry, toks = self._jit["decode"](
             self.engine.params, self._caches, self._tok, self._pos,
             self._start, self._end, self._temp, self._seed, self._remaining,
-            self._gen_step, self._eos)
+            self._gen_step, self._eos, self._top_p, self._top_k)
         (self._caches, self._tok, self._pos, self._start, self._end,
          self._temp, self._seed, self._remaining, self._gen_step,
-         self._eos) = carry
+         self._eos, self._top_p, self._top_k) = carry
         self._account_chunk(np.asarray(toks), rem_before)
 
     @staticmethod
@@ -504,11 +508,13 @@ class ContinuousBatcher:
     # ``pixel_values``: per-prompt image arrays (or None entries) for
     # multimodal prompts built with PaliGemmaEngine.build_mm_prompt.
     def generate(self, prompts, max_new_tokens=64, temperature=0.0,
-                 eos_id=None, pad_id=None, seed=0, pixel_values=None, **_):
+                 eos_id=None, pad_id=None, seed=0, pixel_values=None,
+                 top_p=1.0, top_k=0, **_):
         if pixel_values is None:
             pixel_values = [None] * len(prompts)
         futs = [self.submit(p, max_new_tokens, temperature, seed,
-                            eos_id=eos_id, pixel_values=pix)
+                            eos_id=eos_id, pixel_values=pix,
+                            top_p=top_p, top_k=top_k)
                 for p, pix in zip(prompts, pixel_values)]
         if not self._serving:
             self.drain()

@@ -215,6 +215,8 @@ class GenerationServer:
         prompt, images = extract_chat_content(req.get("messages", []))
         max_new = int(req.get("max_tokens") or self.default_max_new)
         temperature = float(req.get("temperature") or 0.0)
+        top_p = float(req.get("top_p") or 1.0)
+        top_k = int(req.get("top_k") or 0)   # vLLM extension param
         eos_id = getattr(self.tokenizer, "eos_id", -1)
         enum = self._schema_enum(req)
         rid = f"chatcmpl-{int(time.time() * 1e3)}"
@@ -248,7 +250,8 @@ class GenerationServer:
                              temperature=temperature, eos_id=eos_id,
                              seed=int(req.get("seed") or 0),
                              pixel_values=[pix] if pix is not None else None,
-                             on_token=tok_queue.put)
+                             on_token=tok_queue.put,
+                             top_p=top_p, top_k=top_k)
                 # all on_token calls happen before the result is set, so the
                 # sentinel always trails the last token
                 fut.add_done_callback(lambda f: tok_queue.put(None))
@@ -256,11 +259,13 @@ class GenerationServer:
                 full_out = self.mm_engine.generate(
                     [ids], pix, max_new_tokens=max_new,
                     temperature=temperature, eos_id=eos_id,
-                    seed=int(req.get("seed") or 0))[0]
+                    seed=int(req.get("seed") or 0),
+                    top_p=top_p, top_k=top_k)[0]
             else:
                 full_out = self.engine.generate(
                     [ids], max_new_tokens=max_new, temperature=temperature,
-                    eos_id=eos_id, seed=int(req.get("seed") or 0))[0]
+                    eos_id=eos_id, seed=int(req.get("seed") or 0),
+                    top_p=top_p, top_k=top_k)[0]
 
         handler.send_response(200)
         handler.send_header("Content-Type", "text/event-stream")
@@ -321,6 +326,8 @@ class GenerationServer:
         ids = self._encode(prompt, add_special_tokens=True)
         max_new = int(req.get("max_tokens") or self.default_max_new)
         temperature = float(req.get("temperature") or 0.0)
+        top_p = float(req.get("top_p") or 1.0)
+        top_k = int(req.get("top_k") or 0)   # vLLM extension param
         eos_id = getattr(self.tokenizer, "eos_id", -1)
         enum = self._schema_enum(req)
         if enum is not None:
@@ -342,18 +349,21 @@ class GenerationServer:
                 out = self.engine.generate(
                     [mm_prompt], max_new_tokens=max_new,
                     temperature=temperature, eos_id=eos_id,
-                    seed=int(req.get("seed") or 0), pixel_values=[pix])[0]
+                    seed=int(req.get("seed") or 0), pixel_values=[pix],
+                    top_p=top_p, top_k=top_k)[0]
             else:
                 out = self.mm_engine.generate(
                     [mm_prompt], pix, max_new_tokens=max_new,
                     temperature=temperature, eos_id=eos_id,
-                    seed=int(req.get("seed") or 0))[0]
+                    seed=int(req.get("seed") or 0),
+                    top_p=top_p, top_k=top_k)[0]
             text = self.tokenizer.decode(out)
             finish = "stop" if len(out) < max_new else "length"
         else:
             out = self.engine.generate(
                 [ids], max_new_tokens=max_new, temperature=temperature,
-                eos_id=eos_id, seed=int(req.get("seed") or 0))[0]
+                eos_id=eos_id, seed=int(req.get("seed") or 0),
+                top_p=top_p, top_k=top_k)[0]
             text = self.tokenizer.decode(out)
             finish = "stop" if len(out) < max_new else "length"
         return {

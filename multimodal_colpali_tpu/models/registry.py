@@ -53,6 +53,11 @@ class Retriever:
         np_dtype = ml_dtypes.bfloat16 if self.dtype == jnp.bfloat16 else np.float32
 
         def cast_and_put(p):
+            # Already device-resident in the serving dtype (device_random_params):
+            # round-tripping through the host would re-pay the full transfer.
+            if self.mesh is None and isinstance(p, jax.Array) \
+                    and p.dtype == jnp.dtype(self.dtype):
+                return p
             # Cast on the host first: a 3B model must never exist in fp32 in
             # HBM (fp32 params + bf16 copy would exceed a v5e chip's 16 GB).
             host = np.asarray(p).astype(np_dtype)
@@ -241,6 +246,47 @@ def fast_random_params(model, cfg, seed: int = 0, family: str = "colpali"):
     return jax.tree_util.tree_map_with_path(fill, shapes)
 
 
+def device_random_params(model, cfg, seed: int = 0, family: str = "colpali",
+                         dtype: Any = jnp.bfloat16):
+    """``fast_random_params`` materialized ON the accelerator.
+
+    Shapes come from eval_shape (host, cheap); the values are generated by
+    ONE jitted program on the device, so only the program - not ~6 GB of
+    host-generated weights - crosses the host->device link. Through this
+    environment's network TPU tunnel, host init + device_put of a 3B tree
+    takes ~10 minutes; this takes seconds. Values differ from
+    ``fast_random_params`` (different RNG), which is irrelevant for the
+    random-weight runs (benchmarks, air-gapped e2e) both serve.
+    """
+    args = _example_inputs(family, cfg)
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), *args)
+    )["params"]
+    gemma_rms_parents = {"input_layernorm", "post_attention_layernorm", "norm"}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    def build(key):
+        out = []
+        for i, (path, s) in enumerate(flat):
+            name = getattr(path[-1], "key", str(path[-1]))
+            parent = getattr(path[-2], "key", "") if len(path) > 1 else ""
+            if name == "bias":
+                out.append(jnp.zeros(s.shape, dtype))
+            elif name == "weight":
+                if family == "colpali" and parent in gemma_rms_parents:
+                    out.append(jnp.zeros(s.shape, dtype))  # (1+w) -> w=0
+                else:
+                    out.append(jnp.ones(s.shape, dtype))   # plain norms -> 1
+            else:
+                fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+                k = jax.random.fold_in(key, i)
+                out.append((jax.random.normal(k, s.shape, jnp.float32)
+                            * float(fan_in) ** -0.5).astype(dtype))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    return jax.jit(build)(jax.random.PRNGKey(seed))
+
+
 # name -> (family, config factory)
 RETRIEVER_CONFIGS: Dict[str, tuple] = {
     "vidore/colpali-v1.2": ("colpali", ColPaliModelConfig.colpali_v1_3),
@@ -351,8 +397,14 @@ def load_retriever(
     dtype: Any = jnp.bfloat16,
     seed: int = 0,
     dynamic_resolution: bool = False,
+    device_init: Optional[bool] = None,
 ) -> Retriever:
     """Load a late-interaction retriever by name (reference surface).
+
+    ``device_init=True`` (or env MMCP_DEVICE_INIT=1) materializes random
+    weights on the accelerator (``device_random_params``) instead of the
+    host - the only practical way to stand up the 3B flagship through a
+    slow host->device link.
 
     ``dynamic_resolution=True`` enables the family's faithful resolution
     layout (ColQwen smart-resize grids, granite anyres tiles, idefics3
@@ -414,7 +466,12 @@ def load_retriever(
             f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
             stacklevel=2,
         )
-        params = fast_random_params(model, cfg, seed, family=family)
+        if device_init or (device_init is None
+                           and os.environ.get("MMCP_DEVICE_INIT") == "1"):
+            params = device_random_params(model, cfg, seed, family=family,
+                                          dtype=dtype)
+        else:
+            params = fast_random_params(model, cfg, seed, family=family)
     return Retriever(
         name=name, model=model, params=params, processor=processor,
         dtype=dtype, mesh=mesh, family=family,

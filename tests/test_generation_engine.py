@@ -824,3 +824,138 @@ def test_server_tokenizer_without_special_kwarg(tiny_lm):
             headers={"Content-Type": "application/json"}), timeout=120)
         out = json.loads(r.read())
         assert out["choices"][0]["message"]["content"]
+
+
+def test_filter_top_p_top_k_matches_numpy_reference():
+    """Nucleus/top-k filtering: top_k keeps exactly the k largest, top_p the
+    smallest prefix of the sorted distribution reaching mass p, and default
+    parameters are a bit-exact no-op (historical streams unchanged)."""
+    from multimodal_colpali_tpu.generation.engine import filter_top_p_top_k
+
+    rng = np.random.default_rng(0)
+    logits = rng.standard_normal((4, 32)).astype(np.float32)
+
+    out = np.asarray(filter_top_p_top_k(jnp.asarray(logits), 1.0, 0))
+    assert np.array_equal(out, logits)
+
+    out = np.asarray(filter_top_p_top_k(jnp.asarray(logits), 1.0, 3))
+    for r in range(4):
+        assert set(np.flatnonzero(np.isfinite(out[r]))) == \
+            set(np.argsort(logits[r])[-3:])
+
+    def np_top_p(row, p):
+        order = np.argsort(row)[::-1]
+        probs = np.exp(row - row.max()); probs /= probs.sum()
+        n_keep = int(np.searchsorted(np.cumsum(probs[order]), p) + 1)
+        return set(order[:n_keep])
+
+    out = np.asarray(filter_top_p_top_k(jnp.asarray(logits), 0.7, 0))
+    for r in range(4):
+        assert set(np.flatnonzero(np.isfinite(out[r]))) == \
+            np_top_p(logits[r], 0.7)
+
+    # per-row parameter arrays broadcast (the batchers' per-slot case)
+    out = np.asarray(filter_top_p_top_k(
+        jnp.asarray(logits), jnp.asarray([1.0, 0.5, 1.0, 0.9]),
+        jnp.asarray([0, 0, 1, 0])))
+    assert np.array_equal(out[0], logits[0])
+    assert np.isfinite(out[2]).sum() == 1
+
+
+def test_top_p_top_k_batcher_matches_engine(tiny_lm):
+    """top_p/top_k sampling streams bit-match the engine oracle through
+    both batchers, and top_k=1 reduces to greedy despite temperature."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [[5, 9, 17, 3], [40, 2], list(range(3, 24))]
+    want = [eng.generate([p], max_new_tokens=8, temperature=0.8, seed=i,
+                         top_p=0.8, top_k=5)[0]
+            for i, p in enumerate(prompts)]
+
+    for batcher in (ContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                      chunk=3),
+                    PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                           chunk=3, page_size=8)):
+        futs = [batcher.submit(p, max_new_tokens=8, temperature=0.8, seed=i,
+                               top_p=0.8, top_k=5)
+                for i, p in enumerate(prompts)]
+        batcher.drain()
+        assert [f.result(10) for f in futs] == want
+
+    greedy = eng.generate(prompts, max_new_tokens=8, temperature=0.0)
+    k1 = eng.generate(prompts, max_new_tokens=8, temperature=0.9, seed=7,
+                      top_k=1)
+    assert greedy == k1
+
+
+def test_server_accepts_top_p_top_k(tiny_lm):
+    """top_p (OpenAI param) and top_k (vLLM extension) flow through the
+    server to the engine; a top_k=1 sampled request equals greedy."""
+    import json
+    import urllib.request
+
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+
+    tcfg, params = tiny_lm
+    tok = ByteTokenizer()
+
+    class ModTok:
+        pad_id, bos_id, eos_id = 0, 1, -1
+
+        def encode(self, text, add_special_tokens=False):
+            ids = [2 + (i % 60) for i in tok.encode(text)]
+            return ([self.bos_id] + ids) if add_special_tokens else ids
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    eng = GemmaDecodeEngine(tcfg, params)
+    with GenerationServer(eng, ModTok(), model_name="tiny-gemma") as srv:
+        def ask(extra):
+            req = {"model": "tiny-gemma", "max_tokens": 6, "seed": 3,
+                   "messages": [{"role": "user", "content": "sample me"}],
+                   **extra}
+            r = urllib.request.urlopen(urllib.request.Request(
+                f"{srv.base_url}/chat/completions",
+                data=json.dumps(req).encode(),
+                headers={"Content-Type": "application/json"}), timeout=120)
+            return json.loads(r.read())["choices"][0]["message"]["content"]
+
+        greedy = ask({})
+        k1 = ask({"temperature": 0.9, "top_k": 1})
+        assert k1 == greedy
+        sampled = ask({"temperature": 0.9, "top_p": 0.9})
+        assert sampled  # valid completion under nucleus sampling
+
+
+def test_device_random_params_loads_and_embeds():
+    """device_init materializes random weights on the accelerator (ONE jit
+    program, no host-generated tree crossing the link - the only practical
+    cold-start for the 3B flagship through the TPU tunnel) and the
+    Retriever must NOT round-trip those params through the host."""
+    import warnings
+
+    from PIL import Image
+
+    from multimodal_colpali_tpu.models.registry import load_retriever
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ret = load_retriever("tiny-colpali", device_init=True)
+    leaf = jax.tree_util.tree_leaves(ret.params)[0]
+    assert isinstance(leaf, jax.Array) and leaf.dtype == jnp.bfloat16
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (64, 64, 3), dtype=np.uint8))
+    out = ret.embed_images([img])
+    assert out[0].ndim == 2 and np.isfinite(out[0]).all()
+    # deterministic per seed
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ret2 = load_retriever("tiny-colpali", device_init=True)
+    np.testing.assert_array_equal(np.asarray(leaf, np.float32),
+                                  np.asarray(
+                                      jax.tree_util.tree_leaves(ret2.params)[0],
+                                      np.float32))
