@@ -47,6 +47,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--pool-pages", type=int, default=None,
                    help="Total pages in the shared pool (with --paged); "
                         "default sizes every slot to max-seq-len.")
+    p.add_argument("--kv-dtype", default="native", choices=["native", "int8"],
+                   help="KV pool storage (with --paged): int8 stores "
+                        "absmax-quantized codes + per-token scales, ~halving "
+                        "pool HBM (vLLM's kv_cache_dtype role).")
     return p.parse_args()
 
 
@@ -97,7 +101,8 @@ def main() -> None:
 
             batcher = PagedContinuousBatcher(
                 engine, page_size=args.page_size,
-                pool_pages=args.pool_pages, **kw).serve()
+                pool_pages=args.pool_pages, kv_dtype=args.kv_dtype,
+                **kw).serve()
         else:
             batcher = ContinuousBatcher(engine, **kw).serve()
         backend = batcher

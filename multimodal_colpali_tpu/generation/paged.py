@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from multimodal_colpali_tpu.generation.engine import (
     GemmaDecodeEngine, layer_stack, sample_per_slot)
 from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
-from multimodal_colpali_tpu.ops.paged_attention import paged_attention
+from multimodal_colpali_tpu.ops.paged_attention import (
+    paged_attention, paged_attention_int8, quantize_kv_rows)
 
 
 class PagedContinuousBatcher(ContinuousBatcher):
@@ -49,10 +50,18 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  max_seq_len: int = 512, chunk: int = 8,
                  prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0,
                  prefill_cache_entries: int = 8, mm_engine: Any = None,
-                 page_size: int = 16, pool_pages: Optional[int] = None):
+                 page_size: int = 16, pool_pages: Optional[int] = None,
+                 kv_dtype: str = "native"):
         """``pool_pages`` sizes the shared pool (default: enough for every
         slot to reach ``max_seq_len`` - set it lower to exercise
-        oversubscription + preemption). ``page_size`` tokens per page."""
+        oversubscription + preemption). ``page_size`` tokens per page.
+
+        ``kv_dtype="int8"`` stores the pool as int8 codes with one fp32
+        absmax scale per (token, kv head) - vLLM's ``kv_cache_dtype``
+        role. The pool's HBM cost per token roughly halves (vs bf16), so
+        the same budget holds ~2x the context; attention runs the int8
+        Pallas kernel (scales factored out of the dots, MXU stays bf16).
+        """
         super().__init__(engine, batch_slots, max_seq_len, chunk,
                          prompt_bucket, eos_id, pad_id,
                          prefill_cache_entries, mm_engine)
@@ -62,14 +71,27 @@ class PagedContinuousBatcher(ContinuousBatcher):
         if pool_pages is None:
             pool_pages = batch_slots * self.NB + 1
         self.P = max(pool_pages, 2)
+        if kv_dtype not in ("native", "int8"):
+            raise ValueError(f"kv_dtype must be 'native' or 'int8', got {kv_dtype!r}")
+        self.kv_dtype = kv_dtype
         # the dense per-slot caches are unused; release them
         self._caches = ()
-        self._kpools = tuple(
-            jnp.zeros((self.P, self.page, c.num_key_value_heads, c.head_dim),
-                      engine.dtype) for _ in range(c.num_hidden_layers))
-        self._vpools = tuple(
-            jnp.zeros((self.P, self.page, c.num_key_value_heads, c.head_dim),
-                      engine.dtype) for _ in range(c.num_hidden_layers))
+        pool_shape = (self.P, self.page, c.num_key_value_heads, c.head_dim)
+        if kv_dtype == "int8":
+            # pool leaf = (codes int8, scales fp32 per (token, head))
+            self._kpools = tuple(
+                (jnp.zeros(pool_shape, jnp.int8),
+                 jnp.zeros(pool_shape[:-1], jnp.float32))
+                for _ in range(c.num_hidden_layers))
+            self._vpools = tuple(
+                (jnp.zeros(pool_shape, jnp.int8),
+                 jnp.zeros(pool_shape[:-1], jnp.float32))
+                for _ in range(c.num_hidden_layers))
+        else:
+            self._kpools = tuple(jnp.zeros(pool_shape, engine.dtype)
+                                 for _ in range(c.num_hidden_layers))
+            self._vpools = tuple(jnp.zeros(pool_shape, engine.dtype)
+                                 for _ in range(c.num_hidden_layers))
         self._len = jnp.zeros((self.B,), jnp.int32)     # tokens held per slot
         # host-side allocator state; page 0 is the trash page
         self._free: List[int] = list(range(self.P - 1, 0, -1))
@@ -158,6 +180,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
         if key not in self._jit:
             page = self.page
 
+            int8 = self.kv_dtype == "int8"
+
             def install(kpools, vpools, k, v, phys, n_prompt):
                 outk, outv = [], []
                 for kp, vp, ki, vi in zip(kpools, vpools, k, v):
@@ -172,8 +196,18 @@ class PagedContinuousBatcher(ContinuousBatcher):
                         rows_k = rows_k[:width]
                         rows_v = rows_v[:width]
                     shp = (n_pages, page) + rows_k.shape[1:]
-                    outk.append(kp.at[phys].set(rows_k.reshape(shp)))
-                    outv.append(vp.at[phys].set(rows_v.reshape(shp)))
+                    if int8:
+                        kc, ks = quantize_kv_rows(rows_k)
+                        vc, vs = quantize_kv_rows(rows_v)
+                        outk.append((kp[0].at[phys].set(kc.reshape(shp)),
+                                     kp[1].at[phys].set(
+                                         ks.reshape(shp[:-1]))))
+                        outv.append((vp[0].at[phys].set(vc.reshape(shp)),
+                                     vp[1].at[phys].set(
+                                         vs.reshape(shp[:-1]))))
+                    else:
+                        outk.append(kp.at[phys].set(rows_k.reshape(shp)))
+                        outv.append(vp.at[phys].set(rows_v.reshape(shp)))
                 return tuple(outk), tuple(outv)
 
             self._jit[key] = jax.jit(install)
@@ -209,13 +243,29 @@ class PagedContinuousBatcher(ContinuousBatcher):
             att_len = length + active.astype(jnp.int32)
 
             # engine.layer_stack with paged K/V writes + paged attention
-            def kv_write(i, k, v):
-                return (kpools[i].at[blk, off].set(k[:, 0]),
-                        vpools[i].at[blk, off].set(v[:, 0]))
+            if self.kv_dtype == "int8":
+                def kv_write(i, k, v):
+                    kc, ks = quantize_kv_rows(k[:, 0])   # [B, Hkv, D]/[B, Hkv]
+                    vc, vs = quantize_kv_rows(v[:, 0])
+                    kp, kps = kpools[i]
+                    vp, vps = vpools[i]
+                    return ((kp.at[blk, off].set(kc),
+                             kps.at[blk, off].set(ks)),
+                            (vp.at[blk, off].set(vc),
+                             vps.at[blk, off].set(vs)))
 
-            def attend(i, q, kp, vp):
-                return paged_attention(q[:, 0], kp, vp, bt, att_len,
-                                       scale=c.head_dim ** -0.5)
+                def attend(i, q, kp, vp):
+                    return paged_attention_int8(
+                        q[:, 0], kp[0], kp[1], vp[0], vp[1], bt, att_len,
+                        scale=c.head_dim ** -0.5)
+            else:
+                def kv_write(i, k, v):
+                    return (kpools[i].at[blk, off].set(k[:, 0]),
+                            vpools[i].at[blk, off].set(v[:, 0]))
+
+                def attend(i, q, kp, vp):
+                    return paged_attention(q[:, 0], kp, vp, bt, att_len,
+                                           scale=c.head_dim ** -0.5)
 
             xx, (new_k, new_v) = layer_stack(p, c, x, pos[:, None],
                                              kv_write, attend)

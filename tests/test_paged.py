@@ -246,3 +246,58 @@ def test_paged_batcher_fuzz_with_preemption(tiny_lm):
     # allocator bookkeeping: every page returned to the free list
     assert sorted(bat._free) == list(range(1, bat.P))
     assert all(not pages for pages in bat._slot_pages)
+
+
+# -- int8 KV pool --------------------------------------------------------------
+
+from multimodal_colpali_tpu.ops.paged_attention import (
+    paged_attention_int8, paged_attention_int8_xla, quantize_kv_rows)
+
+
+def test_int8_paged_kernel_matches_oracles():
+    """The int8 Pallas kernel (interpret) matches the dequantize-then-attend
+    XLA oracle, and the int8 path stays within quantization error of the
+    bf16 attention on the same underlying K/V."""
+    rng = np.random.default_rng(0)
+    b, hq, hkv, d, page, nb, P = 3, 8, 2, 64, 8, 4, 13
+    q = jnp.asarray(rng.standard_normal((b, hq, d)), jnp.bfloat16)
+    kf = rng.standard_normal((P, page, hkv, d)).astype(np.float32)
+    vf = rng.standard_normal((P, page, hkv, d)).astype(np.float32)
+    bt = jnp.asarray(rng.integers(1, P, (b, nb)), jnp.int32)
+    lens = jnp.asarray([5, 17, 32], jnp.int32)
+
+    kq, ks = quantize_kv_rows(jnp.asarray(kf))
+    vq, vs = quantize_kv_rows(jnp.asarray(vf))
+    o_kern = np.asarray(paged_attention_int8(
+        q, kq, ks, vq, vs, bt, lens, scale=0.125, interpret=True), np.float32)
+    o_xla = np.asarray(paged_attention_int8_xla(
+        q, kq, ks, vq, vs, bt, lens, scale=0.125), np.float32)
+    assert np.abs(o_kern - o_xla).max() < 0.035
+
+    o_bf16 = np.asarray(paged_attention(
+        q, jnp.asarray(kf, jnp.bfloat16), jnp.asarray(vf, jnp.bfloat16),
+        bt, lens, scale=0.125, interpret=True), np.float32)
+    assert np.abs(o_kern - o_bf16).max() < 0.08
+
+    # storage: int8 codes + fp32 scales ~ half the bf16 pool bytes
+    assert (kq.nbytes + ks.nbytes) < 0.6 * (P * page * hkv * d * 2)
+
+
+def test_int8_kv_batcher_end_to_end(tiny_lm):
+    """kv_dtype='int8': generation completes, respects budgets, and a
+    preempted run bit-matches the uninterrupted int8 run (recompute
+    re-quantizes identically - prefill and decode produce the same K/V)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [list(range(2, 18)), list(range(5, 17)), list(range(7, 21))]
+    base = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64,
+                                  chunk=4, page_size=8, kv_dtype="int8")
+    want = base.generate(prompts, max_new_tokens=10, temperature=0.7, seed=1)
+    assert all(len(o) == 10 for o in want)
+
+    tight = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64,
+                                   chunk=4, page_size=8, pool_pages=9,
+                                   kv_dtype="int8")
+    got = tight.generate(prompts, max_new_tokens=10, temperature=0.7, seed=1)
+    assert tight.preemptions > 0
+    assert got == want
