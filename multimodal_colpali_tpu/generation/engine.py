@@ -98,6 +98,21 @@ def sample_per_slot(logits: jax.Array, seed: jax.Array, gen_step: jax.Array,
     return jnp.where(temp > 0, sampled, greedy)
 
 
+LOGPROB_K = 5   # top alternatives recorded per decode step (OpenAI cap)
+
+
+def _step_logprobs(logits: jax.Array, nxt: jax.Array):
+    """Per-step logprob record for the batchers' decode scans: the chosen
+    token's logprob plus the top-``LOGPROB_K`` alternatives, over the RAW
+    (temperature-free, unfiltered) model distribution - what the OpenAI /
+    vLLM ``logprobs`` field reports."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    lp = jnp.take_along_axis(logp, nxt[:, None].astype(jnp.int32),
+                             axis=-1)[:, 0]
+    tlp, tid = jax.lax.top_k(logp, LOGPROB_K)
+    return lp, tid.astype(jnp.int32), tlp
+
+
 def layer_stack(p, c: "GemmaTextConfig", x: jax.Array, positions: jax.Array,
                 kv_write, attend):
     """The Gemma per-layer decode body (rms -> qkv proj -> rope -> attend ->

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_colpali_tpu.generation.engine import (
-    GemmaDecodeEngine, layer_stack, sample_per_slot)
+    GemmaDecodeEngine, _step_logprobs, layer_stack, sample_per_slot)
 from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
 from multimodal_colpali_tpu.ops.paged_attention import (
     paged_attention, paged_attention_int8, quantize_kv_rows)
@@ -273,27 +273,29 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
             nxt = sample_per_slot(logits, seed, gen_step, temp, top_p, top_k)
             nxt = jnp.where(active, nxt, jnp.int32(pad_id))
+            lp, tid, tlp = _step_logprobs(logits, nxt)
 
             length = jnp.where(active, length + 1, length)
             pos = jnp.where(active, pos + 1, pos)
             gen_step = jnp.where(active, gen_step + 1, gen_step)
             remaining = jnp.where(active, remaining - 1, remaining)
             remaining = jnp.where(nxt == eos, 0, remaining)
-            return (tuple(new_k), tuple(new_v), nxt, pos, length, temp,
-                    seed, remaining, gen_step, eos, top_p, top_k)
+            return ((tuple(new_k), tuple(new_v), nxt, pos, length, temp,
+                     seed, remaining, gen_step, eos, top_p, top_k),
+                    (nxt, lp, tid, tlp))
 
         def run(p, bt, kpools, vpools, tok, pos, length, temp, seed,
                 remaining, gen_step, eos, top_p, top_k):
             def body(carry, _):
-                carry = one_step(p, bt, *carry)
-                return carry, carry[2]  # next token per slot
+                carry, ys = one_step(p, bt, *carry)
+                return carry, ys
 
-            carry, toks = jax.lax.scan(
+            carry, ys = jax.lax.scan(
                 body,
                 (kpools, vpools, tok, pos, length, temp, seed, remaining,
                  gen_step, eos, top_p, top_k),
                 None, length=chunk)
-            return carry, toks  # toks: [chunk, B]
+            return carry, ys  # ys: (toks, lps, top_ids, top_lps) per step
 
         return jax.jit(run, donate_argnums=(2, 3))
 
@@ -323,7 +325,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         if "decode" not in self._jit:
             self._jit["decode"] = self._decode_fn(self.chunk)
         rem_before = np.asarray(self._remaining)  # real tokens this chunk
-        carry, toks = self._jit["decode"](
+        carry, ys = self._jit["decode"](
             self.engine.params, jnp.asarray(self._bt_host),
             self._kpools, self._vpools, self._tok, self._pos, self._len,
             self._temp, self._seed, self._remaining, self._gen_step,
@@ -331,4 +333,4 @@ class PagedContinuousBatcher(ContinuousBatcher):
         (self._kpools, self._vpools, self._tok, self._pos, self._len,
          self._temp, self._seed, self._remaining, self._gen_step,
          self._eos, self._top_p, self._top_k) = carry
-        self._account_chunk(np.asarray(toks), rem_before)
+        self._account_chunk(ys, rem_before)

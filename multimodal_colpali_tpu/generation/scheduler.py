@@ -35,7 +35,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+from multimodal_colpali_tpu.generation.engine import (
+    GemmaDecodeEngine, _step_logprobs)
 
 
 @dataclasses.dataclass
@@ -53,6 +54,9 @@ class _Request:
     streamed: int = 0                # tokens already delivered to on_token
     top_p: float = 1.0               # nucleus sampling mass (1.0 = off)
     top_k: int = 0                   # top-k cutoff (0 = off)
+    want_logprobs: int = 0           # 0=off; else keep top-N alternatives
+    lps: List[float] = dataclasses.field(default_factory=list)
+    tops: List[Any] = dataclasses.field(default_factory=list)
 
 
 class ContinuousBatcher:
@@ -193,6 +197,7 @@ class ContinuousBatcher:
 
             nxt = sample_per_slot(logits, seed, gen_step, temp, top_p, top_k)
             nxt = jnp.where(active, nxt, jnp.int32(pad_id))
+            lp, tid, tlp = _step_logprobs(logits, nxt)
 
             end = jnp.where(active, end + 1, end)
             pos = jnp.where(active, pos + 1, pos)
@@ -201,21 +206,21 @@ class ContinuousBatcher:
             remaining = jnp.where(nxt == eos, 0, remaining)
             caches = tuple(kc for kc, _ in new_caches) + tuple(
                 vc for _, vc in new_caches)
-            return (caches, nxt, pos, start, end, temp, seed, remaining,
-                    gen_step, eos, top_p, top_k)
+            return ((caches, nxt, pos, start, end, temp, seed, remaining,
+                     gen_step, eos, top_p, top_k), (nxt, lp, tid, tlp))
 
         def run(p, caches, tok, pos, start, end, temp, seed, remaining,
                 gen_step, eos, top_p, top_k):
             def body(carry, _):
-                carry = one_step(p, *carry)
-                return carry, carry[1]  # next token per slot
+                carry, ys = one_step(p, *carry)
+                return carry, ys
 
-            carry, toks = jax.lax.scan(
+            carry, ys = jax.lax.scan(
                 body,
                 (caches, tok, pos, start, end, temp, seed, remaining,
                  gen_step, eos, top_p, top_k),
                 None, length=chunk)
-            return carry, toks  # toks: [chunk, B]
+            return carry, ys  # ys: (toks, lps, top_ids, top_lps) per step
 
         return jax.jit(run)
 
@@ -226,12 +231,18 @@ class ContinuousBatcher:
                eos_id: Optional[int] = None,
                pixel_values: Optional[Any] = None,
                on_token: Optional[Any] = None,
-               top_p: float = 1.0, top_k: int = 0) -> Future:
+               top_p: float = 1.0, top_k: int = 0,
+               logprobs: int = 0) -> Future:
         """``on_token(token_id)`` streams each generated token as the
         scheduler syncs it off-device (at most one chunk of latency). The
         stream never includes eos or anything past it, and a preempted +
         readmitted request resumes streaming where it left off - the
-        streamed sequence equals ``future.result()``."""
+        streamed sequence equals the tokens the future resolves to.
+
+        ``logprobs=N`` (1..LOGPROB_K) records each token's logprob plus the
+        top-N alternatives of the raw model distribution; the future then
+        resolves to ``(tokens, logprobs, top_lists)`` instead of the bare
+        token list."""
         fut: Future = Future()
         s = max(((len(prompt) + self.bucket - 1) // self.bucket) * self.bucket,
                 self.bucket)
@@ -252,7 +263,8 @@ class ContinuousBatcher:
             list(prompt), max_new_tokens, float(temperature), seed, fut,
             eos_id=self.eos_id if eos_id is None else eos_id,
             pixel_values=pixel_values, on_token=on_token,
-            top_p=float(top_p), top_k=int(top_k)))
+            top_p=float(top_p), top_k=int(top_k),
+            want_logprobs=max(0, min(int(logprobs), 5))))
         return fut
 
     @property
@@ -363,6 +375,14 @@ class ContinuousBatcher:
             else:
                 tok0 = int(jnp.argmax(logits))
             req.tokens.append(tok0)
+            if req.want_logprobs:
+                lp0, tid0, tlp0 = _step_logprobs(
+                    jnp.asarray(logits)[None], jnp.asarray([tok0]))
+                req.lps.append(float(lp0[0]))
+                n = req.want_logprobs
+                req.tops.append(list(zip(
+                    np.asarray(tid0[0, :n]).tolist(),
+                    np.asarray(tlp0[0, :n]).tolist())))
             self._emit_stream(req)   # first token streams at prefill time
             req.slot = slot
             self._slots[slot] = req
@@ -389,7 +409,11 @@ class ContinuousBatcher:
         toks = req.tokens
         if req.eos_id in toks:
             toks = toks[: toks.index(req.eos_id)]
-        req.future.set_result(toks)
+        if req.want_logprobs:
+            req.future.set_result((toks, req.lps[: len(toks)],
+                                   req.tops[: len(toks)]))
+        else:
+            req.future.set_result(toks)
 
     def _fail_all(self, exc: BaseException) -> None:
         """Propagate a scheduler error to every active/pending request."""
@@ -415,14 +439,14 @@ class ContinuousBatcher:
         if "decode" not in self._jit:
             self._jit["decode"] = self._decode_fn(self.chunk)
         rem_before = np.asarray(self._remaining)  # real tokens this chunk
-        carry, toks = self._jit["decode"](
+        carry, ys = self._jit["decode"](
             self.engine.params, self._caches, self._tok, self._pos,
             self._start, self._end, self._temp, self._seed, self._remaining,
             self._gen_step, self._eos, self._top_p, self._top_k)
         (self._caches, self._tok, self._pos, self._start, self._end,
          self._temp, self._seed, self._remaining, self._gen_step,
          self._eos, self._top_p, self._top_k) = carry
-        self._account_chunk(np.asarray(toks), rem_before)
+        self._account_chunk(ys, rem_before)
 
     @staticmethod
     def _emit_stream(req: _Request) -> None:
@@ -442,9 +466,11 @@ class ContinuousBatcher:
             except Exception:  # noqa: BLE001
                 pass
 
-    def _account_chunk(self, toks: np.ndarray, rem_before: np.ndarray) -> None:
+    def _account_chunk(self, ys, rem_before: np.ndarray) -> None:
         """Sync one decoded chunk into per-request state: append the real
-        (non-pad) tokens, stream them, and retire finished slots."""
+        (non-pad) tokens (plus their logprob records when requested),
+        stream them, and retire finished slots."""
+        toks, lps, tids, tlps = (np.asarray(y) for y in ys)
         remaining = np.asarray(self._remaining)
         for slot, req in enumerate(self._slots):
             if req is None:
@@ -453,6 +479,12 @@ class ContinuousBatcher:
             for step in range(min(self.chunk, int(rem_before[slot]))):
                 tok = int(toks[step, slot])
                 req.tokens.append(tok)
+                if req.want_logprobs:
+                    req.lps.append(float(lps[step, slot]))
+                    n = req.want_logprobs
+                    req.tops.append(list(zip(
+                        tids[step, slot, :n].tolist(),
+                        tlps[step, slot, :n].tolist())))
                 if tok == req.eos_id:
                     break
             self._emit_stream(req)

@@ -329,6 +329,13 @@ class GenerationServer:
         top_p = float(req.get("top_p") or 1.0)
         top_k = int(req.get("top_k") or 0)   # vLLM extension param
         eos_id = getattr(self.tokenizer, "eos_id", -1)
+        # OpenAI logprobs surface: per-token logprob + top-N alternatives.
+        # Served through the batcher's submit() payload; bare engines
+        # degrade gracefully (field omitted), like other optional params.
+        want_lp = bool(req.get("logprobs"))
+        lp_n = max(1, min(int(req.get("top_logprobs") or 1), 5))
+        submit = getattr(self.engine, "submit", None)
+        lps = tops = None
         enum = self._schema_enum(req)
         if enum is not None:
             text = self._constrained_choice(prompt, *enum, images=images)
@@ -346,11 +353,19 @@ class GenerationServer:
             if getattr(self.engine, "supports_multimodal", False):
                 # continuous batcher with an mm_engine: image requests join
                 # the same running slot batch as text requests
-                out = self.engine.generate(
-                    [mm_prompt], max_new_tokens=max_new,
-                    temperature=temperature, eos_id=eos_id,
-                    seed=int(req.get("seed") or 0), pixel_values=[pix],
-                    top_p=top_p, top_k=top_k)[0]
+                if want_lp:
+                    out, lps, tops = submit(
+                        mm_prompt, max_new_tokens=max_new,
+                        temperature=temperature, eos_id=eos_id,
+                        seed=int(req.get("seed") or 0), pixel_values=[pix],
+                        top_p=top_p, top_k=top_k,
+                        logprobs=lp_n).result(timeout=600)
+                else:
+                    out = self.engine.generate(
+                        [mm_prompt], max_new_tokens=max_new,
+                        temperature=temperature, eos_id=eos_id,
+                        seed=int(req.get("seed") or 0), pixel_values=[pix],
+                        top_p=top_p, top_k=top_k)[0]
             else:
                 out = self.mm_engine.generate(
                     [mm_prompt], pix, max_new_tokens=max_new,
@@ -360,22 +375,39 @@ class GenerationServer:
             text = self.tokenizer.decode(out)
             finish = "stop" if len(out) < max_new else "length"
         else:
-            out = self.engine.generate(
-                [ids], max_new_tokens=max_new, temperature=temperature,
-                eos_id=eos_id, seed=int(req.get("seed") or 0),
-                top_p=top_p, top_k=top_k)[0]
+            if want_lp and submit is not None:
+                out, lps, tops = submit(
+                    ids, max_new_tokens=max_new, temperature=temperature,
+                    eos_id=eos_id, seed=int(req.get("seed") or 0),
+                    top_p=top_p, top_k=top_k,
+                    logprobs=lp_n).result(timeout=600)
+            else:
+                out = self.engine.generate(
+                    [ids], max_new_tokens=max_new, temperature=temperature,
+                    eos_id=eos_id, seed=int(req.get("seed") or 0),
+                    top_p=top_p, top_k=top_k)[0]
             text = self.tokenizer.decode(out)
             finish = "stop" if len(out) < max_new else "length"
+        choice: Dict[str, Any] = {
+            "index": 0,
+            "message": {"role": "assistant", "content": text},
+            "finish_reason": finish,
+        }
+        if lps is not None:
+            choice["logprobs"] = {"content": [
+                {"token": self.tokenizer.decode([tok]), "logprob": lp,
+                 "bytes": None,
+                 "top_logprobs": [
+                     {"token": self.tokenizer.decode([tid]), "logprob": tlp}
+                     for tid, tlp in top]}
+                for tok, lp, top in zip(out, lps, tops)
+            ]}
         return {
             "id": f"chatcmpl-{int(time.time() * 1e3)}",
             "object": "chat.completion",
             "created": int(time.time()),
             "model": req.get("model", self.model_name),
-            "choices": [{
-                "index": 0,
-                "message": {"role": "assistant", "content": text},
-                "finish_reason": finish,
-            }],
+            "choices": [choice],
             "usage": {
                 "prompt_tokens": len(ids),
                 "completion_tokens": len(out),

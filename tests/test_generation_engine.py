@@ -959,3 +959,88 @@ def test_device_random_params_loads_and_embeds():
                                   np.asarray(
                                       jax.tree_util.tree_leaves(ret2.params)[0],
                                       np.float32))
+
+
+def test_batcher_logprobs_match_next_token_oracle(tiny_lm):
+    """submit(logprobs=N) resolves the future to (tokens, logprobs, tops);
+    each logprob equals the raw next-token log_softmax the engine reports
+    for the same context, and the top-N sets match."""
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3)
+    prompt = [5, 9, 17, 3]
+    fut = bat.submit(prompt, max_new_tokens=5, logprobs=3)
+    bat.drain()
+    toks, lps, tops = fut.result(10)
+    assert len(toks) == len(lps) == len(tops) == 5
+    ctx = list(prompt)
+    for tok, lp, top in zip(toks, lps, tops):
+        logits = eng.next_token_logits([ctx])[0]
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits, jnp.float32)))
+        assert tok == int(np.argmax(logits))          # greedy stream
+        assert abs(logp[tok] - lp) < 2e-2
+        assert set(t for t, _ in top) == set(np.argsort(logp)[-3:])
+        ctx.append(tok)
+
+
+def test_paged_preempted_logprob_stream_matches_uninterrupted(tiny_lm):
+    """Preemption + recompute resumes the logprob record where it left off:
+    (tokens, logprobs) equal the uninterrupted paged run's."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [list(range(2, 18)), list(range(5, 17)), list(range(7, 21))]
+
+    def run(pool_pages):
+        bat = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64,
+                                     chunk=4, page_size=8,
+                                     pool_pages=pool_pages)
+        futs = [bat.submit(p, max_new_tokens=10, temperature=0.7, seed=i,
+                           logprobs=2) for i, p in enumerate(prompts)]
+        bat.drain()
+        return bat, [f.result(10) for f in futs]
+
+    tight, res = run(9)
+    assert tight.preemptions > 0
+    _, base = run(None)
+    for (t1, l1, _), (t2, l2, _) in zip(res, base):
+        assert t1 == t2
+        assert all(abs(a - b) < 2e-2 for a, b in zip(l1, l2))
+
+
+def test_server_logprobs_surface(tiny_lm):
+    """logprobs: true + top_logprobs: N returns the OpenAI logprobs field
+    (token string, logprob, top alternatives) through the batcher server."""
+    import json
+    import urllib.request
+
+    from multimodal_colpali_tpu.generation.engine import ModuloTokenizer
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3).serve()
+    try:
+        with GenerationServer(bat, ModuloTokenizer(64),
+                              max_new_tokens=8) as srv:
+            req = {"model": "t", "max_tokens": 4, "logprobs": True,
+                   "top_logprobs": 3,
+                   "messages": [{"role": "user", "content": "why"}]}
+            out = json.loads(urllib.request.urlopen(urllib.request.Request(
+                f"{srv.base_url}/chat/completions",
+                data=json.dumps(req).encode(),
+                headers={"Content-Type": "application/json"}),
+                timeout=120).read())
+            lp = out["choices"][0]["logprobs"]["content"]
+            assert len(lp) == 4
+            assert all(len(e["top_logprobs"]) == 3 for e in lp)
+            assert all(e["logprob"] <= 0 for e in lp)
+            # chosen-token logprob appears in its own top list (greedy)
+            assert all(any(abs(t["logprob"] - e["logprob"]) < 1e-6
+                           for t in e["top_logprobs"]) for e in lp)
+    finally:
+        bat.shutdown()
