@@ -33,7 +33,12 @@ async def post_request_with_retries(
                 if response.status == 200:
                     response_data = await response.json()
                     choices = response_data.get("choices", [{}])
-                    return choices[0].get("message", {}).get("content")
+                    content = choices[0].get("message", {}).get("content")
+                    # a 200 whose choices carry no message content would
+                    # leak None into -> List[str] pipelines (joins,
+                    # aggregators); degrade it like exhausted retries
+                    return content if isinstance(content, str) \
+                        else ERROR_SENTINEL
                 # non-200: retry
         except (aiohttp.ClientError, asyncio.TimeoutError):
             pass

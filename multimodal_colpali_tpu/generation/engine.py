@@ -74,6 +74,11 @@ def filter_top_p_top_k(logits: jax.Array, top_p, top_k) -> jax.Array:
     probs = jax.nn.softmax(sorted_desc, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     keep = (cum - probs) < top_p[..., None]   # mass BEFORE token < top_p
+    # the best token always survives: top_p <= 0 (OpenAI's greedy extreme)
+    # must clamp to top-1, not mask the whole vocabulary to -inf
+    first = jax.lax.broadcasted_iota(jnp.int32, keep.shape,
+                                     keep.ndim - 1) == 0
+    keep = keep | first
     cutoff = jnp.min(jnp.where(keep, sorted_desc, jnp.inf), axis=-1,
                      keepdims=True)
     mask = (logits >= kth) & (logits >= cutoff)
@@ -82,7 +87,7 @@ def filter_top_p_top_k(logits: jax.Array, top_p, top_k) -> jax.Array:
 
 def sample_per_slot(logits: jax.Array, seed: jax.Array, gen_step: jax.Array,
                     temp: jax.Array, top_p: jax.Array,
-                    top_k: jax.Array) -> jax.Array:
+                    top_k: jax.Array, use_filter: bool = True) -> jax.Array:
     """Per-slot next-token sampling shared by the continuous batchers
     (dense and paged): each request's PRNGKey(seed) is folded with the
     request's OWN step index, so a (prompt, seed, temperature) triple
@@ -93,8 +98,12 @@ def sample_per_slot(logits: jax.Array, seed: jax.Array, gen_step: jax.Array,
     keys = jax.vmap(jax.random.fold_in)(
         jax.vmap(jax.random.PRNGKey)(seed), gen_step.astype(jnp.uint32))
     scaled = logits / jnp.maximum(temp, 1e-3)[:, None]
-    filtered = filter_top_p_top_k(scaled, top_p, top_k)
-    sampled = jax.vmap(jax.random.categorical)(keys, filtered).astype(jnp.int32)
+    if use_filter:
+        # skippable statically: with every slot at defaults the filter is
+        # a bit-exact no-op, but it still costs a full-vocab sort +
+        # softmax/cumsum per decode step
+        scaled = filter_top_p_top_k(scaled, top_p, top_k)
+    sampled = jax.vmap(jax.random.categorical)(keys, scaled).astype(jnp.int32)
     return jnp.where(temp > 0, sampled, greedy)
 
 

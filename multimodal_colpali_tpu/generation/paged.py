@@ -146,24 +146,29 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     # -- ContinuousBatcher hooks -------------------------------------------------
 
-    def _can_admit(self, s: int, budget: int) -> bool:
+    def _can_admit(self, s: int, n_prompt: int, budget: int) -> bool:
         """Admit only requests that (a) fit the free pool right now and
         (b) could finish with the pool to themselves. Without (b), a
         request whose prompt consumes the whole pool but still has decode
         budget is admitted and later crashes `_ensure_chunk_capacity` (no
         victim left to preempt), killing every in-flight request instead
-        of failing alone through the empty-scheduler guard."""
+        of failing alone through the empty-scheduler guard.
+
+        Row accounting: install packs exactly ``n_prompt`` rows (not the
+        bucketed ``s``), tok0 comes from the prefill logits without a KV
+        row, and each of the remaining ``budget - 1`` decode steps writes
+        one row - so peak demand is ``n_prompt + budget - 1`` rows, with
+        ``budget`` clamped to the slot row capacity as at install time."""
         usable = self.P - 1                       # page 0 is the trash page
-        if budget <= 1:
-            # finishes at prefill (tok0 comes from the prefill logits);
-            # only the prompt pages are ever allocated
-            worst_tokens = s
+        budget_c = min(budget, self._slot_capacity(s))
+        if budget_c <= 1:
+            # finishes at prefill; only the prompt pages are ever allocated
+            worst_rows = n_prompt
         else:
-            # budget is clamped to the slot row capacity at install time
-            worst_tokens = min(s + budget, self.NB * self.page)
-        if -(-worst_tokens // self.page) > min(usable, self.NB):
+            worst_rows = n_prompt + budget_c - 1
+        if -(-worst_rows // self.page) > min(usable, self.NB):
             return False
-        return (-(-s // self.page)) <= min(len(self._free), self.NB)
+        return (-(-n_prompt // self.page)) <= min(len(self._free), self.NB)
 
     def _slot_capacity(self, s: int) -> int:
         return self.NB * self.page - s
@@ -224,8 +229,10 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     # -- decode ------------------------------------------------------------------
 
-    def _decode_fn(self, chunk: int):
-        """Parent's chunked decode with paged K/V writes + paged attention."""
+    def _decode_fn(self, chunk: int, with_filter: bool = True,
+                   with_logprobs: bool = True):
+        """Parent's chunked decode with paged K/V writes + paged attention
+        (same static ``with_filter``/``with_logprobs`` variants)."""
         eng, c = self.engine, self.cfg
         b = self.B
         page = self.page
@@ -271,9 +278,15 @@ class PagedContinuousBatcher(ContinuousBatcher):
                                              kv_write, attend)
             logits = eng._logits(p, xx[:, 0])                   # [B, V]
 
-            nxt = sample_per_slot(logits, seed, gen_step, temp, top_p, top_k)
+            nxt = sample_per_slot(logits, seed, gen_step, temp, top_p,
+                                  top_k, use_filter=with_filter)
             nxt = jnp.where(active, nxt, jnp.int32(pad_id))
-            lp, tid, tlp = _step_logprobs(logits, nxt)
+            if with_logprobs:
+                lp, tid, tlp = _step_logprobs(logits, nxt)
+            else:   # tiny placeholders keep the ys structure static
+                lp = jnp.zeros((b,), jnp.float32)
+                tid = jnp.zeros((b, 1), jnp.int32)
+                tlp = jnp.zeros((b, 1), jnp.float32)
 
             length = jnp.where(active, length + 1, length)
             pos = jnp.where(active, pos + 1, pos)
@@ -322,10 +335,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._ensure_chunk_capacity()
         if not any(r is not None for r in self._slots):
             return
-        if "decode" not in self._jit:
-            self._jit["decode"] = self._decode_fn(self.chunk)
+        flags = self._decode_flags()
+        if ("decode", flags) not in self._jit:
+            self._jit[("decode", flags)] = self._decode_fn(self.chunk, *flags)
         rem_before = np.asarray(self._remaining)  # real tokens this chunk
-        carry, ys = self._jit["decode"](
+        carry, ys = self._jit[("decode", flags)](
             self.engine.params, jnp.asarray(self._bt_host),
             self._kpools, self._vpools, self._tok, self._pos, self._len,
             self._temp, self._seed, self._remaining, self._gen_step,

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodal_colpali_tpu.generation.engine import (
-    GemmaDecodeEngine, _step_logprobs)
+    LOGPROB_K, GemmaDecodeEngine, _step_logprobs)
 
 
 @dataclasses.dataclass
@@ -158,9 +158,15 @@ class ContinuousBatcher:
 
         return jax.jit(run)
 
-    def _decode_fn(self, chunk: int):
+    def _decode_fn(self, chunk: int, with_filter: bool = True,
+                   with_logprobs: bool = True):
         """Scan ``chunk`` single-token steps for the whole slot batch with
-        per-slot write indices / positions / temperatures."""
+        per-slot write indices / positions / temperatures.
+
+        ``with_filter`` / ``with_logprobs`` are static: when no active
+        request uses top_p/top_k or logprobs, the cheaper variant skips the
+        full-vocab sort+softmax and the log_softmax+top_k per step
+        (the flags key the jit cache in ``_step_chunk``)."""
         eng, c = self.engine, self.cfg
         n_layers = c.num_hidden_layers
         t = self.T
@@ -195,9 +201,15 @@ class ContinuousBatcher:
             new_caches = list(zip(nk, nv))
             logits = eng._logits(p, xx[:, 0])                   # [B, V]
 
-            nxt = sample_per_slot(logits, seed, gen_step, temp, top_p, top_k)
+            nxt = sample_per_slot(logits, seed, gen_step, temp, top_p,
+                                  top_k, use_filter=with_filter)
             nxt = jnp.where(active, nxt, jnp.int32(pad_id))
-            lp, tid, tlp = _step_logprobs(logits, nxt)
+            if with_logprobs:
+                lp, tid, tlp = _step_logprobs(logits, nxt)
+            else:   # tiny placeholders keep the ys structure static
+                lp = jnp.zeros((b,), jnp.float32)
+                tid = jnp.zeros((b, 1), jnp.int32)
+                tlp = jnp.zeros((b, 1), jnp.float32)
 
             end = jnp.where(active, end + 1, end)
             pos = jnp.where(active, pos + 1, pos)
@@ -264,7 +276,7 @@ class ContinuousBatcher:
             eos_id=self.eos_id if eos_id is None else eos_id,
             pixel_values=pixel_values, on_token=on_token,
             top_p=float(top_p), top_k=int(top_k),
-            want_logprobs=max(0, min(int(logprobs), 5))))
+            want_logprobs=max(0, min(int(logprobs), LOGPROB_K))))
         return fut
 
     @property
@@ -273,9 +285,10 @@ class ContinuousBatcher:
 
     # Hooks the paged batcher (generation/paged.py) overrides ---------------
 
-    def _can_admit(self, s: int, budget: int) -> bool:
-        """Is there cache room right now for a prompt bucketed to ``s``
-        with up to ``budget`` decode tokens to come?"""
+    def _can_admit(self, s: int, n_prompt: int, budget: int) -> bool:
+        """Is there cache room right now for a prompt of ``n_prompt`` real
+        tokens (bucketed to ``s``) with up to ``budget`` decode tokens to
+        come?"""
         return True
 
     def _slot_capacity(self, s: int) -> int:
@@ -314,7 +327,8 @@ class ContinuousBatcher:
             prompt_eff = req.prompt + req.tokens
             s = max(((len(prompt_eff) + self.bucket - 1) // self.bucket)
                     * self.bucket, self.bucket)
-            if not self._can_admit(s, req.max_new_tokens - len(req.tokens)):
+            if not self._can_admit(s, len(prompt_eff),
+                                   req.max_new_tokens - len(req.tokens)):
                 if not any(r is not None for r in self._slots):
                     # nothing active will ever free capacity: the request
                     # simply does not fit - fail loudly instead of hanging
@@ -435,11 +449,21 @@ class ContinuousBatcher:
                 req.future.set_exception(exc)
         self._remaining = jnp.zeros_like(self._remaining)
 
+    def _decode_flags(self):
+        """(with_filter, with_logprobs) for the CURRENT slot batch - keys
+        the decode jit so default-sampling serving never pays the filter
+        or logprob extraction."""
+        with_filter = any(r is not None and (r.top_p < 1.0 or r.top_k > 0)
+                          for r in self._slots)
+        with_lp = any(r is not None and r.want_logprobs for r in self._slots)
+        return with_filter, with_lp
+
     def _step_chunk(self) -> None:
-        if "decode" not in self._jit:
-            self._jit["decode"] = self._decode_fn(self.chunk)
+        flags = self._decode_flags()
+        if ("decode", flags) not in self._jit:
+            self._jit[("decode", flags)] = self._decode_fn(self.chunk, *flags)
         rem_before = np.asarray(self._remaining)  # real tokens this chunk
-        carry, ys = self._jit["decode"](
+        carry, ys = self._jit[("decode", flags)](
             self.engine.params, self._caches, self._tok, self._pos,
             self._start, self._end, self._temp, self._seed, self._remaining,
             self._gen_step, self._eos, self._top_p, self._top_k)

@@ -198,26 +198,97 @@ class GenerationServer:
                 ids = [self.tokenizer.bos_id] + ids
             return ids
 
+    # First-request jit compiles of the 3B target through the TPU tunnel
+    # take 5-10 minutes; per-request waits must outlast a cold compile.
+    request_timeout: float = 3600.0
+
+    def _parse_sampling(self, req: Dict[str, Any]):
+        """(max_new, temperature, top_p, top_k, seed) - explicit None
+        checks, NOT ``or`` defaults: ``top_p: 0`` is OpenAI's greedy
+        extreme and must stay 0 (the filter clamps it to top-1), not be
+        coerced to 1.0 (full-vocab sampling, the opposite)."""
+        max_new = int(req.get("max_tokens") or self.default_max_new)
+        temperature = (float(req["temperature"])
+                       if req.get("temperature") is not None else 0.0)
+        top_p = float(req["top_p"]) if req.get("top_p") is not None else 1.0
+        top_k = int(req["top_k"]) if req.get("top_k") is not None else 0
+        return max_new, temperature, top_p, top_k, int(req.get("seed") or 0)
+
+    def _prepare_prompt(self, req: Dict[str, Any]):
+        """-> (prompt text, images, token ids, pixel batch or None). The
+        multimodal ids already contain the PaliGemma image-token prefix."""
+        prompt, images = extract_chat_content(req.get("messages", []))
+        pix = None
+        ids = self._encode(prompt, add_special_tokens=True)
+        if images and self.mm_engine is not None:
+            pix = self.image_preprocessor([images[0]])
+            ids = self.mm_engine.build_mm_prompt(
+                self._encode(prompt),
+                bos_id=getattr(self.tokenizer, "bos_id", 2),
+                newline_ids=self._encode("\n"))
+        return prompt, images, ids, pix
+
+    def _start_generation(self, ids, pix, max_new, temperature, top_p,
+                          top_k, seed, logprobs: int = 0, on_token=None):
+        """One dispatch point for streaming AND non-streaming requests.
+
+        Returns a zero-arg ``wait()`` producing ``(tokens, lps|None,
+        tops|None)``. Batcher engines go through ``submit`` (per-token
+        callbacks, logprobs, shared slot batch - note ``pixel_values`` is
+        the single request's ``[1, H, W, 3]`` batch, NOT a list); bare
+        engines generate synchronously inside ``wait`` and then replay
+        ``on_token`` (no incremental stream, no logprobs)."""
+        eos_id = getattr(self.tokenizer, "eos_id", -1)
+        submit = getattr(self.engine, "submit", None)
+        if submit is not None and (
+                pix is None or getattr(self.engine, "supports_multimodal",
+                                       False)):
+            fut = submit(ids, max_new_tokens=max_new,
+                         temperature=temperature, eos_id=eos_id, seed=seed,
+                         pixel_values=pix, on_token=on_token,
+                         top_p=top_p, top_k=top_k, logprobs=logprobs)
+
+            def wait():
+                res = fut.result(timeout=self.request_timeout)
+                return res if logprobs else (res, None, None)
+
+            wait.future = fut
+            return wait
+
+        def wait():
+            if pix is not None:
+                out = self.mm_engine.generate(
+                    [ids], pix, max_new_tokens=max_new,
+                    temperature=temperature, eos_id=eos_id, seed=seed,
+                    top_p=top_p, top_k=top_k)[0]
+            else:
+                out = self.engine.generate(
+                    [ids], max_new_tokens=max_new, temperature=temperature,
+                    eos_id=eos_id, seed=seed,
+                    top_p=top_p, top_k=top_k)[0]
+            if on_token is not None:
+                for t in out:
+                    on_token(t)
+            return out, None, None
+
+        wait.future = None
+        return wait
+
     def _stream_complete(self, req: Dict[str, Any], handler) -> None:
         """``stream: true`` - serve the completion as OpenAI SSE
         (``chat.completion.chunk`` events ending in ``data: [DONE]``), the
         protocol vLLM streams (the reference's generation server). With a
         ContinuousBatcher engine, tokens stream as the scheduler syncs each
-        decoded chunk (per-token callback via ``submit(on_token=...)``);
-        other configurations (bare engines, constrained enum outputs,
-        non-batcher multimodal) generate fully and emit one content chunk.
+        decoded chunk; other configurations (bare engines, constrained
+        enum outputs) generate fully and emit one content chunk.
 
         Raises only before the response headers are written; later errors
         are emitted as an SSE ``error`` event so the connection terminates
         cleanly instead of leaving half a JSON body."""
         import queue as _queue
 
-        prompt, images = extract_chat_content(req.get("messages", []))
-        max_new = int(req.get("max_tokens") or self.default_max_new)
-        temperature = float(req.get("temperature") or 0.0)
-        top_p = float(req.get("top_p") or 1.0)
-        top_k = int(req.get("top_k") or 0)   # vLLM extension param
-        eos_id = getattr(self.tokenizer, "eos_id", -1)
+        max_new, temperature, top_p, top_k, seed = self._parse_sampling(req)
+        prompt, images, ids, pix = self._prepare_prompt(req)
         enum = self._schema_enum(req)
         rid = f"chatcmpl-{int(time.time() * 1e3)}"
         created = int(time.time())
@@ -225,47 +296,24 @@ class GenerationServer:
 
         # Resolve the token source BEFORE sending headers so protocol-level
         # failures still produce a clean HTTP 400.
-        tok_queue: Optional[Any] = None
-        full_out: Optional[List[int]] = None
         text_override: Optional[str] = None
-        fut = None
+        tok_queue: Optional[Any] = None
+        wait = None
         if enum is not None:
             text_override = self._constrained_choice(prompt, *enum,
                                                      images=images)
         else:
-            submit = getattr(self.engine, "submit", None)
-            pix = None
-            ids = self._encode(prompt, add_special_tokens=True)
-            if images and self.mm_engine is not None:
-                pix = self.image_preprocessor([images[0]])
-                ids = self.mm_engine.build_mm_prompt(
-                    self._encode(prompt),
-                    bos_id=getattr(self.tokenizer, "bos_id", 2),
-                    newline_ids=self._encode("\n"))
-            if submit is not None and (
-                    pix is None or getattr(self.engine, "supports_multimodal",
-                                           False)):
-                tok_queue = _queue.Queue()
-                fut = submit(ids, max_new_tokens=max_new,
-                             temperature=temperature, eos_id=eos_id,
-                             seed=int(req.get("seed") or 0),
-                             pixel_values=[pix] if pix is not None else None,
-                             on_token=tok_queue.put,
-                             top_p=top_p, top_k=top_k)
-                # all on_token calls happen before the result is set, so the
-                # sentinel always trails the last token
-                fut.add_done_callback(lambda f: tok_queue.put(None))
-            elif pix is not None:
-                full_out = self.mm_engine.generate(
-                    [ids], pix, max_new_tokens=max_new,
-                    temperature=temperature, eos_id=eos_id,
-                    seed=int(req.get("seed") or 0),
-                    top_p=top_p, top_k=top_k)[0]
+            tok_queue = _queue.Queue()
+            wait = self._start_generation(ids, pix, max_new, temperature,
+                                          top_p, top_k, seed,
+                                          on_token=tok_queue.put)
+            if wait.future is not None:
+                # all on_token calls happen before the result is set, so
+                # the sentinel always trails the last token
+                wait.future.add_done_callback(
+                    lambda f: tok_queue.put(None))
             else:
-                full_out = self.engine.generate(
-                    [ids], max_new_tokens=max_new, temperature=temperature,
-                    eos_id=eos_id, seed=int(req.get("seed") or 0),
-                    top_p=top_p, top_k=top_k)[0]
+                tok_queue = None   # bare engine: wait() replays post-hoc
 
         handler.send_response(200)
         handler.send_header("Content-Type", "text/event-stream")
@@ -286,29 +334,41 @@ class GenerationServer:
         try:
             sse(chunk({"role": "assistant", "content": ""}))
             finish = "stop"
+            prev = ""
             if tok_queue is not None:
                 out: List[int] = []
-                prev = ""
                 while True:
-                    tok = tok_queue.get(timeout=600)
+                    tok = tok_queue.get(timeout=self.request_timeout)
                     if tok is None:
                         break
                     out.append(tok)
-                    # incremental detokenization by whole-prefix diff: safe
-                    # for BPE/byte tokenizers where one token may not be a
-                    # complete decodable unit
+                    # incremental detokenization by whole-prefix diff: a
+                    # token may not be a complete decodable unit (BPE /
+                    # byte tokenizers), so hold back a trailing
+                    # replacement char (the partial-sequence marker - the
+                    # HF TextStreamer convention) and emit only clean
+                    # extensions; sent text can never be retracted
                     text = self.tokenizer.decode(out)
+                    if text.endswith("�"):
+                        text = text[:-1]
                     if text[: len(prev)] == prev and len(text) > len(prev):
                         sse(chunk({"content": text[len(prev):]}))
                         prev = text
-                out = fut.result()  # re-raises scheduler-side failures
+                out, _, _ = wait()  # re-raises scheduler-side failures
+                # final flush: whatever the full decode holds past the
+                # emitted length (covers decodes whose tail was unstable -
+                # sent text cannot be retracted, so emit the remainder)
+                full = self.tokenizer.decode(out)
+                if len(full) > len(prev):
+                    sse(chunk({"content": full[len(prev):]}))
                 finish = "stop" if len(out) < max_new else "length"
+            elif text_override is not None:
+                if text_override:
+                    sse(chunk({"content": text_override}))
             else:
-                if text_override is not None:
-                    text = text_override
-                else:
-                    text = self.tokenizer.decode(full_out)
-                    finish = ("stop" if len(full_out) < max_new else "length")
+                out, _, _ = wait()
+                text = self.tokenizer.decode(out)
+                finish = "stop" if len(out) < max_new else "length"
                 if text:
                     sse(chunk({"content": text}))
             sse(chunk({}, finish))
@@ -322,70 +382,26 @@ class GenerationServer:
                 pass
 
     def _complete(self, req: Dict[str, Any]) -> Dict[str, Any]:
-        prompt, images = extract_chat_content(req.get("messages", []))
-        ids = self._encode(prompt, add_special_tokens=True)
-        max_new = int(req.get("max_tokens") or self.default_max_new)
-        temperature = float(req.get("temperature") or 0.0)
-        top_p = float(req.get("top_p") or 1.0)
-        top_k = int(req.get("top_k") or 0)   # vLLM extension param
-        eos_id = getattr(self.tokenizer, "eos_id", -1)
-        # OpenAI logprobs surface: per-token logprob + top-N alternatives.
-        # Served through the batcher's submit() payload; bare engines
-        # degrade gracefully (field omitted), like other optional params.
+        from multimodal_colpali_tpu.generation.engine import LOGPROB_K
+
+        max_new, temperature, top_p, top_k, seed = self._parse_sampling(req)
+        prompt, images, ids, pix = self._prepare_prompt(req)
+        # OpenAI logprobs surface: per-token logprob + top-N alternatives,
+        # served through the batcher submit payload; bare engines degrade
+        # gracefully (field omitted), like other optional params.
         want_lp = bool(req.get("logprobs"))
-        lp_n = max(1, min(int(req.get("top_logprobs") or 1), 5))
-        submit = getattr(self.engine, "submit", None)
+        lp_n = (max(1, min(int(req.get("top_logprobs") or 1), LOGPROB_K))
+                if want_lp else 0)
         lps = tops = None
         enum = self._schema_enum(req)
         if enum is not None:
             text = self._constrained_choice(prompt, *enum, images=images)
             out = self._encode(text)
             finish = "stop"  # constrained decoding always completes
-        elif images and self.mm_engine is not None:
-            # image-conditioned generation (first image = the PaliGemma
-            # prefix; multi-image prompts are a round-3 candidate)
-            pix = self.image_preprocessor([images[0]])
-            text_ids = self._encode(prompt)
-            mm_prompt = self.mm_engine.build_mm_prompt(
-                text_ids, bos_id=getattr(self.tokenizer, "bos_id", 2),
-                newline_ids=self._encode("\n"))
-            ids = mm_prompt  # usage accounting includes the image tokens
-            if getattr(self.engine, "supports_multimodal", False):
-                # continuous batcher with an mm_engine: image requests join
-                # the same running slot batch as text requests
-                if want_lp:
-                    out, lps, tops = submit(
-                        mm_prompt, max_new_tokens=max_new,
-                        temperature=temperature, eos_id=eos_id,
-                        seed=int(req.get("seed") or 0), pixel_values=[pix],
-                        top_p=top_p, top_k=top_k,
-                        logprobs=lp_n).result(timeout=600)
-                else:
-                    out = self.engine.generate(
-                        [mm_prompt], max_new_tokens=max_new,
-                        temperature=temperature, eos_id=eos_id,
-                        seed=int(req.get("seed") or 0), pixel_values=[pix],
-                        top_p=top_p, top_k=top_k)[0]
-            else:
-                out = self.mm_engine.generate(
-                    [mm_prompt], pix, max_new_tokens=max_new,
-                    temperature=temperature, eos_id=eos_id,
-                    seed=int(req.get("seed") or 0),
-                    top_p=top_p, top_k=top_k)[0]
-            text = self.tokenizer.decode(out)
-            finish = "stop" if len(out) < max_new else "length"
         else:
-            if want_lp and submit is not None:
-                out, lps, tops = submit(
-                    ids, max_new_tokens=max_new, temperature=temperature,
-                    eos_id=eos_id, seed=int(req.get("seed") or 0),
-                    top_p=top_p, top_k=top_k,
-                    logprobs=lp_n).result(timeout=600)
-            else:
-                out = self.engine.generate(
-                    [ids], max_new_tokens=max_new, temperature=temperature,
-                    eos_id=eos_id, seed=int(req.get("seed") or 0),
-                    top_p=top_p, top_k=top_k)[0]
+            out, lps, tops = self._start_generation(
+                ids, pix, max_new, temperature, top_p, top_k, seed,
+                logprobs=lp_n)()
             text = self.tokenizer.decode(out)
             finish = "stop" if len(out) < max_new else "length"
         choice: Dict[str, Any] = {
@@ -414,6 +430,7 @@ class GenerationServer:
                 "total_tokens": len(ids) + len(out),
             },
         }
+
 
     # -- lifecycle -----------------------------------------------------------
 

@@ -1044,3 +1044,161 @@ def test_server_logprobs_surface(tiny_lm):
                            for t in e["top_logprobs"]) for e in lp)
     finally:
         bat.shutdown()
+
+
+def test_server_multimodal_streaming_and_logprobs(tiny_lm):
+    """Image requests through the batcher server work with stream: true and
+    logprobs: true (regression: submit() takes the single request's
+    [1, H, W, 3] pixel batch - list-wrapping it crashed the scheduler loop
+    and failed every in-flight request)."""
+    import json
+    import urllib.request
+
+    from PIL import Image
+
+    from multimodal_colpali_tpu.generation.engine import (
+        ModuloTokenizer, PaliGemmaEngine)
+    from multimodal_colpali_tpu.generation.messages import pil_image_to_data_url
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+    from multimodal_colpali_tpu.models.colpali import ColPaliModel
+    from multimodal_colpali_tpu.models.processing import ImagePreprocessor
+    from multimodal_colpali_tpu.models.registry import fast_random_params
+
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    params = jax.tree.map(jnp.asarray,
+                          fast_random_params(ColPaliModel(cfg), cfg, seed=3))
+    eng = GemmaDecodeEngine(cfg.text, params)
+    mm = PaliGemmaEngine(cfg, params)
+    pre = ImagePreprocessor(cfg.vision.image_size)
+    img = Image.new("RGB", (64, 64), (30, 60, 90))
+    msg = [{"role": "user", "content": [
+        {"type": "text", "text": "describe"},
+        {"type": "image_url", "image_url": {"url": pil_image_to_data_url(img)}},
+    ]}]
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=256, chunk=4,
+                            mm_engine=mm).serve()
+    try:
+        with GenerationServer(bat, ModuloTokenizer(64), mm_engine=mm,
+                              image_preprocessor=pre) as srv:
+            def post(req):
+                return urllib.request.urlopen(urllib.request.Request(
+                    f"{srv.base_url}/chat/completions",
+                    data=json.dumps(req).encode(),
+                    headers={"Content-Type": "application/json"}),
+                    timeout=120)
+
+            base = {"model": "t", "messages": msg, "max_tokens": 5, "seed": 0}
+            want = json.loads(post(base).read())["choices"][0]["message"]["content"]
+            ev = _sse_events(post({**base, "stream": True}))
+            text = "".join(json.loads(e)["choices"][0]["delta"].get("content", "")
+                           for e in ev[:-1])
+            assert ev[-1] == "[DONE]" and text == want
+
+            out = json.loads(post({**base, "logprobs": True,
+                                   "top_logprobs": 2}).read())
+            lp = out["choices"][0]["logprobs"]["content"]
+            assert len(lp) == 5 and all(len(e["top_logprobs"]) == 2 for e in lp)
+            assert out["choices"][0]["message"]["content"] == want
+    finally:
+        bat.shutdown()
+
+
+def test_server_top_p_zero_is_greedy(tiny_lm):
+    """top_p: 0 is OpenAI's greedy extreme: the filter clamps to the top-1
+    token (regression: a falsy-zero `or` default coerced it to 1.0 = full
+    random sampling; filter also must never mask the whole vocab)."""
+    import json
+    import urllib.request
+
+    from multimodal_colpali_tpu.generation.engine import ModuloTokenizer
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    with GenerationServer(eng, ModuloTokenizer(64)) as srv:
+        def ask(extra):
+            req = {"model": "t", "max_tokens": 5, "seed": 4,
+                   "messages": [{"role": "user", "content": "zero"}], **extra}
+            r = urllib.request.urlopen(urllib.request.Request(
+                f"{srv.base_url}/chat/completions",
+                data=json.dumps(req).encode(),
+                headers={"Content-Type": "application/json"}), timeout=120)
+            return json.loads(r.read())["choices"][0]["message"]["content"]
+
+        assert ask({"temperature": 1.0, "top_p": 0}) == ask({})
+
+
+def test_stream_flush_with_unstable_detokenizer(tiny_lm):
+    """A tokenizer whose partial decodes end in the replacement char (how
+    HF renders incomplete multi-byte sequences) must still stream the FULL
+    final text: trailing U+FFFD is held back, and the post-loop flush
+    emits whatever the complete decode holds past the sent prefix."""
+    import json
+    import urllib.request
+
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+
+    tcfg, params = tiny_lm
+    tok = ByteTokenizer()
+
+    class PairTok:
+        """ids 7,8 adjacent decode to one char; a trailing 7 is partial."""
+        pad_id, bos_id, eos_id = 0, 1, -1
+
+        def encode(self, text, add_special_tokens=False):
+            ids = [2 + (i % 60) for i in tok.encode(text)]
+            return ([self.bos_id] + ids) if add_special_tokens else ids
+
+        def decode(self, ids):
+            ids = list(ids)
+            out, i = [], 0
+            while i < len(ids):
+                if ids[i] == 7 and i + 1 < len(ids) and ids[i + 1] == 8:
+                    out.append("é"); i += 2
+                elif ids[i] == 7 and i + 1 == len(ids):
+                    out.append("�"); i += 1
+                else:
+                    out.append(str(ids[i])); i += 1
+            return " ".join(out)
+
+    class ScriptedBatcher:
+        """Emits a FIXED stream exercising pair-merge and a trailing
+        partial: [5, 7, 8, 9, 7] -> "5 é 9 <replacement>"."""
+
+        toks = [5, 7, 8, 9, 7]
+
+        def submit(self, ids, max_new_tokens, temperature, eos_id, seed,
+                   pixel_values=None, on_token=None, top_p=1.0, top_k=0,
+                   logprobs=0):
+            import threading
+            from concurrent.futures import Future
+
+            fut: Future = Future()
+
+            def run():
+                for t in self.toks:
+                    on_token(t)
+                fut.set_result(list(self.toks))
+
+            threading.Thread(target=run, daemon=True).start()
+            return fut
+
+    ptok = PairTok()
+    with GenerationServer(ScriptedBatcher(), ptok, max_new_tokens=8) as srv:
+        req = {"model": "t", "max_tokens": 6, "stream": True,
+               "messages": [{"role": "user", "content": "pairs"}]}
+        r = urllib.request.urlopen(urllib.request.Request(
+            f"{srv.base_url}/chat/completions",
+            data=json.dumps(req).encode(),
+            headers={"Content-Type": "application/json"}), timeout=120)
+        ev = _sse_events(r)
+        chunks = [json.loads(e) for e in ev[:-1]]
+        text = "".join(c["choices"][0]["delta"].get("content", "")
+                       for c in chunks)
+        want = ptok.decode(ScriptedBatcher.toks)
+        assert text == want, (text, want)
+        # the merged pair streamed incrementally (not one terminal blob)
+        assert sum(1 for c in chunks
+                   if c["choices"][0]["delta"].get("content")) >= 3

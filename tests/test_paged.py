@@ -301,3 +301,27 @@ def test_int8_kv_batcher_end_to_end(tiny_lm):
     got = tight.generate(prompts, max_new_tokens=10, temperature=0.7, seed=1)
     assert tight.preemptions > 0
     assert got == want
+
+
+def test_paged_admission_bound_is_tight(tiny_lm):
+    """The feasibility bound counts what is actually written: n_prompt rows
+    at install (not the bucketed s) plus budget-1 decode rows (tok0 comes
+    from prefill logits). A request at exactly pool capacity must be
+    admitted and complete, not rejected (regression: s+budget over-counted
+    by one page)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    # 4 usable pages = 32 rows; prompt 10 + (17-1) decode rows = 26 rows
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8, pool_pages=5)
+    prompt = list(range(2, 12))
+    fut = bat.submit(prompt, max_new_tokens=17)
+    bat.drain()
+    got = fut.result(timeout=10)
+    assert got == eng.generate([prompt], max_new_tokens=17)[0]
+    # and the genuinely infeasible case still fails alone: 32-token prompt
+    # fills the pool, any real decode budget cannot
+    bad = bat.submit(list(range(1, 33)), max_new_tokens=8)
+    bat.drain()
+    with pytest.raises(ValueError, match="exceeds the KV capacity"):
+        bad.result(timeout=10)
