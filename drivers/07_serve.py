@@ -51,6 +51,9 @@ def parse_args() -> argparse.Namespace:
                    help="KV pool storage (with --paged): int8 stores "
                         "absmax-quantized codes + per-token scales, ~halving "
                         "pool HBM (vLLM's kv_cache_dtype role).")
+    p.add_argument("--prefix-caching", action="store_true",
+                   help="Share identical full prompt pages between requests "
+                        "(with --paged; vLLM's automatic prefix caching).")
     return p.parse_args()
 
 
@@ -102,6 +105,7 @@ def main() -> None:
             batcher = PagedContinuousBatcher(
                 engine, page_size=args.page_size,
                 pool_pages=args.pool_pages, kv_dtype=args.kv_dtype,
+                prefix_caching=args.prefix_caching,
                 **kw).serve()
         else:
             batcher = ContinuousBatcher(engine, **kw).serve()

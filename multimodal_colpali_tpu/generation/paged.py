@@ -51,7 +51,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0,
                  prefill_cache_entries: int = 8, mm_engine: Any = None,
                  page_size: int = 16, pool_pages: Optional[int] = None,
-                 kv_dtype: str = "native"):
+                 kv_dtype: str = "native", prefix_caching: bool = False):
         """``pool_pages`` sizes the shared pool (default: enough for every
         slot to reach ``max_seq_len`` - set it lower to exercise
         oversubscription + preemption). ``page_size`` tokens per page.
@@ -61,6 +61,17 @@ class PagedContinuousBatcher(ContinuousBatcher):
         role. The pool's HBM cost per token roughly halves (vs bf16), so
         the same budget holds ~2x the context; attention runs the int8
         Pallas kernel (scales factored out of the dots, MXU stays bf16).
+
+        ``prefix_caching=True`` (vLLM's automatic prefix caching) shares
+        FULL prompt pages between requests by content: each full page is
+        keyed by the chain (modality ctx, tokens so far), installs reuse
+        matching pages read-only (refcounted) and skip their writes, and
+        unreferenced cached pages persist in an LRU until the allocator
+        needs them. Decode pages and partial prompt tails stay private.
+        Off by default: a reused page was written under the DONOR's
+        padding bucket, so streams are guaranteed equal only mathematically
+        (not bit-for-bit) when prompt lengths differ - same caveat as
+        vLLM's feature.
         """
         super().__init__(engine, batch_slots, max_seq_len, chunk,
                          prompt_bucket, eos_id, pad_id,
@@ -100,8 +111,44 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._admit_seq = 0
         self._slot_age = [0] * self.B                   # admission order
         self.preemptions = 0
+        # prefix cache: content-addressed full pages, refcounted
+        from collections import OrderedDict
+
+        self.prefix_caching = prefix_caching
+        self._page_ref = [0] * self.P                   # live holders per page
+        self._page_key: dict = {}                       # phys -> chain key
+        self._key_page: dict = {}                       # chain key -> phys
+        self._cache_lru: "OrderedDict[int, None]" = OrderedDict()  # ref==0
+        self.prefix_cache_hits = 0
 
     # -- allocator -------------------------------------------------------------
+
+    def _alloc_page(self) -> Optional[int]:
+        """A fresh private page: free list first, then evict the
+        least-recently-used unreferenced cached page (deregistering its
+        content key)."""
+        if self._free:
+            return self._free.pop()
+        if self._cache_lru:
+            phys, _ = self._cache_lru.popitem(last=False)
+            key = self._page_key.pop(phys, None)
+            if key is not None:
+                self._key_page.pop(key, None)
+            return phys
+        return None
+
+    def _free_now(self) -> int:
+        """Pages the allocator can hand out right now."""
+        return len(self._free) + len(self._cache_lru)
+
+    def _attach(self, slot: int, phys: int) -> None:
+        """Append ``phys`` as the slot's next logical page, holding a ref
+        (shared cached pages leave the LRU while referenced)."""
+        pages = self._slot_pages[slot]
+        self._bt_host[slot, len(pages)] = phys
+        pages.append(phys)
+        self._page_ref[phys] += 1
+        self._cache_lru.pop(phys, None)
 
     def _alloc_to(self, slot: int, n_tokens: int) -> bool:
         """Grow the slot's page list to cover ``n_tokens``; False if the
@@ -111,15 +158,21 @@ class PagedContinuousBatcher(ContinuousBatcher):
             return False
         pages = self._slot_pages[slot]
         while len(pages) < need:
-            if not self._free:
+            phys = self._alloc_page()
+            if phys is None:
                 return False
-            phys = self._free.pop()
-            self._bt_host[slot, len(pages)] = phys
-            pages.append(phys)
+            self._attach(slot, phys)
         return True
 
     def _release(self, slot: int) -> None:
-        self._free.extend(reversed(self._slot_pages[slot]))
+        for phys in reversed(self._slot_pages[slot]):
+            self._page_ref[phys] -= 1
+            if self._page_ref[phys] == 0:
+                if phys in self._page_key:
+                    # content-addressed page: keep it resident, evictable
+                    self._cache_lru[phys] = None
+                else:
+                    self._free.append(phys)
         self._slot_pages[slot] = []
         self._bt_host[slot] = 0
 
@@ -168,56 +221,88 @@ class PagedContinuousBatcher(ContinuousBatcher):
             worst_rows = n_prompt + budget_c - 1
         if -(-worst_rows // self.page) > min(usable, self.NB):
             return False
-        return (-(-n_prompt // self.page)) <= min(len(self._free), self.NB)
+        return (-(-n_prompt // self.page)) <= min(self._free_now(), self.NB)
 
     def _slot_capacity(self, s: int) -> int:
         return self.NB * self.page - s
 
-    def _install_slot(self, slot: int, s: int, n_prompt: int, k, v) -> None:
-        """Scatter the prefill K/V rows (left-padded to ``s``) into freshly
-        allocated pages, valid tokens first (jnp.roll drops the padding), so
-        logical token t of the slot sits at page t//page, row t%page."""
+    def _install_slot(self, slot: int, s: int, n_prompt: int, k, v,
+                      tokens=None, ctx=None) -> None:
+        """Scatter the prefill K/V rows (left-padded to ``s``) into the
+        slot's pages, valid tokens first (jnp.roll drops the padding), so
+        logical token t of the slot sits at page t//page, row t%page.
+
+        With ``prefix_caching``, full prompt pages whose chain key
+        (modality ctx + tokens so far) matches a cached page are attached
+        read-only and their writes are skipped; newly written full pages
+        register under their keys. Chain keys are compared by equality
+        (nested tuples), so a hash collision cannot alias content."""
+        page = self.page
+        n_pages = -(-n_prompt // page)
+        keys: List[Any] = []
+        n_reused = 0
+        if self.prefix_caching and tokens is not None:
+            chain: Any = ("root", ctx)
+            for i in range(n_prompt // page):       # full pages only
+                chain = (chain, tuple(tokens[i * page:(i + 1) * page]))
+                keys.append(chain)
+            for key_i in keys:
+                phys = self._key_page.get(key_i)
+                if phys is None:
+                    break
+                self._attach(slot, phys)
+                n_reused += 1
+            self.prefix_cache_hits += n_reused
         if not self._alloc_to(slot, n_prompt):
             raise RuntimeError("admission without capacity")  # _can_admit gates
-        n_pages = len(self._slot_pages[slot])
-        phys = jnp.asarray(self._slot_pages[slot], jnp.int32)
-        key = ("install", s, n_pages)
-        if key not in self._jit:
-            page = self.page
+        phys_new = self._slot_pages[slot][n_reused:]
+        if phys_new:
+            jkey = ("install", s, n_pages, n_reused)
+            if jkey not in self._jit:
+                int8 = self.kv_dtype == "int8"
+                skip = n_reused * page
 
-            int8 = self.kv_dtype == "int8"
+                def install(kpools, vpools, k, v, phys, n_prompt):
+                    n_new = n_pages - n_reused
+                    outk, outv = [], []
+                    for kp, vp, ki, vi in zip(kpools, vpools, k, v):
+                        rows_k = jnp.roll(ki[0], n_prompt - s, axis=0)
+                        rows_v = jnp.roll(vi[0], n_prompt - s, axis=0)
+                        width = n_pages * page
+                        if width > s:
+                            padding = ((0, width - s), (0, 0), (0, 0))
+                            rows_k = jnp.pad(rows_k, padding)
+                            rows_v = jnp.pad(rows_v, padding)
+                        else:
+                            rows_k = rows_k[:width]
+                            rows_v = rows_v[:width]
+                        rows_k = rows_k[skip:]     # reused pages keep theirs
+                        rows_v = rows_v[skip:]
+                        shp = (n_new, page) + rows_k.shape[1:]
+                        if int8:
+                            kc, ks = quantize_kv_rows(rows_k)
+                            vc, vs = quantize_kv_rows(rows_v)
+                            outk.append((kp[0].at[phys].set(kc.reshape(shp)),
+                                         kp[1].at[phys].set(
+                                             ks.reshape(shp[:-1]))))
+                            outv.append((vp[0].at[phys].set(vc.reshape(shp)),
+                                         vp[1].at[phys].set(
+                                             vs.reshape(shp[:-1]))))
+                        else:
+                            outk.append(kp.at[phys].set(rows_k.reshape(shp)))
+                            outv.append(vp.at[phys].set(rows_v.reshape(shp)))
+                    return tuple(outk), tuple(outv)
 
-            def install(kpools, vpools, k, v, phys, n_prompt):
-                outk, outv = [], []
-                for kp, vp, ki, vi in zip(kpools, vpools, k, v):
-                    rows_k = jnp.roll(ki[0], n_prompt - s, axis=0)  # valid first
-                    rows_v = jnp.roll(vi[0], n_prompt - s, axis=0)
-                    width = n_pages * page
-                    if width > s:
-                        padding = ((0, width - s), (0, 0), (0, 0))
-                        rows_k = jnp.pad(rows_k, padding)
-                        rows_v = jnp.pad(rows_v, padding)
-                    else:
-                        rows_k = rows_k[:width]
-                        rows_v = rows_v[:width]
-                    shp = (n_pages, page) + rows_k.shape[1:]
-                    if int8:
-                        kc, ks = quantize_kv_rows(rows_k)
-                        vc, vs = quantize_kv_rows(rows_v)
-                        outk.append((kp[0].at[phys].set(kc.reshape(shp)),
-                                     kp[1].at[phys].set(
-                                         ks.reshape(shp[:-1]))))
-                        outv.append((vp[0].at[phys].set(vc.reshape(shp)),
-                                     vp[1].at[phys].set(
-                                         vs.reshape(shp[:-1]))))
-                    else:
-                        outk.append(kp.at[phys].set(rows_k.reshape(shp)))
-                        outv.append(vp.at[phys].set(rows_v.reshape(shp)))
-                return tuple(outk), tuple(outv)
-
-            self._jit[key] = jax.jit(install)
-        self._kpools, self._vpools = self._jit[key](
-            self._kpools, self._vpools, k, v, phys, jnp.int32(n_prompt))
+                self._jit[jkey] = jax.jit(install)
+            self._kpools, self._vpools = self._jit[jkey](
+                self._kpools, self._vpools, k, v,
+                jnp.asarray(phys_new, jnp.int32), jnp.int32(n_prompt))
+            # register the newly written FULL pages under their chain keys
+            for i in range(n_reused, len(keys)):
+                ph = self._slot_pages[slot][i]
+                if keys[i] not in self._key_page:
+                    self._key_page[keys[i]] = ph
+                    self._page_key[ph] = keys[i]
         self._len = self._len.at[slot].set(n_prompt)
         self._slot_age[slot] = self._admit_seq
         self._admit_seq += 1

@@ -295,8 +295,13 @@ class ContinuousBatcher:
         """Max tokens a slot can hold after an ``s``-token prompt."""
         return self.T - s
 
-    def _install_slot(self, slot: int, s: int, n_prompt: int, k, v) -> None:
-        """Insert prefill K/V rows (left-padded to ``s``) into the slot."""
+    def _install_slot(self, slot: int, s: int, n_prompt: int, k, v,
+                      tokens=None, ctx=None) -> None:
+        """Insert prefill K/V rows (left-padded to ``s``) into the slot.
+
+        ``tokens``/``ctx`` identify the content for subclasses that share
+        KV storage between requests (the paged batcher's prefix cache);
+        the dense per-slot cache ignores them."""
         n_layers = self.cfg.num_hidden_layers
         caches = list(self._caches)
         for i in range(n_layers):
@@ -403,7 +408,8 @@ class ContinuousBatcher:
             # token budget is bounded by the cache rows left after the prompt
             budget = min(req.max_new_tokens - n0, self._slot_capacity(s))
             done0 = tok0 == req.eos_id or budget <= 1
-            self._install_slot(slot, s, len(prompt_eff), k, v)
+            self._install_slot(slot, s, len(prompt_eff), k, v,
+                               tokens=prompt_eff, ctx=pix_digest)
             self._tok = self._tok.at[slot].set(tok0)
             self._pos = self._pos.at[slot].set(int(last_pos) + 1)
             self._temp = self._temp.at[slot].set(req.temperature)

@@ -325,3 +325,78 @@ def test_paged_admission_bound_is_tight(tiny_lm):
     bat.drain()
     with pytest.raises(ValueError, match="exceeds the KV capacity"):
         bad.result(timeout=10)
+
+
+# -- automatic prefix caching --------------------------------------------------
+
+def test_prefix_caching_shares_pages_and_matches_isolated(tiny_lm):
+    """Requests sharing a page-aligned prompt prefix reuse the cached full
+    pages (read-only, refcounted) and still produce the isolated-engine
+    streams; pool consumption drops by the shared pages."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    shared = list(range(2, 18))                     # two full pages @ 8
+    prompts = [shared + [40, 41], shared + [50], shared + [60, 61, 62]]
+    want = [eng.generate([p], max_new_tokens=6)[0] for p in prompts]
+
+    bat = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64,
+                                 chunk=3, page_size=8, prefix_caching=True)
+    futs = [bat.submit(p, max_new_tokens=6) for p in prompts]
+    bat.drain()
+    assert [f.result(10) for f in futs] == want
+    # prompts 2 and 3 each reused the 2 shared full pages
+    assert bat.prefix_cache_hits == 4
+    # the shared pages persist unreferenced in the cache LRU
+    assert len(bat._cache_lru) > 0
+
+
+def test_prefix_caching_no_false_sharing(tiny_lm):
+    """Prompts diverging INSIDE a page must not share it: only the common
+    full-page-aligned prefix is reused."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    a = list(range(2, 18))                 # pages [2..9], [10..17]
+    b = list(range(2, 17)) + [63]          # second page differs in last token
+    want = [eng.generate([p], max_new_tokens=5)[0] for p in (a, b)]
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8, prefix_caching=True)
+    futs = [bat.submit(p, max_new_tokens=5) for p in (a, b)]
+    bat.drain()
+    assert [f.result(10) for f in futs] == want
+    assert bat.prefix_cache_hits == 1      # only page 1 shared
+
+
+def test_prefix_caching_eviction_under_pressure(tiny_lm):
+    """When the free list runs dry, unreferenced cached pages are evicted
+    (LRU) to serve new allocations, and everything still decodes
+    correctly - the cache never wedges the allocator."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8, pool_pages=8,
+                                 prefix_caching=True)
+    rng = np.random.default_rng(5)
+    for trial in range(6):                 # distinct prompts > pool capacity
+        p = rng.integers(2, 60, (rng.integers(6, 20),)).tolist()
+        fut = bat.submit(p, max_new_tokens=4)
+        bat.drain()
+        assert fut.result(10) == eng.generate([p], max_new_tokens=4)[0]
+
+
+def test_prefix_caching_int8_pools(tiny_lm):
+    """Prefix sharing composes with int8 KV pools (codes AND scales are
+    shared per page)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    shared = list(range(3, 19))
+    prompts = [shared + [40], shared + [50, 51]]
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8, prefix_caching=True,
+                                 kv_dtype="int8")
+    want_bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                      chunk=3, page_size=8, kv_dtype="int8")
+    want = want_bat.generate(prompts, max_new_tokens=6)
+    futs = [bat.submit(p, max_new_tokens=6) for p in prompts]
+    bat.drain()
+    assert [f.result(10) for f in futs] == want
+    assert bat.prefix_cache_hits == 2
