@@ -66,7 +66,10 @@ class PagedContinuousBatcher(ContinuousBatcher):
         FULL prompt pages between requests by content: each full page is
         keyed by the chain (modality ctx, tokens so far), installs reuse
         matching pages read-only (refcounted) and skip their writes, and
-        unreferenced cached pages persist in an LRU until the allocator
+        text prompts with a cached prefix prefill ONLY their tail against
+        the cached K/V (``_prefix_prefill`` - the prefix's forward compute
+        is skipped entirely, the big win for shared-preamble RAG sweeps).
+        Unreferenced cached pages persist in an LRU until the allocator
         needs them. Decode pages and partial prompt tails stay private.
         Off by default: a reused page was written under the DONOR's
         padding bucket, so streams are guaranteed equal only mathematically
@@ -120,6 +123,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._key_page: dict = {}                       # chain key -> phys
         self._cache_lru: "OrderedDict[int, None]" = OrderedDict()  # ref==0
         self.prefix_cache_hits = 0
+        self.prefix_prefill_hits = 0   # tail-only prefills (compute skipped)
 
     # -- allocator -------------------------------------------------------------
 
@@ -197,6 +201,93 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self.preemptions += 1
         return True
 
+
+    # -- cached-prefix tail prefill ------------------------------------------
+
+    def _chain_keys(self, tokens, ctx):
+        """Chain keys of the prompt's FULL pages."""
+        page = self.page
+        keys: List[Any] = []
+        chain: Any = ("root", ctx)
+        for i in range(len(tokens) // page):
+            chain = (chain, tuple(tokens[i * page:(i + 1) * page]))
+            keys.append(chain)
+        return keys
+
+    def _prefix_prefill(self, prompt_eff, ctx, mm):
+        """Prefill ONLY the prompt tail against cached prefix pages - the
+        compute half of automatic prefix caching (the write half is the
+        page reuse in ``_install_slot``). The cached K/V rows are gathered
+        from the pool inside the jit; tail tokens attend to them plus
+        themselves causally, at positions offset by the prefix length.
+        Multimodal prompts fall back (image embeds span the prefix)."""
+        if not self.prefix_caching or mm:
+            return None
+        page = self.page
+        n_prompt = len(prompt_eff)
+        keys = self._chain_keys(prompt_eff, ctx)
+        n_reused = 0
+        for key_i in keys:
+            if key_i not in self._key_page:
+                break
+            n_reused += 1
+        # keep at least one real token in the tail: the next-token logits
+        # come from the tail's last hidden state
+        if n_reused * page >= n_prompt:
+            n_reused = max((n_prompt - 1) // page, 0)
+        if n_reused == 0:
+            return None
+        n_ctx = n_reused * page
+        tail = prompt_eff[n_ctx:]
+        s_tail = max(((len(tail) + self.bucket - 1) // self.bucket)
+                     * self.bucket, self.bucket)
+        phys = jnp.asarray(
+            [self._key_page[k] for k in keys[:n_reused]], jnp.int32)
+        eng, c = self.engine, self.cfg
+        jkey = ("prefix_prefill", s_tail, n_reused)
+        if jkey not in self._jit:
+            int8 = self.kv_dtype == "int8"
+            total = n_ctx + s_tail
+
+            def run(p, ids, mask, kpools, vpools, phys):
+                kc, vc = [], []
+                for kp, vp in zip(kpools, vpools):
+                    if int8:
+                        ck = (kp[0][phys].astype(jnp.float32)
+                              * kp[1][phys][..., None]).astype(eng.dtype)
+                        cv = (vp[0][phys].astype(jnp.float32)
+                              * vp[1][phys][..., None]).astype(eng.dtype)
+                    else:
+                        ck, cv = kp[phys], vp[phys]
+                    shape = (1, n_ctx, c.num_key_value_heads, c.head_dim)
+                    base = jnp.zeros(
+                        (1, total, c.num_key_value_heads, c.head_dim),
+                        eng.dtype)
+                    kc.append(base.at[:, :n_ctx].set(ck.reshape(shape)))
+                    vc.append(base.at[:, :n_ctx].set(cv.reshape(shape)))
+                positions = n_ctx + jnp.maximum(
+                    jnp.cumsum(mask, axis=1) - 1, 0)
+                kv_valid = jnp.concatenate(
+                    [jnp.ones((1, n_ctx), bool), mask.astype(bool)], axis=1)
+                x = eng._embed(p, ids)
+                hidden, (k, v) = eng._chunk(p, x, positions, tuple(kc),
+                                            tuple(vc), n_ctx, kv_valid)
+                k_tail = tuple(kk[:, n_ctx:] for kk in k)
+                v_tail = tuple(vv[:, n_ctx:] for vv in v)
+                return (k_tail, v_tail, eng._logits(p, hidden[:, -1])[0],
+                        positions[0, -1])
+
+            self._jit[jkey] = jax.jit(run)
+        ids = np.full((1, s_tail), self.pad_id, np.int32)
+        mask = np.zeros((1, s_tail), np.int32)
+        ids[0, -len(tail):] = tail
+        mask[0, -len(tail):] = 1
+        k, v, logits, last_pos = self._jit[jkey](
+            eng.params, jnp.asarray(ids), jnp.asarray(mask),
+            self._kpools, self._vpools, phys)
+        self.prefix_prefill_hits += 1
+        return k, v, logits, last_pos, ("tail", n_reused, s_tail)
+
     # -- ContinuousBatcher hooks -------------------------------------------------
 
     def _can_admit(self, s: int, n_prompt: int, budget: int) -> bool:
@@ -227,7 +318,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         return self.NB * self.page - s
 
     def _install_slot(self, slot: int, s: int, n_prompt: int, k, v,
-                      tokens=None, ctx=None) -> None:
+                      tokens=None, ctx=None, hint=None) -> None:
         """Scatter the prefill K/V rows (left-padded to ``s``) into the
         slot's pages, valid tokens first (jnp.roll drops the padding), so
         logical token t of the slot sits at page t//page, row t%page.
@@ -242,40 +333,50 @@ class PagedContinuousBatcher(ContinuousBatcher):
         keys: List[Any] = []
         n_reused = 0
         if self.prefix_caching and tokens is not None:
-            chain: Any = ("root", ctx)
-            for i in range(n_prompt // page):       # full pages only
-                chain = (chain, tuple(tokens[i * page:(i + 1) * page]))
-                keys.append(chain)
-            for key_i in keys:
-                phys = self._key_page.get(key_i)
-                if phys is None:
-                    break
-                self._attach(slot, phys)
-                n_reused += 1
+            keys = self._chain_keys(tokens, ctx)
+            if hint is not None:
+                # tail prefill already chose the reuse depth; install MUST
+                # match it exactly - the k/v rows cover only the tail
+                n_reused = hint[1]
+                for key_i in keys[:n_reused]:
+                    self._attach(slot, self._key_page[key_i])
+            else:
+                for key_i in keys:
+                    phys = self._key_page.get(key_i)
+                    if phys is None:
+                        break
+                    self._attach(slot, phys)
+                    n_reused += 1
             self.prefix_cache_hits += n_reused
         if not self._alloc_to(slot, n_prompt):
             raise RuntimeError("admission without capacity")  # _can_admit gates
         phys_new = self._slot_pages[slot][n_reused:]
         if phys_new:
-            jkey = ("install", s, n_pages, n_reused)
+            # rows source: whole-prompt prefill rows [1, s] (skip the reused
+            # pages' share) or, under a hint, tail-only rows [1, s_tail]
+            src_s = hint[2] if hint is not None else s
+            n_valid = n_prompt - n_reused * page if hint is not None \
+                else n_prompt
+            skip = 0 if hint is not None else n_reused * page
+            jkey = ("install", hint is not None, src_s, n_pages, n_reused)
             if jkey not in self._jit:
                 int8 = self.kv_dtype == "int8"
-                skip = n_reused * page
 
-                def install(kpools, vpools, k, v, phys, n_prompt):
+                def install(kpools, vpools, k, v, phys, n_valid):
                     n_new = n_pages - n_reused
+                    width = n_new * page
                     outk, outv = [], []
                     for kp, vp, ki, vi in zip(kpools, vpools, k, v):
-                        rows_k = jnp.roll(ki[0], n_prompt - s, axis=0)
-                        rows_v = jnp.roll(vi[0], n_prompt - s, axis=0)
-                        width = n_pages * page
-                        if width > s:
-                            padding = ((0, width - s), (0, 0), (0, 0))
+                        rows_k = jnp.roll(ki[0], n_valid - src_s, axis=0)
+                        rows_v = jnp.roll(vi[0], n_valid - src_s, axis=0)
+                        full = skip + width
+                        if full > src_s:
+                            padding = ((0, full - src_s), (0, 0), (0, 0))
                             rows_k = jnp.pad(rows_k, padding)
                             rows_v = jnp.pad(rows_v, padding)
                         else:
-                            rows_k = rows_k[:width]
-                            rows_v = rows_v[:width]
+                            rows_k = rows_k[:full]
+                            rows_v = rows_v[:full]
                         rows_k = rows_k[skip:]     # reused pages keep theirs
                         rows_v = rows_v[skip:]
                         shp = (n_new, page) + rows_k.shape[1:]
@@ -296,7 +397,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 self._jit[jkey] = jax.jit(install)
             self._kpools, self._vpools = self._jit[jkey](
                 self._kpools, self._vpools, k, v,
-                jnp.asarray(phys_new, jnp.int32), jnp.int32(n_prompt))
+                jnp.asarray(phys_new, jnp.int32), jnp.int32(n_valid))
             # register the newly written FULL pages under their chain keys
             for i in range(n_reused, len(keys)):
                 ph = self._slot_pages[slot][i]

@@ -283,7 +283,42 @@ class ContinuousBatcher:
     def supports_multimodal(self) -> bool:
         return self.mm_engine is not None
 
+    def _full_prefill(self, req, prompt_eff, s, mm, pix_digest):
+        """Whole-prompt prefill with the exact-prompt LRU cache."""
+        cache_key = (s, tuple(prompt_eff), pix_digest)
+        if cache_key in self._prefill_cache:
+            self._prefill_cache.move_to_end(cache_key)
+            self.prefill_cache_hits += 1
+            return self._prefill_cache[cache_key]
+        kind = "mm_prefill" if mm else "prefill"
+        if (kind, s) not in self._jit:
+            self._jit[(kind, s)] = (self._mm_prefill_fn(s) if mm
+                                    else self._prefill_fn(s))
+        ids = np.full((1, s), self.pad_id, np.int32)
+        mask = np.zeros((1, s), np.int32)
+        if prompt_eff:
+            ids[0, -len(prompt_eff):] = prompt_eff
+            mask[0, -len(prompt_eff):] = 1
+        if mm:
+            out = self._jit[(kind, s)](
+                self.mm_engine.lm.params, jnp.asarray(ids),
+                jnp.asarray(mask), jnp.asarray(req.pixel_values))
+        else:
+            out = self._jit[(kind, s)](
+                self.engine.params, jnp.asarray(ids), jnp.asarray(mask))
+        if self._prefill_cache_entries > 0:
+            self._prefill_cache[cache_key] = out
+            while len(self._prefill_cache) > self._prefill_cache_entries:
+                self._prefill_cache.popitem(last=False)
+        return out
+
     # Hooks the paged batcher (generation/paged.py) overrides ---------------
+
+    def _prefix_prefill(self, prompt_eff, ctx, mm):
+        """Subclass hook: prefill only the prompt tail against cached
+        prefix KV. Returns (k_tail, v_tail, logits, last_pos, hint) or
+        None to run the whole-prompt prefill."""
+        return None
 
     def _can_admit(self, s: int, n_prompt: int, budget: int) -> bool:
         """Is there cache room right now for a prompt of ``n_prompt`` real
@@ -296,12 +331,13 @@ class ContinuousBatcher:
         return self.T - s
 
     def _install_slot(self, slot: int, s: int, n_prompt: int, k, v,
-                      tokens=None, ctx=None) -> None:
+                      tokens=None, ctx=None, hint=None) -> None:
         """Insert prefill K/V rows (left-padded to ``s``) into the slot.
 
         ``tokens``/``ctx`` identify the content for subclasses that share
         KV storage between requests (the paged batcher's prefix cache);
-        the dense per-slot cache ignores them."""
+        ``hint`` carries that subclass's tail-prefill state. The dense
+        per-slot cache ignores all three."""
         n_layers = self.cfg.num_hidden_layers
         caches = list(self._caches)
         for i in range(n_layers):
@@ -352,32 +388,16 @@ class ContinuousBatcher:
                 pix_digest = hashlib.sha1(
                     np.ascontiguousarray(req.pixel_values).tobytes()
                 ).hexdigest()
-            cache_key = (s, tuple(prompt_eff), pix_digest)
-            if cache_key in self._prefill_cache:
-                k, v, logits, last_pos = self._prefill_cache[cache_key]
-                self._prefill_cache.move_to_end(cache_key)
-                self.prefill_cache_hits += 1
+            hint = None
+            pre = self._prefix_prefill(prompt_eff, pix_digest, mm)
+            if pre is not None:
+                # cached-prefix path (paged batcher): only the prompt TAIL
+                # was prefilled; k/v cover the tail rows and ``hint``
+                # carries the reused page count for install
+                k, v, logits, last_pos, hint = pre
             else:
-                kind = "mm_prefill" if mm else "prefill"
-                if (kind, s) not in self._jit:
-                    self._jit[(kind, s)] = (self._mm_prefill_fn(s) if mm
-                                            else self._prefill_fn(s))
-                ids = np.full((1, s), self.pad_id, np.int32)
-                mask = np.zeros((1, s), np.int32)
-                if prompt_eff:
-                    ids[0, -len(prompt_eff):] = prompt_eff
-                    mask[0, -len(prompt_eff):] = 1
-                if mm:
-                    k, v, logits, last_pos = self._jit[(kind, s)](
-                        self.mm_engine.lm.params, jnp.asarray(ids),
-                        jnp.asarray(mask), jnp.asarray(req.pixel_values))
-                else:
-                    k, v, logits, last_pos = self._jit[(kind, s)](
-                        self.engine.params, jnp.asarray(ids), jnp.asarray(mask))
-                if self._prefill_cache_entries > 0:
-                    self._prefill_cache[cache_key] = (k, v, logits, last_pos)
-                    while len(self._prefill_cache) > self._prefill_cache_entries:
-                        self._prefill_cache.popitem(last=False)
+                k, v, logits, last_pos = self._full_prefill(
+                    req, prompt_eff, s, mm, pix_digest)
             # next generated token (prefill output); a resumed request
             # samples at its own step index, matching the uninterrupted run
             n0 = len(req.tokens)
@@ -409,7 +429,7 @@ class ContinuousBatcher:
             budget = min(req.max_new_tokens - n0, self._slot_capacity(s))
             done0 = tok0 == req.eos_id or budget <= 1
             self._install_slot(slot, s, len(prompt_eff), k, v,
-                               tokens=prompt_eff, ctx=pix_digest)
+                               tokens=prompt_eff, ctx=pix_digest, hint=hint)
             self._tok = self._tok.at[slot].set(tok0)
             self._pos = self._pos.at[slot].set(int(last_pos) + 1)
             self._temp = self._temp.at[slot].set(req.temperature)

@@ -400,3 +400,48 @@ def test_prefix_caching_int8_pools(tiny_lm):
     bat.drain()
     assert [f.result(10) for f in futs] == want
     assert bat.prefix_cache_hits == 2
+
+
+def test_prefix_caching_skips_prefix_compute(tiny_lm):
+    """With a cached prefix, only the prompt TAIL is prefilled (the prefix
+    forward is skipped entirely); streams still match the isolated engine,
+    including temperature sampling and logprobs through the tail path, the
+    int8 pools (dequantized gather), and exactly-page-aligned prompts
+    (reuse capped so the tail keeps the logits-producing token)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    shared = list(range(2, 18))                 # two full pages @ 8
+    prompts = [shared + [40, 41], shared + [50], shared + [60, 61, 62]]
+    want = [eng.generate([p], max_new_tokens=6)[0] for p in prompts]
+
+    bat = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64,
+                                 chunk=3, page_size=8, prefix_caching=True)
+    futs = [bat.submit(p, max_new_tokens=6) for p in prompts]
+    bat.drain()
+    assert [f.result(10) for f in futs] == want
+    assert bat.prefix_prefill_hits == 2         # prompts 2+3 tail-prefilled
+    assert bat.prefix_cache_hits == 4
+
+    fut = bat.submit(shared + [44, 45], max_new_tokens=6, temperature=0.8,
+                     seed=5, logprobs=2)
+    bat.drain()
+    toks, lps, _ = fut.result(10)
+    assert toks == eng.generate([shared + [44, 45]], max_new_tokens=6,
+                                temperature=0.8, seed=5)[0]
+    assert len(lps) == 6
+
+    fut = bat.submit(list(shared), max_new_tokens=4)   # page-aligned prompt
+    bat.drain()
+    assert fut.result(10) == eng.generate([shared], max_new_tokens=4)[0]
+
+    b8 = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3,
+                                page_size=8, prefix_caching=True,
+                                kv_dtype="int8")
+    oracle = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                    chunk=3, page_size=8, kv_dtype="int8")
+    ps = [shared + [40], shared + [50, 51]]
+    want8 = oracle.generate(ps, max_new_tokens=6)
+    futs = [b8.submit(p, max_new_tokens=6) for p in ps]
+    b8.drain()
+    assert [f.result(10) for f in futs] == want8
+    assert b8.prefix_prefill_hits == 1
