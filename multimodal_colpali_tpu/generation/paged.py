@@ -286,7 +286,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
             eng.params, jnp.asarray(ids), jnp.asarray(mask),
             self._kpools, self._vpools, phys)
         self.prefix_prefill_hits += 1
-        return k, v, logits, last_pos, ("tail", n_reused, s_tail)
+        return k, v, logits, last_pos, ("tail", n_reused, s_tail, keys)
 
     # -- ContinuousBatcher hooks -------------------------------------------------
 
@@ -332,8 +332,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
         n_pages = -(-n_prompt // page)
         keys: List[Any] = []
         n_reused = 0
-        if self.prefix_caching and tokens is not None:
-            keys = self._chain_keys(tokens, ctx)
+        # ctx is the multimodal pixel digest: mm prompts are EXCLUDED from
+        # page sharing entirely - PaliGemma prefill is bidirectional, so a
+        # page's K/V depends on the whole prompt, not just tokens-so-far
+        if self.prefix_caching and tokens is not None and ctx is None:
+            keys = hint[3] if hint is not None                 else self._chain_keys(tokens, ctx)
             if hint is not None:
                 # tail prefill already chose the reuse depth; install MUST
                 # match it exactly - the k/v rows cover only the tail
@@ -412,6 +415,18 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._release(slot)
         self._len = self._len.at[slot].set(0)
         super()._finish(slot)
+
+    def _fail_all(self, exc: BaseException) -> None:
+        """On a scheduler error every active slot's pages must be released
+        (refcounts dropped, block tables cleared) before the parent fails
+        the futures - otherwise the next request admitted into the slot
+        misaligns against stale page lists and shared pages leak."""
+        for slot, req in enumerate(self._slots):
+            if req is not None:
+                self._release(slot)
+                self._len = self._len.at[slot].set(0)
+                self._remaining = self._remaining.at[slot].set(0)
+        super()._fail_all(exc)
 
     # -- decode ------------------------------------------------------------------
 

@@ -284,8 +284,21 @@ class ContinuousBatcher:
         return self.mm_engine is not None
 
     def _full_prefill(self, req, prompt_eff, s, mm, pix_digest):
-        """Whole-prompt prefill with the exact-prompt LRU cache."""
-        cache_key = (s, tuple(prompt_eff), pix_digest)
+        """Whole-prompt prefill with the exact-prompt LRU cache.
+
+        A RESUMED multimodal request (preempted with generated tokens)
+        cannot simply re-prefill prompt+tokens through the bidirectional
+        mm path: PaliGemma's prefix attention would let the prompt attend
+        the generated suffix and the suffix attend itself forward,
+        diverging from the causal decode it originally ran under. Those
+        go through ``_mm_resume_prefill`` instead."""
+        if mm and req.tokens:
+            return self._mm_resume_prefill(req, s, pix_digest)
+        return self._prefill_raw(prompt_eff, s, mm,
+                                 req.pixel_values if mm else None, pix_digest)
+
+    def _prefill_raw(self, tokens, s, mm, pixel_values, pix_digest):
+        cache_key = (s, tuple(tokens), pix_digest)
         if cache_key in self._prefill_cache:
             self._prefill_cache.move_to_end(cache_key)
             self.prefill_cache_hits += 1
@@ -296,13 +309,13 @@ class ContinuousBatcher:
                                     else self._prefill_fn(s))
         ids = np.full((1, s), self.pad_id, np.int32)
         mask = np.zeros((1, s), np.int32)
-        if prompt_eff:
-            ids[0, -len(prompt_eff):] = prompt_eff
-            mask[0, -len(prompt_eff):] = 1
+        if tokens:
+            ids[0, -len(tokens):] = tokens
+            mask[0, -len(tokens):] = 1
         if mm:
             out = self._jit[(kind, s)](
                 self.mm_engine.lm.params, jnp.asarray(ids),
-                jnp.asarray(mask), jnp.asarray(req.pixel_values))
+                jnp.asarray(mask), jnp.asarray(pixel_values))
         else:
             out = self._jit[(kind, s)](
                 self.engine.params, jnp.asarray(ids), jnp.asarray(mask))
@@ -311,6 +324,62 @@ class ContinuousBatcher:
             while len(self._prefill_cache) > self._prefill_cache_entries:
                 self._prefill_cache.popitem(last=False)
         return out
+
+    def _mm_resume_prefill(self, req, s, pix_digest):
+        """Two-stage prefill for a resumed multimodal request: the ORIGINAL
+        prompt re-prefills bidirectionally (PaliGemma prefix semantics,
+        LRU-cached - usually a hit from the first admission), then the
+        generated-so-far tokens extend it CAUSALLY at their decode
+        positions, exactly as the uninterrupted decode computed them.
+        Returns the standard (k, v, logits, last_pos) with k/v assembled
+        left-padded to ``s`` over the full prompt+generated sequence."""
+        prompt, gen = req.prompt, list(req.tokens)
+        n_p, n_gen = len(prompt), len(gen)
+        s1 = max(((n_p + self.bucket - 1) // self.bucket) * self.bucket,
+                 self.bucket)
+        k1, v1, _, _ = self._prefill_raw(prompt, s1, True, req.pixel_values,
+                                         pix_digest)
+        s2 = max(((n_gen + self.bucket - 1) // self.bucket) * self.bucket,
+                 self.bucket)
+        lm, c = self.mm_engine.lm, self.cfg
+        jkey = ("mm_resume", n_p, n_gen, s1, s2, s)
+        if jkey not in self._jit:
+            total = n_p + s2
+            kvshape = (1, total, c.num_key_value_heads, c.head_dim)
+
+            def run(p, k1, v1, ids2, mask2):
+                kc, vc = [], []
+                for a, b in zip(k1, v1):
+                    base = jnp.zeros(kvshape, lm.dtype)
+                    kc.append(base.at[:, :n_p].set(a[:, s1 - n_p:]))
+                    vc.append(base.at[:, :n_p].set(b[:, s1 - n_p:]))
+                positions = n_p + jnp.cumsum(mask2, axis=1)  # 1-indexed cont.
+                kv_valid = jnp.concatenate(
+                    [jnp.ones((1, n_p), bool), mask2.astype(bool)], axis=1)
+                x = lm._embed(p, ids2)
+                hidden, (k2, v2) = lm._chunk(p, x, positions, tuple(kc),
+                                             tuple(vc), n_p, kv_valid)
+                n_eff = n_p + n_gen
+                outk, outv = [], []
+                for a2, b2, a1, b1 in zip(k2, v2, k1, v1):
+                    base = jnp.zeros(
+                        (1, s, c.num_key_value_heads, c.head_dim), lm.dtype)
+                    bk = base.at[:, s - n_eff: s - n_gen].set(a1[:, s1 - n_p:])
+                    bk = bk.at[:, s - n_gen:].set(a2[:, n_p:][:, s2 - n_gen:])
+                    bv = base.at[:, s - n_eff: s - n_gen].set(b1[:, s1 - n_p:])
+                    bv = bv.at[:, s - n_gen:].set(b2[:, n_p:][:, s2 - n_gen:])
+                    outk.append(bk)
+                    outv.append(bv)
+                return (tuple(outk), tuple(outv),
+                        lm._logits(p, hidden[:, -1])[0], positions[0, -1])
+
+            self._jit[jkey] = jax.jit(run)
+        ids2 = np.full((1, s2), self.pad_id, np.int32)
+        mask2 = np.zeros((1, s2), np.int32)
+        ids2[0, -n_gen:] = gen
+        mask2[0, -n_gen:] = 1
+        return self._jit[jkey](lm.params, k1, v1, jnp.asarray(ids2),
+                               jnp.asarray(mask2))
 
     # Hooks the paged batcher (generation/paged.py) overrides ---------------
 

@@ -207,17 +207,24 @@ class GenerationServer:
         checks, NOT ``or`` defaults: ``top_p: 0`` is OpenAI's greedy
         extreme and must stay 0 (the filter clamps it to top-1), not be
         coerced to 1.0 (full-vocab sampling, the opposite)."""
-        max_new = int(req.get("max_tokens") or self.default_max_new)
+        if req.get("max_tokens") is not None:
+            max_new = int(req["max_tokens"])
+            if max_new < 1:
+                raise ValueError("max_tokens must be >= 1")
+        else:
+            max_new = self.default_max_new
         temperature = (float(req["temperature"])
                        if req.get("temperature") is not None else 0.0)
         top_p = float(req["top_p"]) if req.get("top_p") is not None else 1.0
         top_k = int(req["top_k"]) if req.get("top_k") is not None else 0
         return max_new, temperature, top_p, top_k, int(req.get("seed") or 0)
 
-    def _prepare_prompt(self, req: Dict[str, Any]):
-        """-> (prompt text, images, token ids, pixel batch or None). The
-        multimodal ids already contain the PaliGemma image-token prefix."""
-        prompt, images = extract_chat_content(req.get("messages", []))
+    def _prepare_ids(self, prompt: str, images):
+        """-> (token ids, pixel batch or None) for generation. The
+        multimodal ids already contain the PaliGemma image-token prefix.
+        Kept separate from the text extraction so constrained-enum
+        requests (which go through ``_constrained_choice``) never pay the
+        image preprocessing twice."""
         pix = None
         ids = self._encode(prompt, add_special_tokens=True)
         if images and self.mm_engine is not None:
@@ -226,7 +233,7 @@ class GenerationServer:
                 self._encode(prompt),
                 bos_id=getattr(self.tokenizer, "bos_id", 2),
                 newline_ids=self._encode("\n"))
-        return prompt, images, ids, pix
+        return ids, pix
 
     def _start_generation(self, ids, pix, max_new, temperature, top_p,
                           top_k, seed, logprobs: int = 0, on_token=None):
@@ -256,6 +263,8 @@ class GenerationServer:
             return wait
 
         def wait():
+            # bare engines generate synchronously; no per-token callbacks
+            # (the streaming caller emits wait()'s text in one chunk)
             if pix is not None:
                 out = self.mm_engine.generate(
                     [ids], pix, max_new_tokens=max_new,
@@ -266,9 +275,6 @@ class GenerationServer:
                     [ids], max_new_tokens=max_new, temperature=temperature,
                     eos_id=eos_id, seed=seed,
                     top_p=top_p, top_k=top_k)[0]
-            if on_token is not None:
-                for t in out:
-                    on_token(t)
             return out, None, None
 
         wait.future = None
@@ -288,7 +294,7 @@ class GenerationServer:
         import queue as _queue
 
         max_new, temperature, top_p, top_k, seed = self._parse_sampling(req)
-        prompt, images, ids, pix = self._prepare_prompt(req)
+        prompt, images = extract_chat_content(req.get("messages", []))
         enum = self._schema_enum(req)
         rid = f"chatcmpl-{int(time.time() * 1e3)}"
         created = int(time.time())
@@ -303,6 +309,7 @@ class GenerationServer:
             text_override = self._constrained_choice(prompt, *enum,
                                                      images=images)
         else:
+            ids, pix = self._prepare_ids(prompt, images)
             tok_queue = _queue.Queue()
             wait = self._start_generation(ids, pix, max_new, temperature,
                                           top_p, top_k, seed,
@@ -385,7 +392,8 @@ class GenerationServer:
         from multimodal_colpali_tpu.generation.engine import LOGPROB_K
 
         max_new, temperature, top_p, top_k, seed = self._parse_sampling(req)
-        prompt, images, ids, pix = self._prepare_prompt(req)
+        prompt, images = extract_chat_content(req.get("messages", []))
+        ids = self._encode(prompt, add_special_tokens=True)  # usage default
         # OpenAI logprobs surface: per-token logprob + top-N alternatives,
         # served through the batcher submit payload; bare engines degrade
         # gracefully (field omitted), like other optional params.
@@ -399,6 +407,7 @@ class GenerationServer:
             out = self._encode(text)
             finish = "stop"  # constrained decoding always completes
         else:
+            ids, pix = self._prepare_ids(prompt, images)
             out, lps, tops = self._start_generation(
                 ids, pix, max_new, temperature, top_p, top_k, seed,
                 logprobs=lp_n)()

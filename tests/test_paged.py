@@ -445,3 +445,102 @@ def test_prefix_caching_skips_prefix_compute(tiny_lm):
     b8.drain()
     assert [f.result(10) for f in futs] == want8
     assert b8.prefix_prefill_hits == 1
+
+
+def _tiny_mm():
+    from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+    from multimodal_colpali_tpu.models.processing import ImagePreprocessor
+
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    params = jax.tree.map(jnp.asarray,
+                          fast_random_params(ColPaliModel(cfg), cfg, seed=3))
+    eng = GemmaDecodeEngine(cfg.text, params)
+    mm = PaliGemmaEngine(cfg, params)
+    pre = ImagePreprocessor(cfg.vision.image_size)
+    rng = np.random.default_rng(0)
+    from PIL import Image
+    img = Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    pix = pre([img])
+    ids = mm.build_mm_prompt([5, 9, 17], bos_id=2)
+    return eng, mm, pix, ids
+
+
+def test_mm_preemption_resumes_causally(tiny_lm):
+    """A preempted multimodal request must resume with the generated
+    suffix extended CAUSALLY (two-stage _mm_resume_prefill): re-prefilling
+    prompt+tokens bidirectionally would let the prefix attend the suffix
+    and diverge from the uninterrupted stream."""
+    eng, mm, pix, mm_ids = _tiny_mm()
+
+    def run(pool_pages):
+        bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                     chunk=2, page_size=8, mm_engine=mm,
+                                     pool_pages=pool_pages)
+        # older text request so the mm request is the youngest (the victim)
+        f_txt = bat.submit(list(range(2, 14)), max_new_tokens=12)
+        with bat._lock:
+            bat._admit()
+            bat._step_chunk()
+        f_mm = bat.submit(mm_ids, max_new_tokens=10, pixel_values=[pix])
+        bat.drain()
+        return bat, f_txt.result(10), f_mm.result(10)
+
+    base, txt0, mm0 = run(None)                 # roomy pool: no preemption
+    assert base.preemptions == 0
+    # 4 usable pages; text needs 3 and mm needs 3, so decode growth forces
+    # evicting the younger (mm) request mid-stream
+    tight, txt1, mm1 = run(5)
+    assert tight.preemptions > 0
+    assert txt1 == txt0
+    assert mm1 == mm0, (mm1, mm0)
+
+
+def test_mm_prompts_never_share_pages(tiny_lm):
+    """Multimodal prompts are excluded from prefix-cache page sharing:
+    PaliGemma prefill is bidirectional, so identical leading tokens do NOT
+    imply identical K/V (a second question would silently answer under the
+    first question's context)."""
+    eng, mm, pix, mm_ids = _tiny_mm()
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=2, page_size=8, mm_engine=mm,
+                                 prefix_caching=True)
+    mm_ids2 = mm_ids[:-1] + [24]                # same image tokens, new tail
+    futs = [bat.submit(mm_ids, max_new_tokens=4, pixel_values=[pix]),
+            bat.submit(mm_ids2, max_new_tokens=4, pixel_values=[pix])]
+    bat.drain()
+    got = [f.result(10) for f in futs]
+    assert bat.prefix_cache_hits == 0 and bat.prefix_prefill_hits == 0
+    # oracle: no-prefix-caching batcher
+    ref = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=2, page_size=8, mm_engine=mm)
+    futs = [ref.submit(mm_ids, max_new_tokens=4, pixel_values=[pix]),
+            ref.submit(mm_ids2, max_new_tokens=4, pixel_values=[pix])]
+    ref.drain()
+    assert got == [f.result(10) for f in futs]
+
+
+def test_fail_all_releases_pages_and_recovers(tiny_lm):
+    """After a scheduler error fails the in-flight requests, the paged
+    allocator must be clean (refcounts back to zero, block tables cleared)
+    so the NEXT requests admit and complete correctly."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8, prefix_caching=True)
+    shared = list(range(2, 18))
+    futs = [bat.submit(shared + [40], max_new_tokens=8),
+            bat.submit(shared + [50], max_new_tokens=8)]
+    with bat._lock:
+        bat._admit()
+        bat._step_chunk()               # both slots mid-decode
+        bat._fail_all(RuntimeError("injected"))
+    for f in futs:
+        with pytest.raises(RuntimeError, match="injected"):
+            f.result(10)
+    assert all(r == 0 for r in bat._page_ref)
+    assert not any(bat._slot_pages)
+    # the pool serves new requests correctly afterwards
+    fut = bat.submit(shared + [60], max_new_tokens=6)
+    bat.drain()
+    assert fut.result(10) == eng.generate([shared + [60]],
+                                          max_new_tokens=6)[0]
