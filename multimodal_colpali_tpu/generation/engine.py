@@ -416,7 +416,15 @@ class PaliGemmaEngine:
 
     def _merged_embeds(self, ids: jax.Array, pix: jax.Array) -> jax.Array:
         """Token embeds with projected image features scattered into the
-        <image> slots (mirrors ColPaliModel, models/colpali.py)."""
+        <image> slots (mirrors ColPaliModel, models/colpali.py).
+
+        ``pix`` is ``[B, H, W, 3]`` (one image per row) or
+        ``[B, N, H, W, 3]`` (N images per row - the reference's serving
+        config allows 10 images per prompt, 00_run_docker_containers.sh:37-38,
+        and exp-02 builds multi-image context prompts,
+        05_experiment02.py:155-166). With N images the prompt carries
+        ``N * num_patches`` image tokens; patches are consumed in image
+        order, exactly like HF's masked-scatter merge."""
         from multimodal_colpali_tpu.models.siglip import SiglipVisionTower
 
         c = self.cfg
@@ -425,8 +433,13 @@ class PaliGemmaEngine:
         embeds = jnp.take(
             table, jnp.where(ids == c.image_token_id, 0, ids), axis=0
         ).astype(self.lm.dtype)
+        if pix.ndim == 4:
+            pix = pix[:, None]                       # [B, 1, H, W, 3]
+        b, n_img = pix.shape[:2]
         vis = SiglipVisionTower(c.vision).apply(
-            {"params": self.vision_params}, pix.astype(self.lm.dtype))
+            {"params": self.vision_params},
+            pix.reshape((b * n_img,) + pix.shape[2:]).astype(self.lm.dtype))
+        vis = vis.reshape(b, n_img * vis.shape[1], vis.shape[-1])
         img = L.dense(vis, self.projector_params["kernel"],
                       self.projector_params.get("bias"))
         img = img / jnp.asarray(c.text.hidden_size ** 0.5, img.dtype)
@@ -566,15 +579,18 @@ class PaliGemmaEngine:
             jnp.asarray(pixel_values)))
 
     def build_mm_prompt(self, text_ids: Sequence[int], bos_id: int = 2,
-                        newline_ids: Sequence[int] = ()) -> List[int]:
-        """PaliGemma prompt layout: [image]*n_patches + bos + text (+ the
-        prefix/suffix separator). PaliGemma was trained with a trailing
-        "\\n" closing the prefix - pass its token ids as ``newline_ids``
-        (tokenizer-dependent) or include it in ``text_ids``; omitting it
-        conditions generation on a malformed prefix."""
+                        newline_ids: Sequence[int] = (),
+                        n_images: int = 1) -> List[int]:
+        """PaliGemma prompt layout: [image]*n_patches*n_images + bos + text
+        (+ the prefix/suffix separator). PaliGemma was trained with a
+        trailing "\\n" closing the prefix - pass its token ids as
+        ``newline_ids`` (tokenizer-dependent) or include it in ``text_ids``;
+        omitting it conditions generation on a malformed prefix.
+        ``n_images > 1`` interleaves nothing: all images' patch tokens lead
+        the prompt in order, matching ``_merged_embeds``'s consumption."""
         c = self.cfg
-        return ([c.image_token_id] * c.vision.num_patches + [bos_id]
-                + list(text_ids) + list(newline_ids))
+        return ([c.image_token_id] * (c.vision.num_patches * max(1, n_images))
+                + [bos_id] + list(text_ids) + list(newline_ids))
 
 
 class ByteTokenizer:

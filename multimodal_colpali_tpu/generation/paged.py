@@ -290,7 +290,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
     # -- ContinuousBatcher hooks -------------------------------------------------
 
-    def _can_admit(self, s: int, n_prompt: int, budget: int) -> bool:
+    def _can_admit(self, s: int, n_prompt: int, budget: int,
+                   tokens=None, mm: bool = False) -> bool:
         """Admit only requests that (a) fit the free pool right now and
         (b) could finish with the pool to themselves. Without (b), a
         request whose prompt consumes the whole pool but still has decode
@@ -302,7 +303,16 @@ class PagedContinuousBatcher(ContinuousBatcher):
         bucketed ``s``), tok0 comes from the prefill logits without a KV
         row, and each of the remaining ``budget - 1`` decode steps writes
         one row - so peak demand is ``n_prompt + budget - 1`` rows, with
-        ``budget`` clamped to the slot row capacity as at install time."""
+        ``budget`` clamped to the slot row capacity as at install time.
+
+        With ``prefix_caching`` on, prompt pages whose chain keys already
+        live in the cache attach read-only without drawing on the free
+        pool, so only the non-cached remainder needs fresh pages - a
+        prompt whose prefix is fully cached must not be deferred (or
+        failed against an empty scheduler) for pages it will never
+        allocate. Reused pages currently parked in the LRU are excluded
+        from the free count (attaching them removes them from the LRU
+        before any fresh allocation can evict them)."""
         usable = self.P - 1                       # page 0 is the trash page
         budget_c = min(budget, self._slot_capacity(s))
         if budget_c <= 1:
@@ -312,7 +322,24 @@ class PagedContinuousBatcher(ContinuousBatcher):
             worst_rows = n_prompt + budget_c - 1
         if -(-worst_rows // self.page) > min(usable, self.NB):
             return False
-        return (-(-n_prompt // self.page)) <= min(self._free_now(), self.NB)
+        n_reused = 0
+        reused_in_lru = 0
+        if self.prefix_caching and tokens is not None and not mm:
+            # mirror _prefix_prefill's reuse depth exactly (incl. the
+            # keep-one-tail-token cap)
+            for key_i in self._chain_keys(tokens, None):
+                phys = self._key_page.get(key_i)
+                if phys is None:
+                    break
+                n_reused += 1
+            if n_reused * self.page >= n_prompt:
+                n_reused = max((n_prompt - 1) // self.page, 0)
+            for key_i in self._chain_keys(tokens, None)[:n_reused]:
+                if self._key_page[key_i] in self._cache_lru:
+                    reused_in_lru += 1
+        need_fresh = (-(-n_prompt // self.page)) - n_reused
+        avail = self._free_now() - reused_in_lru
+        return need_fresh <= min(avail, self.NB - n_reused)
 
     def _slot_capacity(self, s: int) -> int:
         return self.NB * self.page - s
@@ -420,12 +447,44 @@ class PagedContinuousBatcher(ContinuousBatcher):
         """On a scheduler error every active slot's pages must be released
         (refcounts dropped, block tables cleared) before the parent fails
         the futures - otherwise the next request admitted into the slot
-        misaligns against stale page lists and shared pages leak."""
+        misaligns against stale page lists and shared pages leak.
+
+        The pools themselves are REBUILT, not kept: ``_decode_fn`` jits
+        with ``donate_argnums`` on the pools, so a dispatch that fails
+        mid-flight (e.g. a transient TPU tunnel error) may already have
+        invalidated the donated buffers. Keeping serving with deleted
+        pools would brick every subsequent chunk/install; fresh zero
+        pools plus a reset allocator restore the documented
+        fail-loudly-and-keep-serving behavior. Cached prefix pages live
+        in the pools, so the prefix cache resets with them."""
         for slot, req in enumerate(self._slots):
             if req is not None:
                 self._release(slot)
-                self._len = self._len.at[slot].set(0)
-                self._remaining = self._remaining.at[slot].set(0)
+        self._remaining = jnp.zeros_like(self._remaining)
+        self._len = jnp.zeros((self.B,), jnp.int32)
+        c = self.cfg
+        pool_shape = (self.P, self.page, c.num_key_value_heads, c.head_dim)
+        if self.kv_dtype == "int8":
+            self._kpools = tuple(
+                (jnp.zeros(pool_shape, jnp.int8),
+                 jnp.zeros(pool_shape[:-1], jnp.float32))
+                for _ in range(c.num_hidden_layers))
+            self._vpools = tuple(
+                (jnp.zeros(pool_shape, jnp.int8),
+                 jnp.zeros(pool_shape[:-1], jnp.float32))
+                for _ in range(c.num_hidden_layers))
+        else:
+            self._kpools = tuple(jnp.zeros(pool_shape, self.engine.dtype)
+                                 for _ in range(c.num_hidden_layers))
+            self._vpools = tuple(jnp.zeros(pool_shape, self.engine.dtype)
+                                 for _ in range(c.num_hidden_layers))
+        self._free = list(range(self.P - 1, 0, -1))
+        self._slot_pages = [[] for _ in range(self.B)]
+        self._bt_host = np.zeros((self.B, self.NB), np.int32)
+        self._page_ref = [0] * self.P
+        self._page_key.clear()
+        self._key_page.clear()
+        self._cache_lru.clear()
         super()._fail_all(exc)
 
     # -- decode ------------------------------------------------------------------

@@ -268,6 +268,10 @@ class ContinuousBatcher:
                 fut.set_exception(ValueError(
                     "multimodal request but no mm_engine configured"))
                 return fut
+            # per-request images: [H, W, 3] one image or [N, H, W, 3] for N
+            # context images (the reference allows 10 per prompt,
+            # 00_run_docker_containers.sh:37-38); the prompt must carry
+            # N * num_patches image tokens (build_mm_prompt(n_images=N))
             pixel_values = np.asarray(pixel_values)
             if pixel_values.ndim == 3:
                 pixel_values = pixel_values[None]
@@ -313,9 +317,11 @@ class ContinuousBatcher:
             ids[0, -len(tokens):] = tokens
             mask[0, -len(tokens):] = 1
         if mm:
+            # pixel_values is the request's [N, H, W, 3] image stack; the
+            # prefill batch axis is the single slot -> [1, N, H, W, 3]
             out = self._jit[(kind, s)](
                 self.mm_engine.lm.params, jnp.asarray(ids),
-                jnp.asarray(mask), jnp.asarray(pixel_values))
+                jnp.asarray(mask), jnp.asarray(pixel_values)[None])
         else:
             out = self._jit[(kind, s)](
                 self.engine.params, jnp.asarray(ids), jnp.asarray(mask))
@@ -389,10 +395,12 @@ class ContinuousBatcher:
         None to run the whole-prompt prefill."""
         return None
 
-    def _can_admit(self, s: int, n_prompt: int, budget: int) -> bool:
+    def _can_admit(self, s: int, n_prompt: int, budget: int,
+                   tokens=None, mm: bool = False) -> bool:
         """Is there cache room right now for a prompt of ``n_prompt`` real
         tokens (bucketed to ``s``) with up to ``budget`` decode tokens to
-        come?"""
+        come? ``tokens``/``mm`` let subclasses with content-addressed KV
+        sharing (the paged batcher's prefix cache) count reusable pages."""
         return True
 
     def _slot_capacity(self, s: int) -> int:
@@ -438,7 +446,9 @@ class ContinuousBatcher:
             s = max(((len(prompt_eff) + self.bucket - 1) // self.bucket)
                     * self.bucket, self.bucket)
             if not self._can_admit(s, len(prompt_eff),
-                                   req.max_new_tokens - len(req.tokens)):
+                                   req.max_new_tokens - len(req.tokens),
+                                   tokens=prompt_eff,
+                                   mm=req.pixel_values is not None):
                 if not any(r is not None for r in self._slots):
                     # nothing active will ever free capacity: the request
                     # simply does not fit - fail loudly instead of hanging
@@ -612,13 +622,22 @@ class ContinuousBatcher:
                 self._finish(slot)
 
     def drain(self) -> None:
-        """Run until every queued/active request completes (synchronous)."""
+        """Run until every queued/active request completes (synchronous).
+
+        A failure mid-drain fails every in-flight and queued future (as
+        the ``serve()`` loop does) before re-raising - otherwise any other
+        holder of those futures would block until timeout on requests the
+        scheduler will never finish."""
         with self._lock:
-            while (not self._queue.empty() or self._readmit
-                   or any(r is not None for r in self._slots)):
-                self._admit()
-                if any(r is not None for r in self._slots):
-                    self._step_chunk()
+            try:
+                while (not self._queue.empty() or self._readmit
+                       or any(r is not None for r in self._slots)):
+                    self._admit()
+                    if any(r is not None for r in self._slots):
+                        self._step_chunk()
+            except Exception as exc:  # noqa: BLE001
+                self._fail_all(exc)
+                raise
 
     # -- background serving ----------------------------------------------------
 

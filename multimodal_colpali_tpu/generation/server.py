@@ -155,7 +155,8 @@ class GenerationServer:
         highest - the serving-side equivalent of the structured parse the
         reference gets from OpenAI (05_experiment02.py:49-50,297-298).
         With images and a multimodal engine, the logits are conditioned on
-        the first image (exp-02's image-context MCQ requests)."""
+        ALL the request's images (exp-02's image-context MCQ requests carry
+        top_k retrieved pages per prompt, 05_experiment02.py:155-166)."""
         import json as _json
 
         import numpy as np
@@ -172,11 +173,12 @@ class GenerationServer:
             first_tokens.append(full[base_len] if len(full) > base_len
                                 else full[-1])
         if images and self.mm_engine is not None:
-            pix = self.image_preprocessor([images[0]])
+            pix = self.image_preprocessor(images)        # [N, H, W, 3]
             ids = self.mm_engine.build_mm_prompt(
                 self._encode(scaffold),
-                bos_id=getattr(self.tokenizer, "bos_id", 2))
-            logits = self.mm_engine.next_token_logits([ids], pix)[0]
+                bos_id=getattr(self.tokenizer, "bos_id", 2),
+                n_images=len(images))
+            logits = self.mm_engine.next_token_logits([ids], pix[None])[0]
         else:
             engine = getattr(self.engine, "engine", self.engine)  # unwrap batcher
             ids = self._encode(scaffold, add_special_tokens=True)
@@ -228,11 +230,14 @@ class GenerationServer:
         pix = None
         ids = self._encode(prompt, add_special_tokens=True)
         if images and self.mm_engine is not None:
-            pix = self.image_preprocessor([images[0]])
+            # every context image conditions the generation (the reference
+            # serves up to 10 per prompt, 00_run_docker_containers.sh:37-38)
+            pix = self.image_preprocessor(images)        # [N, H, W, 3]
             ids = self.mm_engine.build_mm_prompt(
                 self._encode(prompt),
                 bos_id=getattr(self.tokenizer, "bos_id", 2),
-                newline_ids=self._encode("\n"))
+                newline_ids=self._encode("\n"),
+                n_images=len(images))
         return ids, pix
 
     def _start_generation(self, ids, pix, max_new, temperature, top_p,
@@ -242,8 +247,8 @@ class GenerationServer:
         Returns a zero-arg ``wait()`` producing ``(tokens, lps|None,
         tops|None)``. Batcher engines go through ``submit`` (per-token
         callbacks, logprobs, shared slot batch - note ``pixel_values`` is
-        the single request's ``[1, H, W, 3]`` batch, NOT a list); bare
-        engines generate synchronously inside ``wait`` and then replay
+        the single request's ``[N, H, W, 3]`` image stack, NOT a list);
+        bare engines generate synchronously inside ``wait`` and then replay
         ``on_token`` (no incremental stream, no logprobs)."""
         eos_id = getattr(self.tokenizer, "eos_id", -1)
         submit = getattr(self.engine, "submit", None)
@@ -267,7 +272,7 @@ class GenerationServer:
             # (the streaming caller emits wait()'s text in one chunk)
             if pix is not None:
                 out = self.mm_engine.generate(
-                    [ids], pix, max_new_tokens=max_new,
+                    [ids], pix[None], max_new_tokens=max_new,
                     temperature=temperature, eos_id=eos_id, seed=seed,
                     top_p=top_p, top_k=top_k)[0]
             else:

@@ -35,7 +35,11 @@ codes with one fp32 absmax scale per (token, kv head) - vLLM's
 the tokens a fixed HBM budget can hold. The scales factor OUT of both dots
 (``q @ (k*s)^T = (q @ k^T) * s`` column-wise, and ``(p*s) @ v`` for the
 value side), so the MXU still runs bf16 x bf16 - int8->bf16 is exact for
-|code| <= 127, making the kernel bit-equivalent to dequantize-then-attend.
+|code| <= 127. Note the factored order is numerically equivalent to
+dequantize-then-attend only within bf16 rounding, not bit-identical: the
+XLA oracle rounds ``codes * scale`` to bf16 BEFORE its dot, while the
+kernel multiplies the fp32 scale AFTER an int8->bf16 dot (tests pin the
+two paths to a small tolerance, not equality).
 """
 
 from __future__ import annotations

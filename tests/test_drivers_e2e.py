@@ -314,14 +314,17 @@ def test_experiment02_fully_local_multimodal(workspace):
               "--cache_dir", str(ws / "cache_local"),
               "--models", "gpt-5",
               "--retrievers", "tiny-colpali",
-              "--iterations", "1", "--top_k", "1", "--context",
+              "--iterations", "1", "--top_k", "2", "--context",
               "--base-url", base, "--seed", "0"], _env(base))
         csvs = sorted(results.glob("eval_*.csv"))
         assert len(csvs) == 1
         df = pd.read_csv(csvs[0])
         assert set(df["Answer"]) <= {"A", "B", "C", "D"}, df["Answer"]
         refs = eval(df["Context_papers"].iloc[0])
-        assert refs and all("_pg_" in r for r in refs)
+        # top_k=2: each MCQ request carried TWO context page images (the
+        # reference's multi-image prompts, 05_experiment02.py:155-166) and
+        # the first-party server conditioned on both
+        assert len(refs) == 2 and all("_pg_" in r for r in refs)
     finally:
         serve.terminate()
         serve.wait(timeout=10)

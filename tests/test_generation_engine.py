@@ -1202,3 +1202,130 @@ def test_stream_flush_with_unstable_detokenizer(tiny_lm):
         # the merged pair streamed incrementally (not one terminal blob)
         assert sum(1 for c in chunks
                    if c["choices"][0]["delta"].get("content")) >= 3
+
+
+def test_paligemma_two_image_generation_matches_hf(tiny_lm):
+    """Multi-image prompts (the reference serves up to 10 images/prompt,
+    00_run_docker_containers.sh:37-38; exp-02 builds multi-image context,
+    05_experiment02.py:155-166): a 2-image prompt must match torch
+    PaliGemma with the same ported weights - patches consumed in image
+    order by the masked scatter."""
+    torch = pytest.importorskip("torch")
+    from transformers import ColPaliForRetrieval, ColPaliConfig
+    from transformers.models.paligemma import PaliGemmaConfig
+
+    from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+    from multimodal_colpali_tpu.models import hf_import
+
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    hf_cfg = ColPaliConfig(
+        vlm_config=PaliGemmaConfig(
+            vision_config=dict(
+                hidden_size=cfg.vision.hidden_size,
+                intermediate_size=cfg.vision.intermediate_size,
+                num_hidden_layers=cfg.vision.num_hidden_layers,
+                num_attention_heads=cfg.vision.num_attention_heads,
+                image_size=cfg.vision.image_size,
+                patch_size=cfg.vision.patch_size,
+            ),
+            text_config=dict(
+                hidden_size=cfg.text.hidden_size,
+                intermediate_size=cfg.text.intermediate_size,
+                num_hidden_layers=cfg.text.num_hidden_layers,
+                num_attention_heads=cfg.text.num_attention_heads,
+                num_key_value_heads=cfg.text.num_key_value_heads,
+                head_dim=cfg.text.head_dim,
+                vocab_size=cfg.text.vocab_size,
+            ),
+            projection_dim=cfg.text.hidden_size,
+            image_token_index=cfg.image_token_id,
+        ),
+        embedding_dim=cfg.embedding_dim,
+    )
+    torch.manual_seed(0)
+    hf = ColPaliForRetrieval(hf_cfg).eval()
+    params = hf_import.colpali_params_from_hf(hf.state_dict(), cfg)
+
+    rng = np.random.default_rng(7)
+    eng = PaliGemmaEngine(cfg, params)
+    text_ids = [5, 9, 11]
+    prompt = eng.build_mm_prompt(text_ids, bos_id=2, n_images=2)
+    assert prompt.count(cfg.image_token_id) == 2 * cfg.vision.num_patches
+    pix = rng.standard_normal(
+        (2, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+
+    got = eng.generate([prompt], pix[None], max_new_tokens=5,
+                       bucket=len(prompt))[0]
+
+    vlm = hf.vlm
+    ids_t = torch.tensor([prompt], dtype=torch.long)
+    with torch.no_grad():
+        out = vlm.generate(
+            input_ids=ids_t,
+            attention_mask=torch.ones_like(ids_t),
+            pixel_values=torch.from_numpy(pix.transpose(0, 3, 1, 2)),
+            max_new_tokens=5, do_sample=False,
+        )
+    want = out[0, len(prompt):].tolist()
+    assert got == want, (got, want)
+
+
+def test_server_multi_image_requests(tiny_lm):
+    """Messages carrying SEVERAL image data URLs must condition generation
+    on every image (regression: images[1:] were silently dropped). The
+    usage accounting proves both image prefixes entered the prompt, and a
+    different second image changes the greedy answer."""
+    from PIL import Image
+
+    from multimodal_colpali_tpu.generation.engine import (
+        ModuloTokenizer, PaliGemmaEngine)
+    from multimodal_colpali_tpu.generation.messages import pil_image_to_data_url
+    from multimodal_colpali_tpu.generation.server import GenerationServer
+    from multimodal_colpali_tpu.models.colpali import ColPaliModel
+    from multimodal_colpali_tpu.models.processing import ImagePreprocessor
+    from multimodal_colpali_tpu.models.registry import fast_random_params
+
+    import json as _json
+    import urllib.request
+
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    params = jax.tree.map(jnp.asarray,
+                          fast_random_params(ColPaliModel(cfg), cfg, seed=3))
+    eng = GemmaDecodeEngine(cfg.text, params)
+    mm = PaliGemmaEngine(cfg, params)
+    tok = ModuloTokenizer(cfg.text.vocab_size)
+    pre = ImagePreprocessor(cfg.vision.image_size)
+
+    def ask(srv, imgs):
+        msg = [{"role": "user", "content":
+                [{"type": "text", "text": "compare the figures"}]
+                + [{"type": "image_url",
+                    "image_url": {"url": pil_image_to_data_url(im)}}
+                   for im in imgs]}]
+        req = urllib.request.Request(
+            srv.base_url + "/chat/completions",
+            data=_json.dumps({"model": "tiny", "max_tokens": 8,
+                              "messages": msg}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return _json.load(r)
+
+    black = Image.new("RGB", (64, 64), (0, 0, 0))
+    white = Image.new("RGB", (64, 64), (255, 255, 255))
+    noise = Image.fromarray(
+        (np.random.default_rng(0).integers(0, 255, (64, 64, 3))
+         ).astype(np.uint8))
+    with GenerationServer(eng, tok, mm_engine=mm,
+                          image_preprocessor=pre) as srv:
+        r_bw = ask(srv, [black, white])
+        r_bn = ask(srv, [black, noise])
+    n_text = len(tok.encode("user: compare the figures\nassistant:",
+                            add_special_tokens=True))
+    # both image prefixes are in the prompt accounting
+    assert r_bw["usage"]["prompt_tokens"] >= \
+        n_text + 2 * cfg.vision.num_patches
+    # the SECOND image influences the answer
+    a_bw = r_bw["choices"][0]["message"]["content"]
+    a_bn = r_bn["choices"][0]["message"]["content"]
+    assert a_bw != a_bn, "second image did not condition the generation"

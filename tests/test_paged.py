@@ -544,3 +544,142 @@ def test_fail_all_releases_pages_and_recovers(tiny_lm):
     bat.drain()
     assert fut.result(10) == eng.generate([shared + [60]],
                                           max_new_tokens=6)[0]
+
+
+def test_fail_all_rebuilds_donated_pools(tiny_lm):
+    """_decode_fn donates the pools, so a dispatch that dies mid-flight
+    (the TPU-tunnel failure mode) leaves them invalidated. _fail_all must
+    rebuild the pools + allocator, or every later chunk/install touches
+    deleted buffers and the batcher is permanently bricked while serve()
+    claims to keep serving (ADVICE r2, medium)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8)
+    futs = [bat.submit([5, 9, 17, 3], max_new_tokens=8),
+            bat.submit([40, 2, 7], max_new_tokens=8)]
+    with bat._lock:
+        bat._admit()
+        # simulate the donated buffers being consumed by the failed call
+        for leaf in jax.tree.leaves((bat._kpools, bat._vpools)):
+            leaf.delete()
+        bat._fail_all(RuntimeError("injected dispatch failure"))
+    for f in futs:
+        with pytest.raises(RuntimeError, match="injected"):
+            f.result(10)
+    prompt = [5, 9, 17, 3]
+    fut = bat.submit(prompt, max_new_tokens=6)
+    bat.drain()
+    assert fut.result(10) == eng.generate([prompt], max_new_tokens=6)[0]
+
+
+def test_fail_all_rebuilds_donated_pools_int8(tiny_lm):
+    """Same recovery contract for the int8 pool layout (codes + scales)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8, kv_dtype="int8")
+    fut0 = bat.submit([5, 9, 17, 3], max_new_tokens=8)
+    with bat._lock:
+        bat._admit()
+        for leaf in jax.tree.leaves((bat._kpools, bat._vpools)):
+            leaf.delete()
+        bat._fail_all(RuntimeError("injected dispatch failure"))
+    with pytest.raises(RuntimeError, match="injected"):
+        fut0.result(10)
+    prompt = [7, 11, 2]
+    want = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                  chunk=3, page_size=8, kv_dtype="int8"
+                                  ).generate([prompt], max_new_tokens=6)[0]
+    fut = bat.submit(prompt, max_new_tokens=6)
+    bat.drain()
+    assert fut.result(10) == want
+
+
+def test_prefix_cached_prompt_admits_against_scarce_free_pages(tiny_lm):
+    """A prompt whose prefix is LIVE-cached (pages referenced by another
+    active request) needs fresh pages only for the non-cached remainder;
+    admission must not demand free pages for the whole prompt (ADVICE r2,
+    low)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    shared = list(range(2, 18))                 # two full pages @ 8
+    a, b = shared + [40], shared + [50]
+    want = [eng.generate([p], max_new_tokens=4)[0] for p in (a, b)]
+    # 4 usable pages: A holds 3 (2 shared + 1 tail), leaving ONE free page -
+    # enough for B's tail only if the 2 cached prefix pages are counted
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8, pool_pages=5,
+                                 prefix_caching=True)
+    fut_a = bat.submit(a, max_new_tokens=4)
+    with bat._lock:
+        bat._admit()
+    assert bat._slots[0] is not None            # A active, pages live
+    fut_b = bat.submit(b, max_new_tokens=4)
+    with bat._lock:
+        bat._admit()
+    assert bat._slots[1] is not None, \
+        "cached-prefix request was deferred despite needing only one page"
+    bat.drain()
+    assert [fut_a.result(10), fut_b.result(10)] == want
+
+
+def test_drain_failure_resolves_futures(tiny_lm):
+    """If the synchronous drain path raises, in-flight and queued futures
+    must be failed (like serve()'s loop does) before the exception
+    propagates - not left pending for other holders to time out on
+    (ADVICE r2, low)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8)
+    futs = [bat.submit([5, 9, 17], max_new_tokens=8),
+            bat.submit([40, 2], max_new_tokens=8),
+            bat.submit([7, 7, 7], max_new_tokens=8)]   # third stays queued
+
+    def boom():
+        raise RuntimeError("injected step failure")
+
+    bat._step_chunk = boom
+    with pytest.raises(RuntimeError, match="injected step"):
+        bat.drain()
+    for f in futs:
+        assert f.done()
+        with pytest.raises(RuntimeError, match="injected step"):
+            f.result(0)
+
+
+def test_paged_batcher_multi_image_request(tiny_lm):
+    """A request with TWO context images (the reference's serving config
+    allows 10 per prompt, 00_run_docker_containers.sh:37-38) admits through
+    the paged batcher and matches the isolated 2-image PaliGemmaEngine
+    stream; the images genuinely both condition the output."""
+    from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+
+    cfg = ColPaliModelConfig.tiny(vocab_size=64)
+    params = jax.tree.map(jnp.asarray,
+                          fast_random_params(ColPaliModel(cfg), cfg, seed=3))
+    eng = GemmaDecodeEngine(cfg.text, params)
+    mm = PaliGemmaEngine(cfg, params)
+
+    rng = np.random.default_rng(6)
+    imgs = rng.standard_normal(
+        (2, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    prompt2 = mm.build_mm_prompt([5, 9, 11], bos_id=2, n_images=2)
+    want = mm.generate([prompt2], imgs[None], max_new_tokens=6,
+                       bucket=len(prompt2))[0]
+    # swapping image order must change the stream (both images attended)
+    swapped = mm.generate([prompt2], imgs[::-1][None].copy(),
+                          max_new_tokens=6, bucket=len(prompt2))[0]
+    assert want != swapped
+
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=96, chunk=3,
+                                 prompt_bucket=len(prompt2), mm_engine=mm,
+                                 page_size=8)
+    txt_fut = bat.submit([40, 2, 7], max_new_tokens=8)
+    mm_fut = bat.submit(prompt2, max_new_tokens=6, pixel_values=imgs)
+    bat.drain()
+    assert mm_fut.result(timeout=60) == want
+    assert txt_fut.result(timeout=60) == eng.generate(
+        [[40, 2, 7]], max_new_tokens=8)[0]
