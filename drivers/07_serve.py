@@ -65,32 +65,47 @@ def main() -> None:
         ByteTokenizer, GemmaDecodeEngine, ModuloTokenizer)
     from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
     from multimodal_colpali_tpu.generation.server import GenerationServer
-    from multimodal_colpali_tpu.models.registry import load_retriever
+    from multimodal_colpali_tpu.models.registry import (
+        GEMMA3_CONFIGS, load_gemma3_lm, load_retriever)
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")  # random-init warning when no ckpt
-        retriever = load_retriever(args.model)
-    if retriever.family != "colpali":
-        raise SystemExit("serving currently supports the Gemma-LM (colpali) "
-                         f"family; {args.model!r} is {retriever.family!r}")
-    cfg = retriever.model.cfg
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    engine = GemmaDecodeEngine(cfg.text, retriever.params, dtype=dtype)
-
-    tok = getattr(retriever.processor, "tokenizer", None)
-    if tok is None or not hasattr(tok, "decode"):
-        # fallback for random-weight serving: ids must fit the model vocab
-        # (ByteTokenizer's ids span 0..258)
-        vocab = cfg.text.vocab_size
-        tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
-
-    # image-conditioned generation on the same weights (PaliGemma prefix)
     mm_engine = image_pre = None
-    if hasattr(retriever.processor, "image_preprocessor"):
-        from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+    if args.model in GEMMA3_CONFIGS:
+        # the reference's actual generator class (Gemma-3; vLLM serves
+        # google/gemma-3-27b-it, 00_run_docker_containers.sh:26-39),
+        # first-party: text-only LM, no PaliGemma image path
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cfg3, params, tok = load_gemma3_lm(args.model, dtype=dtype)
+        engine = GemmaDecodeEngine(cfg3, params, dtype=dtype)
+        if tok is None:
+            vocab = cfg3.vocab_size
+            tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
+    else:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # random-init warning, no ckpt
+            retriever = load_retriever(args.model)
+        if retriever.family != "colpali":
+            raise SystemExit(
+                "serving supports the Gemma-LM (colpali) family and the "
+                f"gemma3 LMs ({sorted(GEMMA3_CONFIGS)}); {args.model!r} is "
+                f"{retriever.family!r}")
+        cfg = retriever.model.cfg
+        engine = GemmaDecodeEngine(cfg.text, retriever.params, dtype=dtype)
 
-        mm_engine = PaliGemmaEngine(cfg, retriever.params, dtype=dtype)
-        image_pre = retriever.processor.image_preprocessor
+        tok = getattr(retriever.processor, "tokenizer", None)
+        if tok is None or not hasattr(tok, "decode"):
+            # fallback for random-weight serving: ids must fit the model
+            # vocab (ByteTokenizer's ids span 0..258)
+            vocab = cfg.text.vocab_size
+            tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
+
+        # image-conditioned generation on the same weights (PaliGemma prefix)
+        if hasattr(retriever.processor, "image_preprocessor"):
+            from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+
+            mm_engine = PaliGemmaEngine(cfg, retriever.params, dtype=dtype)
+            image_pre = retriever.processor.image_preprocessor
 
     backend = engine
     batcher = None

@@ -122,11 +122,23 @@ def _step_logprobs(logits: jax.Array, nxt: jax.Array):
     return lp, tid.astype(jnp.int32), tlp
 
 
+def attn_scale(c) -> float:
+    """Attention logit scale per architecture: Gemma-3 scales by
+    ``query_pre_attn_scalar`` (HF Gemma3Attention.scaling), Gemma-1 by
+    head_dim."""
+    return float(getattr(c, "query_pre_attn_scalar", None)
+                 or c.head_dim) ** -0.5
+
+
 def layer_stack(p, c: "GemmaTextConfig", x: jax.Array, positions: jax.Array,
                 kv_write, attend):
     """The Gemma per-layer decode body (rms -> qkv proj -> rope -> attend ->
     o_proj -> rms -> gated mlp), shared by every decode path so the math
     lives in ONE place (CLAUDE.md: must mirror models/gemma.py exactly).
+
+    Configs with ``is_gemma3`` dispatch to the Gemma-3 body (q/k norm,
+    dual rope bases, sandwich norms) - same injection contract, so every
+    batcher serves both architectures.
 
     The two things that differ between the dense-chunk, per-slot and
     paged-pool paths are injected:
@@ -135,11 +147,15 @@ def layer_stack(p, c: "GemmaTextConfig", x: jax.Array, positions: jax.Array,
       (``[B, S, n_kv, head_dim]``) for layer ``i``, return the updated
       cache/pool operands the attention reads from.
     - ``attend(i, q, kc, vc) -> att``: attention for layer ``i``; any
-      shape that reshapes to ``[B, S, n_heads*head_dim]``.
+      shape that reshapes to ``[B, S, n_heads*head_dim]``. For Gemma-3
+      the caller's ``attend`` must apply the sliding-window mask on
+      ``c.layer_types_resolved[i] == "sliding_attention"`` layers.
 
     x: [B, S, H]; positions: [B, S]. Returns (hidden [B, S, H] after the
     final norm, (k_caches, v_caches) as tuples over layers).
     """
+    if getattr(c, "is_gemma3", False):
+        return _layer_stack_gemma3(p, c, x, positions, kv_write, attend)
     b, s, _ = x.shape
     new_k, new_v = [], []
     for i in range(c.num_hidden_layers):
@@ -163,6 +179,54 @@ def layer_stack(p, c: "GemmaTextConfig", x: jax.Array, positions: jax.Array,
         up = _lin(y, lp["mlp"]["up_proj"])
         x = x + _lin(jax.nn.gelu(gate, approximate=True) * up,
                      lp["mlp"]["down_proj"])
+    x = _rms(x, p["language_model"]["norm"]["weight"], c.rms_norm_eps)
+    return x, (tuple(new_k), tuple(new_v))
+
+
+def _layer_stack_gemma3(p, c, x: jax.Array, positions: jax.Array,
+                        kv_write, attend):
+    """Gemma-3 per-layer body (HF ``Gemma3DecoderLayer.forward``): q/k
+    RMSNorm before rope, per-layer rope base (sliding layers
+    ``rope_local_base_freq`` unscaled; global layers ``rope_theta`` with
+    linear position scaling), and sandwich norms (post-attention and
+    pre/post-feedforward) around both residual branches. Same injection
+    contract as ``layer_stack``; sliding-window masking is the caller's
+    ``attend``'s job (it owns the masks)."""
+    b, s, _ = x.shape
+    types = c.layer_types_resolved
+    new_k, new_v = [], []
+    for i in range(c.num_hidden_layers):
+        lp = p["language_model"][f"layers_{i}"]
+        sliding = types[i] == "sliding_attention"
+        theta = c.rope_local_base_freq if sliding else c.rope_theta
+        pos = (positions if sliding
+               else positions / jnp.float32(c.rope_scaling_factor))
+        y = _rms(x, lp["input_layernorm"]["weight"], c.rms_norm_eps)
+        q = _lin(y, lp["self_attn"]["q_proj"]).reshape(
+            b, s, c.num_attention_heads, c.head_dim)
+        k = _lin(y, lp["self_attn"]["k_proj"]).reshape(
+            b, s, c.num_key_value_heads, c.head_dim)
+        v = _lin(y, lp["self_attn"]["v_proj"]).reshape(
+            b, s, c.num_key_value_heads, c.head_dim)
+        q = _rms(q, lp["self_attn"]["q_norm"]["weight"], c.rms_norm_eps)
+        k = _rms(k, lp["self_attn"]["k_norm"]["weight"], c.rms_norm_eps)
+        q = L.rope(q, pos, theta=theta)
+        k = L.rope(k, pos, theta=theta)
+        kc, vc = kv_write(i, k, v)
+        new_k.append(kc)
+        new_v.append(vc)
+        att = attend(i, q, kc, vc)
+        att_out = _lin(att.reshape(b, s, -1), lp["self_attn"]["o_proj"])
+        x = x + _rms(att_out, lp["post_attention_layernorm"]["weight"],
+                     c.rms_norm_eps)
+        y = _rms(x, lp["pre_feedforward_layernorm"]["weight"],
+                 c.rms_norm_eps)
+        gate = _lin(y, lp["mlp"]["gate_proj"])
+        up = _lin(y, lp["mlp"]["up_proj"])
+        ff = _lin(jax.nn.gelu(gate, approximate=True) * up,
+                  lp["mlp"]["down_proj"])
+        x = x + _rms(ff, lp["post_feedforward_layernorm"]["weight"],
+                     c.rms_norm_eps)
     x = _rms(x, p["language_model"]["norm"]["weight"], c.rms_norm_eps)
     return x, (tuple(new_k), tuple(new_v))
 
@@ -217,11 +281,22 @@ class GemmaDecodeEngine:
         b, s, _ = x.shape
         t = kcaches[0].shape[1]
         mask = kv_valid[:, None, None, :]
+        gq = write_idx + jnp.arange(s)                          # [S]
         if causal:
             # chunk token i sits at global slot write_idx+i
-            gq = write_idx + jnp.arange(s)                      # [S]
             mask = mask & (jnp.arange(t)[None, :] <= gq[:, None])[None, None]
         mask = jnp.broadcast_to(mask, (b, 1, s, t)).astype(bool)
+        types = (c.layer_types_resolved
+                 if getattr(c, "is_gemma3", False) else None)
+        if types is not None:
+            # sliding layers attend only the last sliding_window slots;
+            # left-padding is safe - pads sit before the real tokens and
+            # are already masked by kv_valid, and slot distance equals
+            # token distance within a contiguous request
+            sl_mask = mask & (jnp.arange(t)[None, :]
+                              > (gq - c.sliding_window)[:, None])[None, None]
+            sl_mask = jnp.broadcast_to(sl_mask, (b, 1, s, t)).astype(bool)
+        sc = attn_scale(c)
 
         def kv_write(i, k, v):
             kc = jax.lax.dynamic_update_slice(kcaches[i], k, (0, write_idx, 0, 0))
@@ -229,7 +304,10 @@ class GemmaDecodeEngine:
             return kc, vc
 
         def attend(i, q, kc, vc):
-            return L.attention(q, kc, vc, mask=mask, scale=c.head_dim ** -0.5)
+            m = mask
+            if types is not None and types[i] == "sliding_attention":
+                m = sl_mask
+            return L.attention(q, kc, vc, mask=m, scale=sc)
 
         return layer_stack(p, c, x, positions, kv_write, attend)
 

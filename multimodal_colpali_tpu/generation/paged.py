@@ -107,6 +107,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
             self._vpools = tuple(jnp.zeros(pool_shape, engine.dtype)
                                  for _ in range(c.num_hidden_layers))
         self._len = jnp.zeros((self.B,), jnp.int32)     # tokens held per slot
+        self._place_pool_state()
         # host-side allocator state; page 0 is the trash page
         self._free: List[int] = list(range(self.P - 1, 0, -1))
         self._slot_pages: List[List[int]] = [[] for _ in range(self.B)]
@@ -124,6 +125,32 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._cache_lru: "OrderedDict[int, None]" = OrderedDict()  # ref==0
         self.prefix_cache_hits = 0
         self.prefix_prefill_hits = 0   # tail-only prefills (compute skipped)
+
+    def _place_pool_state(self) -> None:
+        """Mesh placement for the paged tier: the shared page pool shards
+        its KV-head axis over "model" (each TP shard owns its heads' pages
+        - no duplication of the dominant serving buffer) when the head
+        count divides the axis, else replicates; ``_len`` shards with the
+        slot batch. Block tables are small host int32 arrays refreshed per
+        chunk and stay replicated."""
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        c = self.cfg
+        tp = self.mesh.shape.get("model", 1)
+        h = "model" if tp > 1 and c.num_key_value_heads % tp == 0 else None
+        pool4 = NamedSharding(self.mesh, P(None, None, h, None))
+        pool3 = NamedSharding(self.mesh, P(None, None, h))
+
+        def place(leaf):
+            sh = pool4 if leaf.ndim == 4 else pool3
+            return jax.device_put(leaf, sh)
+
+        self._kpools = jax.tree.map(place, self._kpools)
+        self._vpools = jax.tree.map(place, self._vpools)
+        self._len = jax.device_put(
+            self._len, NamedSharding(self.mesh, P(self._batch_axis())))
 
     # -- allocator -------------------------------------------------------------
 
@@ -485,6 +512,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._page_key.clear()
         self._key_page.clear()
         self._cache_lru.clear()
+        self._place_pool_state()
         super()._fail_all(exc)
 
     # -- decode ------------------------------------------------------------------
@@ -497,6 +525,18 @@ class PagedContinuousBatcher(ContinuousBatcher):
         b = self.B
         page = self.page
         pad_id = self.pad_id
+        from multimodal_colpali_tpu.generation.engine import attn_scale
+
+        sc = attn_scale(c)
+        types = (c.layer_types_resolved
+                 if getattr(c, "is_gemma3", False) else None)
+
+        def layer_window(i: int) -> int:
+            """0 = full causal; else the layer's sliding window (Gemma-3
+            local layers attend only the last `sliding_window` tokens)."""
+            if types is not None and types[i] == "sliding_attention":
+                return int(c.sliding_window)
+            return 0
 
         def one_step(p, bt, kpools, vpools, tok, pos, length, temp, seed,
                      remaining, gen_step, eos, top_p, top_k):
@@ -524,7 +564,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 def attend(i, q, kp, vp):
                     return paged_attention_int8(
                         q[:, 0], kp[0], kp[1], vp[0], vp[1], bt, att_len,
-                        scale=c.head_dim ** -0.5)
+                        scale=sc, window=layer_window(i))
             else:
                 def kv_write(i, k, v):
                     return (kpools[i].at[blk, off].set(k[:, 0]),
@@ -532,7 +572,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
                 def attend(i, q, kp, vp):
                     return paged_attention(q[:, 0], kp, vp, bt, att_len,
-                                           scale=c.head_dim ** -0.5)
+                                           scale=sc, window=layer_window(i))
 
             xx, (new_k, new_v) = layer_stack(p, c, x, pos[:, None],
                                              kv_write, attend)

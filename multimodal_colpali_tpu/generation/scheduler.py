@@ -100,6 +100,15 @@ class ContinuousBatcher:
         self._top_p = jnp.ones((self.B,), jnp.float32)       # per-slot nucleus
         self._top_k = jnp.zeros((self.B,), jnp.int32)        # per-slot top-k
 
+        # Serving over a device mesh (SURVEY §2.3: the 27B-class generator
+        # needs TP): the engine carries the mesh and its params are already
+        # column/row-parallel over "model"; the batcher shards its slot
+        # state over "data" (slots = the serving batch axis) so decode runs
+        # dp x tp with XLA inserting the all-reduces. Streams are produced
+        # by the same math, so sharded == unsharded (tested).
+        self.mesh = getattr(engine, "mesh", None)
+        self._place_state()
+
         self._slots: List[Optional[_Request]] = [None] * self.B
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         # Requests to admit before the queue: preempted requests (paged
@@ -118,6 +127,31 @@ class ContinuousBatcher:
         self._lock = threading.Lock()
         self._serving = False
         self._thread: Optional[threading.Thread] = None
+
+    # -- mesh placement -------------------------------------------------------
+
+    def _batch_axis(self) -> Optional[str]:
+        """Mesh axis the slot batch shards over (None = replicate: the
+        slot count must divide the axis)."""
+        if self.mesh is None:
+            return None
+        dp = self.mesh.shape.get("data", 1)
+        return "data" if dp > 1 and self.B % dp == 0 else None
+
+    def _place_state(self) -> None:
+        """Place slot-state arrays on the mesh: per-slot vectors and the
+        KV caches shard their batch axis over "data"."""
+        if self.mesh is None:
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        b = self._batch_axis()
+        vec = NamedSharding(self.mesh, P(b))
+        cache = NamedSharding(self.mesh, P(b, None, None, None))
+        self._caches = tuple(jax.device_put(c, cache) for c in self._caches)
+        for name in ("_tok", "_pos", "_start", "_end", "_temp", "_remaining",
+                     "_seed", "_eos", "_gen_step", "_top_p", "_top_k"):
+            setattr(self, name, jax.device_put(getattr(self, name), vec))
 
     # -- jitted pieces --------------------------------------------------------
 
@@ -185,8 +219,17 @@ class ContinuousBatcher:
             mask = ((cols[None, :] >= start[:, None])
                     & (cols[None, :] <= end[:, None]))[:, None, None, :]
             from multimodal_colpali_tpu.generation.engine import (
-                layer_stack, sample_per_slot)
+                attn_scale, layer_stack, sample_per_slot)
             from multimodal_colpali_tpu.models import layers as L
+
+            types = (c.layer_types_resolved
+                     if getattr(c, "is_gemma3", False) else None)
+            if types is not None:
+                # sliding layers: only the last sliding_window rows (the
+                # query sits at row `end`)
+                sl_mask = mask & (cols[None, :] > (end - c.sliding_window)
+                                  [:, None])[:, None, None, :]
+            sc = attn_scale(c)
 
             # single-token engine.layer_stack pass with per-slot cache rows
             def kv_write(i, k, v):
@@ -194,8 +237,10 @@ class ContinuousBatcher:
                         vcs[i].at[rows, end].set(v[:, 0]))
 
             def attend(i, q, kc, vc):
-                return L.attention(q, kc, vc, mask=mask,
-                                   scale=c.head_dim ** -0.5)
+                m = mask
+                if types is not None and types[i] == "sliding_attention":
+                    m = sl_mask
+                return L.attention(q, kc, vc, mask=m, scale=sc)
 
             xx, (nk, nv) = layer_stack(p, c, x, pos[:, None], kv_write, attend)
             new_caches = list(zip(nk, nv))

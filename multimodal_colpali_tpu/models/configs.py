@@ -42,6 +42,75 @@ class GemmaTextConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class Gemma3TextConfig:
+    """Gemma-3 text architecture - the reference's ACTUAL generator class
+    (vLLM serves google/gemma-3-27b-it, 00_run_docker_containers.sh:26-39;
+    this repo's config.py names it as the default local model).
+
+    Differences vs Gemma-1 (``GemmaTextConfig``), per HF
+    ``Gemma3TextConfig``/``Gemma3DecoderLayer``:
+
+    - GQA with per-head q/k RMSNorm after the projections, before rope.
+    - Interleaved attention: every ``sliding_window_pattern``-th layer is
+      global (full causal), the rest attend only the last
+      ``sliding_window`` tokens.
+    - Dual rope bases: sliding layers use ``rope_local_base_freq``
+      (10k, unscaled); global layers use ``rope_theta`` (1M) with LINEAR
+      position scaling (positions divided by ``rope_scaling_factor``).
+    - Sandwich norms: post-attention + pre/post-feedforward RMSNorms
+      wrap each residual branch.
+    - Attention scale ``query_pre_attn_scalar ** -0.5`` (not head_dim).
+
+    Defaults are the 27B text tower (hidden 5376, 62 layers, 32 q / 16 kv
+    heads, head_dim 128, 5:1 sliding:global at window 1024).
+    """
+
+    vocab_size: int = 262208
+    hidden_size: int = 5376
+    intermediate_size: int = 21504
+    num_hidden_layers: int = 62
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 16
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    rope_local_base_freq: float = 10_000.0
+    rope_scaling_factor: float = 8.0
+    sliding_window: int = 1024
+    sliding_window_pattern: int = 6
+    layer_types: tuple = ()          # explicit override of the pattern
+    query_pre_attn_scalar: float = 168.0   # 27B: hidden // n_heads
+
+    is_gemma3 = True   # engine dispatch marker (layer_stack branches on it)
+
+    @property
+    def layer_types_resolved(self) -> tuple:
+        """Per-layer "sliding_attention"/"full_attention", HF's pattern
+        rule: layer i is global iff ``(i + 1) % sliding_window_pattern``
+        is 0."""
+        if self.layer_types:
+            return tuple(self.layer_types)
+        return tuple(
+            "full_attention" if (i + 1) % self.sliding_window_pattern == 0
+            else "sliding_attention"
+            for i in range(self.num_hidden_layers))
+
+    @classmethod
+    def gemma3_27b(cls) -> "Gemma3TextConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 64) -> "Gemma3TextConfig":
+        """Small config for torch-parity tests: both layer types present,
+        a window small enough that realistic prompts exercise it."""
+        return cls(
+            vocab_size=vocab_size, hidden_size=16, intermediate_size=32,
+            num_hidden_layers=4, num_attention_heads=2,
+            num_key_value_heads=1, head_dim=8, sliding_window=8,
+            sliding_window_pattern=2, query_pre_attn_scalar=8.0)
+
+
+@dataclasses.dataclass(frozen=True)
 class ColPaliModelConfig:
     vision: SiglipVisionConfig = dataclasses.field(default_factory=SiglipVisionConfig)
     text: GemmaTextConfig = dataclasses.field(default_factory=GemmaTextConfig)

@@ -423,3 +423,48 @@ def load_state_dict(path: str) -> Dict[str, np.ndarray]:
             import torch
             sd.update({k: _np(v) for k, v in torch.load(f, map_location="cpu").items()})
     return sd
+
+
+def gemma3_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Convert a torch ``Gemma3ForCausalLM`` state dict to the decode
+    engine's param tree (the reference's actual generator class:
+    google/gemma-3-27b-it served by vLLM, 00_run_docker_containers.sh:26-39).
+
+    Layout matches ``colpali_params_from_hf``'s language tree plus the
+    Gemma-3 extras per layer: ``q_norm``/``k_norm`` (per-head RMSNorm) and
+    ``pre/post_feedforward_layernorm`` (sandwich norms). The LM head is
+    tied to the embedding table (``GemmaDecodeEngine._logits``); untied
+    checkpoints are not supported.
+    """
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        norm[re.sub(r"^(model\.)?(language_model\.)?", "", k)] = v
+    sd = norm
+
+    language: Dict[str, Any] = {"norm": _rms(sd, "norm")}
+    for i in range(cfg.num_hidden_layers):
+        p = f"layers.{i}."
+        language[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj", bias=False),
+                "k_proj": _lin(sd, p + "self_attn.k_proj", bias=False),
+                "v_proj": _lin(sd, p + "self_attn.v_proj", bias=False),
+                "o_proj": _lin(sd, p + "self_attn.o_proj", bias=False),
+                "q_norm": _rms(sd, p + "self_attn.q_norm"),
+                "k_norm": _rms(sd, p + "self_attn.k_norm"),
+            },
+            "mlp": {
+                "gate_proj": _lin(sd, p + "mlp.gate_proj", bias=False),
+                "up_proj": _lin(sd, p + "mlp.up_proj", bias=False),
+                "down_proj": _lin(sd, p + "mlp.down_proj", bias=False),
+            },
+            "input_layernorm": _rms(sd, p + "input_layernorm"),
+            "post_attention_layernorm": _rms(sd, p + "post_attention_layernorm"),
+            "pre_feedforward_layernorm": _rms(sd, p + "pre_feedforward_layernorm"),
+            "post_feedforward_layernorm": _rms(sd, p + "post_feedforward_layernorm"),
+        }
+
+    return {
+        "embed": {"embed_tokens": _np(sd["embed_tokens.weight"])},
+        "language_model": language,
+    }

@@ -476,3 +476,127 @@ def load_retriever(
         name=name, model=model, params=params, processor=processor,
         dtype=dtype, mesh=mesh, family=family,
     )
+
+
+# -- Gemma-3 generator LMs (not retrievers) ----------------------------------
+#
+# The reference's generation tier serves google/gemma-3-27b-it via vLLM
+# (reference 00_run_docker_containers.sh:26-39; this repo's config.py names
+# it as the default local model). These load straight into
+# GemmaDecodeEngine-compatible param trees - no flax module, no processor.
+
+GEMMA3_CONFIGS: Dict[str, Any] = {}
+
+
+def _register_gemma3():
+    from multimodal_colpali_tpu.models.configs import Gemma3TextConfig
+
+    GEMMA3_CONFIGS.update({
+        "google/gemma-3-27b-it": Gemma3TextConfig.gemma3_27b,
+        "gemma-3-27b": Gemma3TextConfig.gemma3_27b,
+        "tiny-gemma3": Gemma3TextConfig.tiny,
+    })
+
+
+_register_gemma3()
+
+
+def gemma3_param_shapes(cfg) -> Dict[str, Any]:
+    """ShapeDtypeStruct tree matching ``hf_import.gemma3_params_from_hf``."""
+    h, hd = cfg.hidden_size, cfg.head_dim
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    f32 = jnp.float32
+    sds = jax.ShapeDtypeStruct
+    layer = {
+        "self_attn": {
+            "q_proj": {"kernel": sds((h, nq * hd), f32)},
+            "k_proj": {"kernel": sds((h, nkv * hd), f32)},
+            "v_proj": {"kernel": sds((h, nkv * hd), f32)},
+            "o_proj": {"kernel": sds((nq * hd, h), f32)},
+            "q_norm": {"weight": sds((hd,), f32)},
+            "k_norm": {"weight": sds((hd,), f32)},
+        },
+        "mlp": {
+            "gate_proj": {"kernel": sds((h, cfg.intermediate_size), f32)},
+            "up_proj": {"kernel": sds((h, cfg.intermediate_size), f32)},
+            "down_proj": {"kernel": sds((cfg.intermediate_size, h), f32)},
+        },
+        "input_layernorm": {"weight": sds((h,), f32)},
+        "post_attention_layernorm": {"weight": sds((h,), f32)},
+        "pre_feedforward_layernorm": {"weight": sds((h,), f32)},
+        "post_feedforward_layernorm": {"weight": sds((h,), f32)},
+    }
+    language = {f"layers_{i}": layer for i in range(cfg.num_hidden_layers)}
+    language["norm"] = {"weight": sds((h,), f32)}
+    return {
+        "embed": {"embed_tokens": sds((cfg.vocab_size, h), f32)},
+        "language_model": language,
+    }
+
+
+def gemma3_random_params(cfg, seed: int = 0, dtype: Any = jnp.float32,
+                         device: bool = False):
+    """Random Gemma-3 params (Gemma (1+w) RMSNorms -> w=0; kernels
+    N(0, fan_in^-0.5)). ``device=True`` materializes them in one jitted
+    program on the accelerator (the ``device_random_params`` role - the
+    27B tree must never be built on this host's single core)."""
+    shapes = gemma3_param_shapes(cfg)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+
+    if device:
+        def build(key):
+            out = []
+            for i, (path, s) in enumerate(flat):
+                name = getattr(path[-1], "key", str(path[-1]))
+                if name == "weight":
+                    out.append(jnp.zeros(s.shape, dtype))     # (1+w) -> w=0
+                else:
+                    fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+                    k = jax.random.fold_in(key, i)
+                    out.append((jax.random.normal(k, s.shape, jnp.float32)
+                                * float(fan_in) ** -0.5).astype(dtype))
+            return jax.tree_util.tree_unflatten(treedef, out)
+
+        return jax.jit(build)(jax.random.PRNGKey(seed))
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for path, s in flat:
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "weight":
+            out.append(np.zeros(s.shape, np.float32))
+        else:
+            fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+            out.append(rng.standard_normal(s.shape, dtype=np.float32)
+                       * float(fan_in) ** -0.5)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def load_gemma3_lm(name: str, checkpoint_dir: Optional[str] = None,
+                   dtype: Any = jnp.bfloat16, seed: int = 0,
+                   device_init: Optional[bool] = None):
+    """Load a Gemma-3 generator LM by name -> (cfg, params, tokenizer).
+
+    Checkpoint resolution and the random-init fallback mirror
+    ``load_retriever``; ``tokenizer`` is None when no checkpoint provides
+    one (callers fall back to Byte/ModuloTokenizer)."""
+    if name not in GEMMA3_CONFIGS:
+        raise KeyError(
+            f"unknown gemma3 LM {name!r}; known: {sorted(GEMMA3_CONFIGS)}")
+    cfg = GEMMA3_CONFIGS[name]()
+    ckpt = _find_checkpoint(name, checkpoint_dir)
+    tok = None
+    if ckpt is not None:
+        tok = _load_tokenizer_from(ckpt)
+        sd = hf_import.load_state_dict(ckpt)
+        params = hf_import.gemma3_params_from_hf(sd, cfg)
+    else:
+        warnings.warn(
+            f"no local checkpoint for {name!r}; using random init "
+            f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
+            stacklevel=2,
+        )
+        dev = device_init or (device_init is None
+                              and os.environ.get("MMCP_DEVICE_INIT") == "1")
+        params = gemma3_random_params(cfg, seed, dtype=dtype, device=bool(dev))
+    return cfg, params, tok

@@ -62,9 +62,13 @@ def paged_attention_xla(
     lengths: jax.Array,       # [B] int32 valid tokens per slot
     *,
     scale: float,
+    window: int = 0,
 ) -> jax.Array:
     """Gather-based reference: materialize each slot's logical KV view and
-    run the standard fp32-softmax attention. Returns [B, Hq, D]."""
+    run the standard fp32-softmax attention. Returns [B, Hq, D].
+    ``window > 0``: sliding-window decode (Gemma-3's local layers) - the
+    query at logical position ``lengths-1`` attends only positions
+    ``>= lengths - window``."""
     b, hq, d = q.shape
     p, page, hkv, _ = k_pool.shape
     nb = block_tables.shape[1]
@@ -75,7 +79,10 @@ def paged_attention_xla(
         v = jnp.repeat(v, hq // hkv, axis=2)
     logits = jnp.einsum("bhd,bthd->bht", q, k,
                         preferred_element_type=jnp.float32) * scale
-    valid = jnp.arange(nb * page)[None, None, :] < lengths[:, None, None]
+    pos = jnp.arange(nb * page)[None, None, :]
+    valid = pos < lengths[:, None, None]
+    if window:
+        valid = valid & (pos >= (lengths - window)[:, None, None])
     logits = jnp.where(valid, logits, jnp.float32(NEG))
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bht,bthd->bhd", probs.astype(v.dtype), v,
@@ -84,7 +91,8 @@ def paged_attention_xla(
 
 
 def _paged_kernel(bt_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
-                  m_ref, l_ref, acc_ref, *, scale, page, hkv, group):
+                  m_ref, l_ref, acc_ref, *, scale, page, hkv, group,
+                  window=0):
     """Grid: (B, NB). Blocks: q/o [1, Hq, D]; k/v one physical page
     [1, page, Hkv, D] selected via the prefetched block table. Online
     softmax across a slot's pages in VMEM scratch."""
@@ -114,7 +122,10 @@ def _paged_kernel(bt_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
     logits = jnp.concatenate(cols, axis=0)         # [Hq, page]
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (hq, page), 1) + i * page
-    logits = jnp.where(pos < lens_ref[b], logits, NEG)
+    keep = pos < lens_ref[b]
+    if window:   # sliding-window layers (Gemma-3): last `window` tokens only
+        keep = keep & (pos >= lens_ref[b] - window)
+    logits = jnp.where(keep, logits, NEG)
 
     m_prev = m_ref[...]                            # [Hq, 1]
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
@@ -138,7 +149,7 @@ def _paged_kernel(bt_ref, lens_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
 def paged_attention(
     q: jax.Array,             # [B, Hq, D]
     k_pool: jax.Array,        # [P, page, Hkv, D]
@@ -148,6 +159,7 @@ def paged_attention(
     *,
     scale: float,
     interpret: bool = False,
+    window: int = 0,
 ) -> jax.Array:
     b, hq, d = q.shape
     p, page, hkv, _ = k_pool.shape
@@ -156,7 +168,7 @@ def paged_attention(
 
     if not interpret and jax.default_backend() != "tpu":
         return paged_attention_xla(q, k_pool, v_pool, block_tables, lengths,
-                                   scale=scale)
+                                   scale=scale, window=window)
 
     bt_flat = block_tables.reshape(-1).astype(jnp.int32)
 
@@ -183,7 +195,7 @@ def paged_attention(
     )
     return pl.pallas_call(
         functools.partial(_paged_kernel, scale=scale, page=page, hkv=hkv,
-                          group=group),
+                          group=group, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         interpret=interpret,
@@ -212,16 +224,18 @@ def paged_attention_int8_xla(
     lengths: jax.Array,       # [B] int32
     *,
     scale: float,
+    window: int = 0,
 ) -> jax.Array:
     """Oracle: dequantize the gathered pages and run the bf16 reference."""
     kd = (k_pool.astype(jnp.float32) * k_scale[..., None]).astype(q.dtype)
     vd = (v_pool.astype(jnp.float32) * v_scale[..., None]).astype(q.dtype)
-    return paged_attention_xla(q, kd, vd, block_tables, lengths, scale=scale)
+    return paged_attention_xla(q, kd, vd, block_tables, lengths, scale=scale,
+                               window=window)
 
 
 def _paged_kernel_int8(bt_ref, lens_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
                        o_ref, m_ref, l_ref, acc_ref, *, scale, page, hkv,
-                       group):
+                       group, window=0):
     """int8 variant of ``_paged_kernel``: the per-token scales multiply the
     logit columns (K side) and the prob columns (V side), so the dots stay
     bf16 x bf16 on the MXU and the int8->bf16 casts are exact."""
@@ -253,7 +267,10 @@ def _paged_kernel_int8(bt_ref, lens_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
     logits = jnp.concatenate(cols, axis=0)         # [Hq, page]
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (hq, page), 1) + i * page
-    logits = jnp.where(pos < lens_ref[b], logits, NEG)
+    keep = pos < lens_ref[b]
+    if window:   # sliding-window layers (Gemma-3)
+        keep = keep & (pos >= lens_ref[b] - window)
+    logits = jnp.where(keep, logits, NEG)
 
     m_prev = m_ref[...]
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
@@ -277,7 +294,7 @@ def _paged_kernel_int8(bt_ref, lens_ref, q_ref, k_ref, ks_ref, v_ref, vs_ref,
         o_ref[0] = (acc_ref[...] / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "interpret", "window"))
 def paged_attention_int8(
     q: jax.Array,             # [B, Hq, D]
     k_pool: jax.Array,        # [P, page, Hkv, D] int8
@@ -289,6 +306,7 @@ def paged_attention_int8(
     *,
     scale: float,
     interpret: bool = False,
+    window: int = 0,
 ) -> jax.Array:
     b, hq, d = q.shape
     p, page, hkv, _ = k_pool.shape
@@ -297,7 +315,8 @@ def paged_attention_int8(
 
     if not interpret and jax.default_backend() != "tpu":
         return paged_attention_int8_xla(q, k_pool, k_scale, v_pool, v_scale,
-                                        block_tables, lengths, scale=scale)
+                                        block_tables, lengths, scale=scale,
+                                        window=window)
 
     bt_flat = block_tables.reshape(-1).astype(jnp.int32)
 
@@ -330,7 +349,7 @@ def paged_attention_int8(
     )
     return pl.pallas_call(
         functools.partial(_paged_kernel_int8, scale=scale, page=page,
-                          hkv=hkv, group=group),
+                          hkv=hkv, group=group, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         interpret=interpret,
