@@ -54,6 +54,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--prefix-caching", action="store_true",
                    help="Share identical full prompt pages between requests "
                         "(with --paged; vLLM's automatic prefix caching).")
+    p.add_argument("--prefill-chunk", type=int, default=0,
+                   help="Chunked prefill: text prompts longer than this "
+                        "many tokens prefill in segments interleaved with "
+                        "decode chunks (0 = off; vLLM's chunked prefill).")
     return p.parse_args()
 
 
@@ -112,7 +116,7 @@ def main() -> None:
     if not args.no_batcher:
         kw = dict(batch_slots=args.slots, max_seq_len=args.max_seq_len,
                   chunk=args.chunk, eos_id=getattr(tok, "eos_id", -1),
-                  mm_engine=mm_engine)
+                  mm_engine=mm_engine, prefill_chunk=args.prefill_chunk)
         if args.paged:
             from multimodal_colpali_tpu.generation.paged import (
                 PagedContinuousBatcher)

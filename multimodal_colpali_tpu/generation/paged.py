@@ -51,7 +51,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0,
                  prefill_cache_entries: int = 8, mm_engine: Any = None,
                  page_size: int = 16, pool_pages: Optional[int] = None,
-                 kv_dtype: str = "native", prefix_caching: bool = False):
+                 kv_dtype: str = "native", prefix_caching: bool = False,
+                 prefill_chunk: int = 0):
         """``pool_pages`` sizes the shared pool (default: enough for every
         slot to reach ``max_seq_len`` - set it lower to exercise
         oversubscription + preemption). ``page_size`` tokens per page.
@@ -78,7 +79,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
         """
         super().__init__(engine, batch_slots, max_seq_len, chunk,
                          prompt_bucket, eos_id, pad_id,
-                         prefill_cache_entries, mm_engine)
+                         prefill_cache_entries, mm_engine,
+                         prefill_chunk=prefill_chunk)
         c = self.cfg
         self.page = page_size
         self.NB = -(-max_seq_len // page_size)          # blocks per slot

@@ -65,14 +65,24 @@ class ContinuousBatcher:
     def __init__(self, engine: GemmaDecodeEngine, batch_slots: int = 4,
                  max_seq_len: int = 512, chunk: int = 8,
                  prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0,
-                 prefill_cache_entries: int = 8, mm_engine: Any = None):
+                 prefill_cache_entries: int = 8, mm_engine: Any = None,
+                 prefill_chunk: int = 0):
         """``mm_engine`` (a PaliGemmaEngine over the same weights/dtype as
         ``engine``) enables multimodal requests: an image-conditioned prompt
         prefills through the PaliGemma path (merged image embeds,
         bidirectional prefix, 1-indexed positions) and then decodes in the
         SAME slot batch as text requests - one scheduler serves both
         modalities, the role vLLM's multimodal batching plays for the
-        reference's remote VLMs (functions.py:1036-1064)."""
+        reference's remote VLMs (functions.py:1036-1064).
+
+        ``prefill_chunk > 0`` enables CHUNKED PREFILL (vLLM's feature of
+        the same name): a text prompt longer than ``prefill_chunk`` tokens
+        prefills in ``prefill_chunk``-token segments, at most one segment
+        per scheduling point, so running slots keep their decode cadence
+        instead of stalling behind one monolithic prefill dispatch. One
+        chunked prefill is in flight at a time (a second long prompt falls
+        back to whole-prompt prefill); multimodal prompts always prefill
+        whole (the bidirectional image prefix is prompt-global)."""
         self.engine = engine
         self.mm_engine = mm_engine
         self.cfg = engine.cfg
@@ -82,6 +92,9 @@ class ContinuousBatcher:
         self.bucket = prompt_bucket
         self.eos_id = eos_id
         self.pad_id = pad_id
+        self.prefill_chunk = int(prefill_chunk)
+        self._chunked: Optional[Dict[str, Any]] = None
+        self.chunked_prefill_segments = 0
 
         c = self.cfg
         self._caches = tuple(
@@ -469,6 +482,53 @@ class ContinuousBatcher:
         self._start = self._start.at[slot].set(s - n_prompt)
         self._end = self._end.at[slot].set(s)
 
+    def _advance_chunked(self) -> None:
+        """Run ONE segment of the in-flight chunked prefill (at most one
+        per scheduling point - the serve/drain loops interleave decode
+        chunks between calls, bounding every running slot's stall to one
+        segment instead of one whole prompt).
+
+        Segments are contiguous token runs placed at their final cache
+        rows (left-padded bucket layout), attending causally to all
+        previously written segments - so the accumulated K/V equal the
+        monolithic prefill's bit for bit, and the final segment's last
+        hidden state yields the same next-token logits."""
+        st = self._chunked
+        if st is None or st["out"] is not None:
+            return
+        eng, c = self.engine, self.cfg
+        s, n, toks = st["s"], st["n"], st["tokens"]
+        if st["kv"] is None:
+            kc = tuple(
+                jnp.zeros((1, s, c.num_key_value_heads, c.head_dim),
+                          eng.dtype) for _ in range(c.num_hidden_layers))
+            st["kv"] = (kc, kc)
+        start = st["j"] * self.prefill_chunk
+        seg = toks[start:start + self.prefill_chunk]
+        seg_len = len(seg)
+        row0 = s - n + start
+        jkey = ("prefill_seg", s, seg_len)
+        if jkey not in self._jit:
+            def run(p, ids, kc, vc, row0, first_row):
+                cols = jnp.arange(s)
+                kv_valid = ((cols >= first_row)
+                            & (cols < row0 + seg_len))[None]
+                positions = (row0 - first_row) + jnp.arange(seg_len)[None]
+                x = eng._embed(p, ids)
+                hidden, (k, v) = eng._chunk(p, x, positions, kc, vc, row0,
+                                            kv_valid)
+                return eng._logits(p, hidden[:, -1])[0], k, v
+
+            self._jit[jkey] = jax.jit(run)
+        logits, k, v = self._jit[jkey](
+            eng.params, jnp.asarray([seg], jnp.int32), st["kv"][0],
+            st["kv"][1], jnp.int32(row0), jnp.int32(s - n))
+        st["kv"] = (k, v)
+        st["j"] += 1
+        self.chunked_prefill_segments += 1
+        if start + seg_len >= n:
+            st["out"] = (k, v, logits, n - 1)   # positions are 0-indexed
+
     def _admit(self) -> None:
         """Fill free slots (readmissions first, then the queue): prefill
         each prompt and insert its K/V rows + state into the slot.
@@ -477,8 +537,25 @@ class ContinuousBatcher:
         re-prefetched together with the tokens generated so far, and
         sampling continues from its own step counter, so the final token
         stream is identical to an uninterrupted run."""
+        self._advance_chunked()
         for slot in range(self.B):
             if self._slots[slot] is not None:
+                continue
+            if self._chunked is not None and self._chunked["out"] is not None:
+                # a completed chunked prefill takes the first free slot
+                st, self._chunked = self._chunked, None
+                req = st["req"]
+                k, v, logits, last_pos = st["out"]
+                # the pool may have been drained by admissions since the
+                # prefill started (paged tier): re-check and requeue (the
+                # request re-prefills later) rather than crash install
+                if not self._can_admit(st["s"], st["n"],
+                                       req.max_new_tokens - len(req.tokens),
+                                       tokens=st["tokens"], mm=False):
+                    self._readmit.insert(0, req)
+                    continue
+                self._finish_admission(slot, req, st["s"], st["tokens"], k,
+                                       v, logits, last_pos, None, None)
                 continue
             if self._readmit:
                 req = self._readmit.pop(0)
@@ -519,53 +596,72 @@ class ContinuousBatcher:
                 # was prefilled; k/v cover the tail rows and ``hint``
                 # carries the reused page count for install
                 k, v, logits, last_pos, hint = pre
+            elif (not mm and self.prefill_chunk
+                  and len(prompt_eff) > self.prefill_chunk
+                  and self._chunked is None):
+                # chunked prefill (vLLM's role): a very long prompt would
+                # stall every running slot for one monolithic prefill
+                # dispatch; instead its segments interleave with decode
+                # chunks (one segment per scheduling point)
+                self._chunked = {
+                    "req": req, "s": s, "n": len(prompt_eff),
+                    "tokens": prompt_eff, "j": 0, "kv": None, "out": None,
+                }
+                self._advance_chunked()
+                continue   # the slot stays free for other admissions
             else:
                 k, v, logits, last_pos = self._full_prefill(
                     req, prompt_eff, s, mm, pix_digest)
-            # next generated token (prefill output); a resumed request
-            # samples at its own step index, matching the uninterrupted run
-            n0 = len(req.tokens)
-            if req.temperature > 0:
-                from multimodal_colpali_tpu.generation.engine import (
-                    filter_top_p_top_k)
+            self._finish_admission(slot, req, s, prompt_eff, k, v, logits,
+                                   last_pos, hint, pix_digest)
 
-                key = jax.random.fold_in(jax.random.PRNGKey(req.seed), n0)
-                scaled = jnp.asarray(logits) / max(req.temperature, 1e-3)
-                if req.top_p < 1.0 or req.top_k > 0:
-                    scaled = filter_top_p_top_k(scaled[None], req.top_p,
-                                                req.top_k)[0]
-                tok0 = int(jax.random.categorical(key, scaled))
-            else:
-                tok0 = int(jnp.argmax(logits))
-            req.tokens.append(tok0)
-            if req.want_logprobs:
-                lp0, tid0, tlp0 = _step_logprobs(
-                    jnp.asarray(logits)[None], jnp.asarray([tok0]))
-                req.lps.append(float(lp0[0]))
-                n = req.want_logprobs
-                req.tops.append(list(zip(
-                    np.asarray(tid0[0, :n]).tolist(),
-                    np.asarray(tlp0[0, :n]).tolist())))
-            self._emit_stream(req)   # first token streams at prefill time
-            req.slot = slot
-            self._slots[slot] = req
-            # token budget is bounded by the cache rows left after the prompt
-            budget = min(req.max_new_tokens - n0, self._slot_capacity(s))
-            done0 = tok0 == req.eos_id or budget <= 1
-            self._install_slot(slot, s, len(prompt_eff), k, v,
-                               tokens=prompt_eff, ctx=pix_digest, hint=hint)
-            self._tok = self._tok.at[slot].set(tok0)
-            self._pos = self._pos.at[slot].set(int(last_pos) + 1)
-            self._temp = self._temp.at[slot].set(req.temperature)
-            self._seed = self._seed.at[slot].set(req.seed)
-            self._eos = self._eos.at[slot].set(req.eos_id)
-            self._top_p = self._top_p.at[slot].set(req.top_p)
-            self._top_k = self._top_k.at[slot].set(req.top_k)
-            self._gen_step = self._gen_step.at[slot].set(n0 + 1)
-            self._remaining = self._remaining.at[slot].set(
-                0 if done0 else budget - 1)
-            if done0:
-                self._finish(slot)
+    def _finish_admission(self, slot, req, s, prompt_eff, k, v, logits,
+                          last_pos, hint, pix_digest) -> None:
+        """Sample tok0 from the prefill logits and install the request."""
+        # next generated token (prefill output); a resumed request
+        # samples at its own step index, matching the uninterrupted run
+        n0 = len(req.tokens)
+        if req.temperature > 0:
+            from multimodal_colpali_tpu.generation.engine import (
+                filter_top_p_top_k)
+
+            key = jax.random.fold_in(jax.random.PRNGKey(req.seed), n0)
+            scaled = jnp.asarray(logits) / max(req.temperature, 1e-3)
+            if req.top_p < 1.0 or req.top_k > 0:
+                scaled = filter_top_p_top_k(scaled[None], req.top_p,
+                                            req.top_k)[0]
+            tok0 = int(jax.random.categorical(key, scaled))
+        else:
+            tok0 = int(jnp.argmax(logits))
+        req.tokens.append(tok0)
+        if req.want_logprobs:
+            lp0, tid0, tlp0 = _step_logprobs(
+                jnp.asarray(logits)[None], jnp.asarray([tok0]))
+            req.lps.append(float(lp0[0]))
+            n = req.want_logprobs
+            req.tops.append(list(zip(
+                np.asarray(tid0[0, :n]).tolist(),
+                np.asarray(tlp0[0, :n]).tolist())))
+        self._emit_stream(req)   # first token streams at prefill time
+        req.slot = slot
+        self._slots[slot] = req
+        # token budget is bounded by the cache rows left after the prompt
+        budget = min(req.max_new_tokens - n0, self._slot_capacity(s))
+        done0 = tok0 == req.eos_id or budget <= 1
+        self._install_slot(slot, s, len(prompt_eff), k, v,
+                           tokens=prompt_eff, ctx=pix_digest, hint=hint)
+        self._tok = self._tok.at[slot].set(tok0)
+        self._pos = self._pos.at[slot].set(int(last_pos) + 1)
+        self._temp = self._temp.at[slot].set(req.temperature)
+        self._seed = self._seed.at[slot].set(req.seed)
+        self._eos = self._eos.at[slot].set(req.eos_id)
+        self._top_p = self._top_p.at[slot].set(req.top_p)
+        self._top_k = self._top_k.at[slot].set(req.top_k)
+        self._gen_step = self._gen_step.at[slot].set(n0 + 1)
+        self._remaining = self._remaining.at[slot].set(
+            0 if done0 else budget - 1)
+        if done0:
+            self._finish(slot)
 
     def _finish(self, slot: int) -> None:
         req = self._slots[slot]
@@ -581,6 +677,11 @@ class ContinuousBatcher:
 
     def _fail_all(self, exc: BaseException) -> None:
         """Propagate a scheduler error to every active/pending request."""
+        if self._chunked is not None:
+            req = self._chunked["req"]
+            self._chunked = None
+            if not req.future.done():
+                req.future.set_exception(exc)
         for slot, req in enumerate(self._slots):
             if req is not None:
                 self._slots[slot] = None
@@ -626,17 +727,26 @@ class ContinuousBatcher:
     def _emit_stream(req: _Request) -> None:
         """Deliver not-yet-streamed tokens to ``req.on_token`` (eos and
         anything past it excluded). A broken consumer must not kill the
-        scheduler loop, so callback errors are swallowed."""
+        scheduler loop, so callback errors are swallowed.
+
+        With ``logprobs`` requested, the callback receives
+        ``(token_id, logprob, top_list)`` triples instead of bare ids -
+        the streaming-logprobs surface: the streamed records equal the
+        ones the future resolves to (OpenAI SSE logprobs role)."""
         if req.on_token is None:
             return
         toks = req.tokens
         if req.eos_id in toks:
             toks = toks[: toks.index(req.eos_id)]
         while req.streamed < len(toks):
-            tok = toks[req.streamed]
+            i = req.streamed
+            tok = toks[i]
             req.streamed += 1
             try:
-                req.on_token(tok)
+                if req.want_logprobs:
+                    req.on_token((tok, req.lps[i], req.tops[i]))
+                else:
+                    req.on_token(tok)
             except Exception:  # noqa: BLE001
                 pass
 
@@ -676,6 +786,7 @@ class ContinuousBatcher:
         with self._lock:
             try:
                 while (not self._queue.empty() or self._readmit
+                       or self._chunked is not None
                        or any(r is not None for r in self._slots)):
                     self._admit()
                     if any(r is not None for r in self._slots):
@@ -698,8 +809,9 @@ class ContinuousBatcher:
                 try:
                     with self._lock:
                         self._admit()
-                        busy = any(r is not None for r in self._slots)
-                        if busy:
+                        busy = (self._chunked is not None
+                                or any(r is not None for r in self._slots))
+                        if any(r is not None for r in self._slots):
                             self._step_chunk()
                 except Exception as exc:  # noqa: BLE001 - must not kill serving
                     # a dead scheduler thread would hang every future; fail

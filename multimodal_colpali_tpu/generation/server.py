@@ -298,12 +298,20 @@ class GenerationServer:
         cleanly instead of leaving half a JSON body."""
         import queue as _queue
 
+        from multimodal_colpali_tpu.generation.engine import LOGPROB_K
+
         max_new, temperature, top_p, top_k, seed = self._parse_sampling(req)
         prompt, images = extract_chat_content(req.get("messages", []))
         enum = self._schema_enum(req)
         rid = f"chatcmpl-{int(time.time() * 1e3)}"
         created = int(time.time())
         model = req.get("model", self.model_name)
+        # streaming logprobs (vLLM/OpenAI SSE surface): each content chunk
+        # carries the records of the tokens it delivers; concatenating
+        # chunk logprobs equals the non-streaming response's list
+        want_lp = bool(req.get("logprobs"))
+        lp_n = (max(1, min(int(req.get("top_logprobs") or 1), LOGPROB_K))
+                if want_lp else 0)
 
         # Resolve the token source BEFORE sending headers so protocol-level
         # failures still produce a clean HTTP 400.
@@ -318,6 +326,7 @@ class GenerationServer:
             tok_queue = _queue.Queue()
             wait = self._start_generation(ids, pix, max_new, temperature,
                                           top_p, top_k, seed,
+                                          logprobs=lp_n,
                                           on_token=tok_queue.put)
             if wait.future is not None:
                 # all on_token calls happen before the result is set, so
@@ -326,6 +335,7 @@ class GenerationServer:
                     lambda f: tok_queue.put(None))
             else:
                 tok_queue = None   # bare engine: wait() replays post-hoc
+                lp_n = 0           # bare engines have no logprob records
 
         handler.send_response(200)
         handler.send_header("Content-Type", "text/event-stream")
@@ -343,16 +353,31 @@ class GenerationServer:
                     "choices": [{"index": 0, "delta": delta,
                                  "finish_reason": finish}]}
 
+        def fmt_rec(rec) -> Dict[str, Any]:
+            tok, lp, top = rec
+            return {"token": self.tokenizer.decode([tok]), "logprob": lp,
+                    "bytes": None,
+                    "top_logprobs": [
+                        {"token": self.tokenizer.decode([tid]),
+                         "logprob": tlp} for tid, tlp in top[:lp_n]]}
+
         try:
             sse(chunk({"role": "assistant", "content": ""}))
             finish = "stop"
             prev = ""
             if tok_queue is not None:
                 out: List[int] = []
+                pending: List[Any] = []   # logprob records not yet emitted
+                n_rec = 0                 # records emitted so far
                 while True:
-                    tok = tok_queue.get(timeout=self.request_timeout)
-                    if tok is None:
+                    item = tok_queue.get(timeout=self.request_timeout)
+                    if item is None:
                         break
+                    if lp_n:
+                        tok = item[0]
+                        pending.append(item)
+                    else:
+                        tok = item
                     out.append(tok)
                     # incremental detokenization by whole-prefix diff: a
                     # token may not be a complete decodable unit (BPE /
@@ -364,15 +389,28 @@ class GenerationServer:
                     if text.endswith("�"):
                         text = text[:-1]
                     if text[: len(prev)] == prev and len(text) > len(prev):
-                        sse(chunk({"content": text[len(prev):]}))
+                        ck = chunk({"content": text[len(prev):]})
+                        if lp_n:
+                            ck["choices"][0]["logprobs"] = {
+                                "content": [fmt_rec(r) for r in pending]}
+                            n_rec += len(pending)
+                            pending = []
+                        sse(ck)
                         prev = text
-                out, _, _ = wait()  # re-raises scheduler-side failures
+                out, lps, tops = wait()  # re-raises scheduler-side failures
                 # final flush: whatever the full decode holds past the
                 # emitted length (covers decodes whose tail was unstable -
-                # sent text cannot be retracted, so emit the remainder)
+                # sent text cannot be retracted, so emit the remainder),
+                # plus any logprob records not yet delivered
                 full = self.tokenizer.decode(out)
-                if len(full) > len(prev):
-                    sse(chunk({"content": full[len(prev):]}))
+                tail_recs = (list(zip(out, lps, tops))[n_rec:]
+                             if lp_n else [])
+                if len(full) > len(prev) or tail_recs:
+                    ck = chunk({"content": full[len(prev):]})
+                    if lp_n:
+                        ck["choices"][0]["logprobs"] = {
+                            "content": [fmt_rec(r) for r in tail_recs]}
+                    sse(ck)
                 finish = "stop" if len(out) < max_new else "length"
             elif text_override is not None:
                 if text_override:

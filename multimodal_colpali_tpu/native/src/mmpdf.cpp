@@ -720,6 +720,7 @@ struct Mat {
 struct TextRun {
   double x, y, size;
   std::string text;
+  double x_end = 0;  // estimated advance end (text-join heuristics)
 };
 
 struct Canvas {
@@ -941,8 +942,10 @@ struct PageRender {
     Mat trm = Mat::mul(tm, ctm);
     double x0, y0;
     dev(trm, 0, 0, x0, y0);
+    size_t run_idx = (size_t)-1;
     if (!s.empty()) {
       runs.push_back({x0 / scale, y0 / scale, tfs, s});
+      run_idx = runs.size() - 1;
     }
     double glyph_w = 0.5;  // Helvetica-ish average advance in text space
     for (size_t i = 0; i < s.size(); i++) {
@@ -958,6 +961,17 @@ struct PageRender {
       double adv = glyph_w * tfs + cs + (ch == ' ' ? ws : 0);
       Mat m; m.e = adv * (tz / 100.0);
       tm = Mat::mul(m, tm);
+    }
+    if (run_idx != (size_t)-1) {
+      // record where the run's advance ended: extract_text uses the gap
+      // to the next same-line run to decide whether a space separates
+      // them (writers like matplotlib split one word into several show
+      // ops at kern adjustments; joining those with a blanket space
+      // corrupts words)
+      Mat end_trm = Mat::mul(tm, ctm);
+      double x1, y1;
+      dev(end_trm, 0, 0, x1, y1);
+      runs[run_idx].x_end = x1 / scale;
     }
   }
 
@@ -1118,15 +1132,24 @@ char* mmpdf_extract_text(mmpdf_doc* h, int page) {
   std::string out;
   double last_y = 1e18;
   double last_size = 12;
+  double last_x_end = 0;
   for (auto& r : pr.runs) {
     if (!out.empty()) {
       if (std::abs(r.y - last_y) > last_size * 1.6) out += "\n\n";
       else if (std::abs(r.y - last_y) > 1e-6) out += "\n";
-      else out += " ";
+      else {
+        // same line: a space only when a real gap separates the runs.
+        // Kern-split show ops (matplotlib et al.) start within a
+        // fraction of the estimated previous advance end; genuine word
+        // or column gaps exceed it.
+        double gap = r.x - last_x_end;
+        if (gap > 0.18 * last_size) out += " ";
+      }
     }
     out += r.text;
     last_y = r.y;
     last_size = r.size;
+    last_x_end = r.x_end;
   }
   char* buf = (char*)malloc(out.size() + 1);
   memcpy(buf, out.data(), out.size());

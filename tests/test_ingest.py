@@ -392,3 +392,123 @@ def test_template_ocr_case_and_digit_exact():
             np.asarray(PdfDocument(w.tobytes()).render(0, dpi=144.0)))
         ratio = difflib.SequenceMatcher(None, got, text).ratio()
         assert ratio > 0.95, (text, got)
+
+
+# -- independent-writer dialects (VERDICT r2 #2: break the self-reference) ---
+#
+# Every earlier fixture was authored by PdfWriter, so the parser had only
+# ever seen its own dialect. These fixtures come from three OTHER writers:
+# matplotlib's PDF backend (embedded Type1 font program, Tm/TJ content with
+# kern splits), PIL's image-only PDF writer, and PdfWriterXrefStream (PDF
+# 1.5 cross-reference stream + object streams + compressed content).
+
+from multimodal_colpali_tpu.ingest.pdfwrite import PdfWriterXrefStream
+
+
+@pytest.fixture()
+def mpl_pdf(tmp_path):
+    mpl = pytest.importorskip("matplotlib")
+    mpl.use("Agg")
+    import matplotlib.pyplot as plt
+
+    p = str(tmp_path / "mpl_paper.pdf")
+    for page, lines in enumerate([
+        ["Glycan binding assay results",
+         "Sialyl-Lewis-x binds selectins with high affinity.",
+         "Measured Kd 12 nM at pH 7.4"],
+        ["Supplementary methods",
+         "Glycans were purified by HPLC before analysis."],
+    ]):
+        fig = plt.figure(figsize=(6.12, 7.92))
+        for i, line in enumerate(lines):
+            fig.text(0.1, 0.9 - 0.06 * i, line, fontsize=12 if i else 14)
+        fig.savefig(p if page == 0 else p.replace(".pdf", f"_{page}.pdf"))
+        plt.close(fig)
+    return p
+
+
+def test_matplotlib_pdf_parses_exactly(mpl_pdf):
+    """A matplotlib-authored PDF (foreign dialect: embedded font, Tm/TJ
+    kern-split show ops) parses to page count, EXACT text (no spurious
+    kern spaces - regression for the blanket same-line space join), runs,
+    and a non-empty raster."""
+    doc = PdfDocument(mpl_pdf)
+    assert len(doc) == 1
+    text = doc.extract_text(0)
+    assert "Sialyl-Lewis-x binds selectins with high affinity." in text
+    assert "Measured Kd 12 nM" in text
+    assert doc.has_text(0)
+    runs = doc.extract_runs(0)
+    assert runs and all(r[2] > 0 for r in runs)
+    a = np.asarray(doc.render(0, dpi=72))
+    assert (a < 250).sum() > 500
+
+
+def test_pil_image_pdf_parses(tmp_path):
+    """A PIL-authored image-only PDF: page, embedded image, empty text
+    layer (so check_ocr fires)."""
+    rng = np.random.default_rng(0)
+    p = str(tmp_path / "scan.pdf")
+    Image.fromarray(rng.integers(0, 255, (120, 160, 3)).astype(np.uint8)
+                    ).save(p)
+    doc = PdfDocument(p)
+    assert len(doc) == 1
+    assert not doc.has_text(0)
+    assert check_ocr(p)
+    imgs = doc.extract_images(0)
+    assert len(imgs) == 1 and imgs[0][0].size == (160, 120)
+    a = np.asarray(doc.render(0, dpi=72))
+    assert a.shape[:2] == (120, 160)
+
+
+def test_xref_stream_dialect_roundtrip(tmp_path):
+    """The PDF-1.5 dialect (xref STREAM, object streams, Flate content,
+    TJ kern segments) parses: pages, exact text, images, raster."""
+    rng = np.random.default_rng(1)
+    w = PdfWriterXrefStream()
+    w.add_page(text_lines=["Glycan structures overview",
+                           "Sialylated glycans bind selectin receptors."],
+               image=rng.integers(0, 255, (40, 60, 3)).astype(np.uint8))
+    w.add_page(text_lines=["Second page content here"])
+    p = str(tmp_path / "xrefstm.pdf")
+    w.save(p)
+    doc = PdfDocument(p)
+    assert len(doc) == 2
+    assert doc.extract_text(0) == (
+        "Glycan structures overview\n"
+        "Sialylated glycans bind selectin receptors.")
+    assert doc.extract_text(1) == "Second page content here"
+    assert len(doc.extract_images(0)) == 1
+    assert (np.asarray(doc.render(0, dpi=72)) < 250).sum() > 500
+
+
+def test_pdf_loader_e2e_on_foreign_dialects(mpl_pdf, tmp_path):
+    """The FULL ingest pipeline (parse -> raster -> chunk -> documents)
+    over non-PdfWriter fixtures: matplotlib text paper + xref-stream paper
+    with an embedded figure; schema-valid documents, correct text chunks,
+    page images on disk."""
+    rng = np.random.default_rng(2)
+    w = PdfWriterXrefStream()
+    w.add_page(text_lines=["Receptor expression analysis",
+                           "Selectin density correlates with adhesion."],
+               image=rng.integers(0, 255, (40, 60, 3)).astype(np.uint8))
+    xp = str(tmp_path / "xrefstm_paper.pdf")
+    w.save(xp)
+
+    tok = SimpleTokenizer(1000, 999)
+    vd = str(tmp_path / "vd_foreign")
+    docs_multi, docs_text = pdf_loader(
+        [mpl_pdf, xp], ["https://doi.org/10.1/m", "https://doi.org/10.1/x"],
+        ["mpl_paper.pdf", "xrefstm_paper.pdf"], vd, tok)
+    assert docs_multi and docs_text
+    for d in docs_multi + docs_text:
+        assert validate_metadata(d.metadata) is None
+    joined = " ".join(d.page_content for d in docs_text)
+    assert "Sialyl-Lewis-x binds selectins" in joined
+    assert "Selectin density correlates with adhesion." in joined
+    # the xref-stream paper's embedded figure became an image document
+    img_docs = [d for d in docs_multi if d.metadata["type"] == "image"]
+    assert any(d.metadata["document_name"] == "xrefstm_paper.pdf"
+               for d in img_docs)
+    pngs = sorted(os.listdir(os.path.join(vd, "pg_images")))
+    assert "mpl_paper_001.png" in pngs and "xrefstm_paper_001.png" in pngs
