@@ -243,8 +243,12 @@ class TemplateOcr:
     MIN_ROW_INK = 3
     MAX_LINE_HEIGHT = 300
 
-    def recognize(self, image) -> str:
-        """Page raster (PIL image or [H, W, 3]/[H, W] uint8) -> text."""
+    def recognize(self, image, return_score: bool = False):
+        """Page raster (PIL image or [H, W, 3]/[H, W] uint8) -> text.
+
+        ``return_score=True`` also returns the mean per-line best IoU -
+        ~0.9 when the page is rendered from this atlas's font, well below
+        that on any other font (AutoOcr's dialect-detection signal)."""
         arr = np.asarray(image)
         if arr.ndim == 3:
             arr = arr.mean(axis=-1)
@@ -278,6 +282,7 @@ class TemplateOcr:
             spans.append(s)
 
         lines: List[str] = []
+        line_scores: List[float] = []
         for y0, y1 in spans:
             if y1 - y0 + 1 > self.MAX_LINE_HEIGHT:
                 continue  # not machine-printed text at a sane size
@@ -288,10 +293,14 @@ class TemplateOcr:
             decoded = [self._read_line(ink, y0, y1, ih, row0)
                        for ih, row0 in self._layout_candidates(y1 - y0 + 1)]
             if decoded:
-                _, text = max(decoded, key=lambda t: t[0])
+                score, text = max(decoded, key=lambda t: t[0])
                 if text:
                     lines.append(text)
-        return "\n".join(lines)
+                    line_scores.append(score)
+        text = "\n".join(lines)
+        if return_score:
+            return text, (float(np.mean(line_scores)) if line_scores else 0.0)
+        return text
 
     def __call__(self, pdf_path: str) -> List[str]:
         """``ocr_fn`` surface for pdf_loader: PDF path -> per-page texts."""

@@ -94,11 +94,23 @@ def data_preparation(
         tables: List[Document] = []
         tables_dir = save_root / "tables"
         table_counter = 0
-        if hasattr(doc, "extract_runs"):
+        # Layout runs: the native text layer, or - for scanned pages - the
+        # OCR's positioned word runs (the TableFormer-on-images role,
+        # reference functions.py:85-93: table structure from page IMAGES;
+        # round-2 gap: a scanned table produced nothing even after OCR).
+        ocr_runs = el.get("ocr_runs")
+        if hasattr(doc, "extract_runs") or ocr_runs:
             from multimodal_colpali_tpu.ingest.tables import detect_tables
 
             for page_no in range(1, len(doc) + 1):
-                for det in detect_tables(doc.extract_runs(page_no - 1)):
+                if ocr_runs is not None:
+                    page_runs = (ocr_runs[page_no - 1]
+                                 if page_no <= len(ocr_runs) else [])
+                    # OCR word x positions jitter by a couple of px
+                    dets = detect_tables(page_runs, x_tol=5.0)
+                else:
+                    dets = detect_tables(doc.extract_runs(page_no - 1))
+                for det in dets:
                     table_counter += 1
                     if table_counter == 1:
                         tables_dir.mkdir(parents=True, exist_ok=True)
@@ -231,11 +243,15 @@ def pdf_loader(
         el = {"filename": fname, "link": link, "document": doc}
         if check_ocr(paper):
             if ocr_fn is None:
-                from multimodal_colpali_tpu.ingest.ocr import TemplateOcr
+                from multimodal_colpali_tpu.ingest.ocr_conv import AutoOcr
 
-                ocr_fn = TemplateOcr()
+                ocr_fn = AutoOcr()
             print(f"{fname} has no text layer; running OCR")
-            el["ocr_text"] = ocr_fn(paper)
+            if hasattr(ocr_fn, "pdf_text_and_runs"):
+                el["ocr_text"], el["ocr_runs"] = \
+                    ocr_fn.pdf_text_and_runs(paper)
+            else:
+                el["ocr_text"] = ocr_fn(paper)
         conversion.append(el)
 
     docs_multi = data_preparation(conversion, vd_dir, vd_tokenizer,

@@ -129,10 +129,13 @@ def detect_tables(runs: Sequence[Run], min_rows: int = 2,
 
 def _find_caption(rows: List[List[Run]], start: int, end: int,
                   size: float) -> str:
-    """Nearest single-run neighbor row starting with 'table'."""
+    """Nearest neighbor row starting with 'table'. The row's runs are
+    joined left-to-right: native text layers carry whole-line runs, but
+    OCR-recovered layouts (scanned pages) emit one run per word."""
     for idx in (start - 1, end):
-        if 0 <= idx < len(rows) and len(rows[idx]) == 1:
-            text = rows[idx][0][3].strip()
+        if 0 <= idx < len(rows):
+            text = " ".join(r[3] for r in sorted(rows[idx],
+                                                 key=lambda r: r[0])).strip()
             if text.lower().startswith("table"):
                 return text
     return ""

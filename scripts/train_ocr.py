@@ -1,0 +1,207 @@
+#!/usr/bin/env python
+"""Train the font-general OCR glyph classifier (ingest/ocr_conv.py).
+
+Synthetic supervision: render random text lines with every usable TTF the
+environment ships (matplotlib's DejaVu / STIX / Computer Modern families +
+the system DejaVu set) at several sizes, push each render through the SAME
+segmentation the recognizer uses, and label the resulting glyph crops by
+aligning segments to the known text (lines whose segment count mismatches
+the label count are dropped - ligature/touching cases stay out of the
+training set exactly as they fail at inference). Augmentation: salt
+noise, threshold jitter, 1-px shifts.
+
+Usage:
+  python scripts/train_ocr.py [--steps 3000] [--holdout cmr10 STIX]
+
+Writes multimodal_colpali_tpu/ingest/ocr_conv_weights.npz and prints the
+held-out-font accuracy (fonts never seen in training).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from multimodal_colpali_tpu.ingest.ocr_conv import (   # noqa: E402
+    CHARSET, _WEIGHTS_PATH, binarize, conv_ocr_init, conv_ocr_logits,
+    line_samples, segment_glyphs)
+
+
+def find_fonts():
+    import matplotlib
+
+    ttf_dir = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                           "fonts", "ttf")
+    names = [n for n in sorted(os.listdir(ttf_dir)) if n.endswith(".ttf")
+             and not n.startswith(("STIXSiz", "STIXNonUni", "cmex", "cmmi",
+                                   "cmsy"))]   # symbol-only fonts
+    return [os.path.join(ttf_dir, n) for n in names]
+
+
+def render_line(font, text: str, pad: int = 6) -> np.ndarray:
+    from PIL import Image, ImageDraw
+
+    x0, y0, x1, y1 = font.getbbox(text)
+    w, h = x1 - x0 + 2 * pad, y1 - y0 + 2 * pad
+    im = Image.new("L", (max(w, 8), max(h, 8)), 255)
+    ImageDraw.Draw(im).text((pad - x0, pad - y0), text, font=font, fill=0)
+    return np.asarray(im)
+
+
+def _rand_word(rng) -> str:
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    n = int(rng.integers(2, 9))
+    w = "".join(rng.choice(list(letters), size=n))
+    r = rng.random()
+    if r < 0.15:
+        return str(rng.integers(0, 10_000))
+    if r < 0.35:
+        return w.capitalize()
+    if r < 0.42:
+        return w.upper()
+    return w
+
+
+def harvest(font_path: str, rng, sizes=(14, 18, 24, 34), n_lines: int = 30):
+    """Labeled (patch, feats, class) samples from one font.
+
+    Two line styles per size: glyphs spaced wide apart (covers the whole
+    charset uniformly) and realistic word lines (so the baseline/cap
+    statistics behind the layout features match inference). Labels align
+    to segments positionally; lines whose segment count mismatches are
+    dropped (touching glyphs stay out of distribution, as at inference).
+    """
+    from PIL import ImageFont
+
+    xs, fs, ys = [], [], []
+    chars = "".join(CHARSET)
+    for size in sizes:
+        try:
+            try:  # basic layout: no ligatures, matching simple scanners
+                font = ImageFont.truetype(
+                    font_path, size, layout_engine=ImageFont.Layout.BASIC)
+            except (AttributeError, OSError):
+                font = ImageFont.truetype(font_path, size)
+        except OSError:
+            return xs, fs, ys
+        for li in range(2 * n_lines):
+            if li % 2 == 0:
+                text = " ".join(rng.choice(list(chars), size=14))
+            else:
+                text = " ".join(_rand_word(rng)
+                                for _ in range(int(rng.integers(3, 7))))
+            labels = [c for c in text if c != " "]
+            arr = render_line(font, text)
+            ink = binarize(arr)
+            lines = segment_glyphs(ink)
+            if len(lines) != 1:
+                continue
+            _, _, boxes = lines[0]
+            if len(boxes) != len(labels):
+                continue   # touching/split glyphs: out of distribution
+            patches, feats = line_samples(ink, boxes)
+            for p, f, ch in zip(patches, feats, labels):
+                xs.append(p)
+                fs.append(f)
+                ys.append(CHARSET.index(ch))
+    return xs, fs, ys
+
+
+def augment(x, rng):
+    """Salt noise + edge erosion jitter on a batch of patches."""
+    noise = rng.random(x.shape) < 0.02
+    x = np.clip(x + noise * rng.random(x.shape), 0, 1)
+    drop = rng.random(x.shape) < 0.03
+    x = x * (1 - drop * 0.8)
+    # random 1-px shift
+    sh = rng.integers(-1, 2, size=2)
+    x = np.roll(x, sh, axis=(1, 2))
+    return x.astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--holdout", nargs="*", default=["cmr10", "STIXGeneral."])
+    ap.add_argument("--out", default=_WEIGHTS_PATH)
+    args = ap.parse_args()
+
+    os.environ.setdefault("MMCP_JAX_PLATFORMS", "cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    rng = np.random.default_rng(0)
+    fonts = find_fonts()
+    train_fonts = [f for f in fonts
+                   if not any(h in os.path.basename(f) for h in args.holdout)]
+    hold_fonts = [f for f in fonts
+                  if any(h in os.path.basename(f) for h in args.holdout)]
+    print(f"[train_ocr] {len(train_fonts)} training fonts, "
+          f"{len(hold_fonts)} held out: "
+          f"{[os.path.basename(f) for f in hold_fonts]}")
+
+    X, F, Y = [], [], []
+    for f in train_fonts:
+        xs, fs, ys = harvest(f, rng)
+        X += xs; F += fs; Y += ys
+        print(f"[train_ocr] {os.path.basename(f)}: {len(xs)} glyphs")
+    X = np.stack(X); F = np.stack(F); Y = np.asarray(Y, np.int32)
+    print(f"[train_ocr] total {len(X)} samples")
+
+    params = {k: jnp.asarray(v) for k, v in conv_ocr_init().items()}
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, f, y):
+        def loss_fn(p):
+            logits = conv_ocr_logits(p, x, f)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for i in range(args.steps):
+        idx = rng.integers(0, len(X), args.batch)
+        x = augment(X[idx], rng)
+        params, opt_state, loss = step(params, opt_state,
+                                       jnp.asarray(x), jnp.asarray(F[idx]),
+                                       jnp.asarray(Y[idx]))
+        if i % 500 == 0 or i == args.steps - 1:
+            print(f"[train_ocr] step {i}: loss {float(loss):.4f}")
+
+    np_params = {k: np.asarray(v, np.float32) for k, v in params.items()}
+    np.savez_compressed(args.out, **np_params)
+    print(f"[train_ocr] wrote {args.out} "
+          f"({os.path.getsize(args.out) / 1024:.0f} KiB)")
+
+    # held-out-font accuracy (never trained on)
+    @jax.jit
+    def infer(x, f):
+        return jnp.argmax(conv_ocr_logits(params, x, f), axis=1)
+
+    for f in hold_fonts:
+        xs, fs, ys = harvest(f, np.random.default_rng(1), sizes=(18, 28))
+        if not xs:
+            continue
+        pred = np.asarray(infer(jnp.asarray(np.stack(xs)),
+                                jnp.asarray(np.stack(fs))))
+        acc = float((pred == np.asarray(ys)).mean())
+        print(f"[train_ocr] holdout {os.path.basename(f)}: "
+              f"acc {acc:.3f} over {len(xs)} glyphs")
+
+
+if __name__ == "__main__":
+    main()
