@@ -20,14 +20,19 @@ QUERY_AUGMENTATION_TOKENS = 10
 
 
 class ColIdefics3Processor:
-    """``image_splitting=True`` enables the Idefics3/SmolVLM tiled layout:
-    the image is resized (aspect-preserving, centered zero pad) onto the
-    smallest tile canvas covering its longest-edge target, split into
-    encoder-size tiles, and the prompt carries HF's structural markers
+    """``image_splitting=True`` enables the Idefics3/SmolVLM tiled layout,
+    mirroring HF ``Idefics3ImageProcessor``'s resize chain: longest edge
+    scaled to the target (UP or down, even-rounded), then STRETCHED to the
+    nearest tile multiples (``resize_for_vision_encoder`` - HF never pads
+    single images; its pixel attention masks are all-ones per image and
+    only matter when batching differently-sized images), split into exact
+    encoder-size tiles; the prompt carries HF's structural markers
     (``<fake_token_around_image>``, ``<row_i_col_j>``, ``<global-img>``)
-    between the per-tile image-token runs, global view LAST. Deviation
-    (documented): tiles are exact squares via canvas padding instead of
-    HF's variable tiles + pixel attention masks (static TPU shapes)."""
+    between the per-tile image-token runs, global view LAST; the global
+    view resizes the stretched canvas (HF ``split_image`` order). Tile
+    pixels bit-match HF's (tests/test_static_shape_deviation.py).
+    Remaining deviation (documented): ``max_tiles`` clamps very large
+    grids to keep jit layouts bounded (HF is unclamped)."""
 
     def __init__(self, cfg: ColIdefics3ModelConfig, tokenizer: Optional[Any] = None,
                  query_pad_to_multiple: int = 16, image_splitting: bool = False,
@@ -51,10 +56,35 @@ class ColIdefics3Processor:
 
     # -- splitting -------------------------------------------------------------
 
-    def tiling_for(self, img: Any) -> tuple:
-        """(ty, tx): smallest tile grid covering the longest-edge resize."""
+    def _resize_dims(self, w: int, h: int) -> tuple:
+        """HF's two-step output size: (step1 w, h) longest edge == target
+        with even-rounded short side (``_resize_output_size_rescale_to_
+        max_len``), then (step2 w, h) ceil-stretched to tile multiples
+        (``resize_for_vision_encoder``)."""
         import math
 
+        s = self.cfg.vision.image_size
+        aspect = w / max(h, 1)
+        if w >= h:
+            w1 = self.longest_edge
+            h1 = int(w1 / aspect)
+            h1 += h1 % 2
+        else:
+            h1 = self.longest_edge
+            w1 = int(h1 * aspect)
+            w1 += w1 % 2
+        w1, h1 = max(w1, 1), max(h1, 1)
+        aspect = w1 / max(h1, 1)
+        if w1 >= h1:
+            w2 = math.ceil(w1 / s) * s
+            h2 = math.ceil(int(w2 / aspect) / s) * s
+        else:
+            h2 = math.ceil(h1 / s) * s
+            w2 = math.ceil(int(h2 * aspect) / s) * s
+        return (w1, h1), (max(w2, s), max(h2, s))
+
+    def tiling_for(self, img: Any) -> tuple:
+        """(ty, tx): the tile grid of HF's stretched canvas."""
         from PIL import Image
 
         if isinstance(img, Image.Image):
@@ -62,9 +92,8 @@ class ColIdefics3Processor:
         else:
             h, w = np.asarray(img).shape[:2]
         s = self.cfg.vision.image_size
-        scale = min(1.0, self.longest_edge / max(h, w, 1))
-        ty = max(math.ceil(h * scale / s), 1)
-        tx = max(math.ceil(w * scale / s), 1)
+        _, (w2, h2) = self._resize_dims(w, h)
+        ty, tx = h2 // s, w2 // s
         while ty * tx > self.max_tiles:  # shrink the longer axis first
             if ty >= tx and ty > 1:
                 ty -= 1
@@ -83,7 +112,9 @@ class ColIdefics3Processor:
 
     def _split_tiles(self, img: Any, tiles: tuple) -> np.ndarray:
         """[T+1, S, S, 3] normalized: row-major canvas tiles + global LAST
-        (the Idefics3 sub-image order)."""
+        (the Idefics3 sub-image order). Two LANCZOS resizes matching HF's
+        chain exactly (longest-edge target, then stretch to the tile
+        canvas - no padding, so no pixel mask is needed)."""
         from PIL import Image
 
         s = self.cfg.vision.image_size
@@ -92,19 +123,20 @@ class ColIdefics3Processor:
             img = Image.fromarray(np.asarray(img).astype(np.uint8))
         img = img.convert("RGB")
         w, h = img.size
+        (w1, h1), _ = self._resize_dims(w, h)
+        step1 = img.resize((w1, h1), Image.LANCZOS)
+        # the tile canvas honors the (possibly max_tiles-clamped) grid
         th, tw = ty * s, tx * s
-        scale = min(tw / w, th / h)
-        nw = min(int(np.ceil(w * scale)), tw)
-        nh = min(int(np.ceil(h * scale)), th)
-        resized = img.resize((nw, nh), Image.LANCZOS)  # HF Idefics3 resample
-        canvas = Image.new("RGB", (tw, th), (0, 0, 0))
-        canvas.paste(resized, ((tw - nw) // 2, (th - nh) // 2))
+        canvas = step1.resize((tw, th), Image.LANCZOS)
         arr = np.asarray(canvas, np.float32)
         parts = []
         for yi in range(ty):
             for xi in range(tx):
                 parts.append(arr[yi * s:(yi + 1) * s, xi * s:(xi + 1) * s])
-        parts.append(np.asarray(img.resize((s, s), Image.LANCZOS), np.float32))
+        # global view: HF's split_image resizes the STRETCHED canvas to
+        # the encoder size - bit-matched in tests
+        parts.append(np.asarray(canvas.resize((s, s), Image.LANCZOS),
+                                np.float32))
         stack = np.stack(parts)  # [T+1, S, S, 3], global last
         return ((stack / 255.0) - 0.5) / 0.5
 
