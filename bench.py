@@ -50,7 +50,7 @@ def emit(result: dict) -> None:
     print(json.dumps(result), flush=True)
 
 
-def probe_backend(timeout_s: float = 180.0) -> str:
+def probe_backend(timeout_s: float = 300.0) -> str:
     """Run a trivial matmul on the default backend in a subprocess.
 
     Returns the backend name on success, "" on failure/hang. Runs out of
@@ -271,24 +271,18 @@ def bench_retrieval(jax, jnp, backend: str) -> dict:
     }
 
 
-def bench_embed_throughput(jax, jnp, backend: str) -> dict:
-    """Pages/sec/chip + MFU for the encoder hot loop (BASELINE.md target:
-    >=1k pages/s/chip, reachable with the small retrievers; the reference's
-    corresponding loop is create_document_embeddings, functions.py:765-809).
+def _bench_one_embed(jax, jnp, backend: str, name: str, batch: int,
+                     n_iters: int, device_init: bool = False) -> dict:
+    """Pages/sec/chip + MFU for one retriever. Returns
+    {pages_per_sec, mfu?, gflop_per_page?}; raises on failure."""
+    import gc
+    import warnings
 
-    Diagnostics only - failures here must never kill the headline metric.
-    """
     from multimodal_colpali_tpu.models.registry import load_retriever
 
-    if backend == "tpu":
-        name, batch, n_iters = "ahmed-masry/ColFlor", 16, 8
-    else:
-        name, batch, n_iters = "tiny-colpali", 4, 4
-
-    import warnings
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # random-init warning is expected
-        ret = load_retriever(name)
+        ret = load_retriever(name, device_init=device_init or None)
     from PIL import Image
     rng = np.random.default_rng(0)
     imgs = [Image.fromarray(rng.integers(0, 255, (448, 448, 3), np.uint8))
@@ -340,21 +334,66 @@ def bench_embed_throughput(jax, jnp, backend: str) -> dict:
     np.asarray(chain(params, n_iters + 1, *args))
     t3 = time.time()
     per_iter = ((t3 - t2) - (t1 - t0)) / n_iters
+    # release the model's device buffers before the next model loads
+    del ret, params, args, proc
+    gc.collect()
     if per_iter <= 0:
         # host-contention timing noise: the long chain measured no slower
         # than the short one; a rate computed from that would be garbage
-        log("[bench] embed timing washed out by host noise; skipping rate")
-        return {"embed_model": name}
-    pages_per_sec = batch / per_iter
-    out = {"embed_model": name, "embed_pages_per_sec": round(pages_per_sec, 2)}
+        raise RuntimeError("embed timing washed out by host noise")
+    out = {"pages_per_sec": round(batch / per_iter, 2)}
     msg = (f"[bench] embed throughput ({name}, batch {batch}): "
-           f"{pages_per_sec:.1f} pages/s/chip")
+           f"{out['pages_per_sec']:.1f} pages/s/chip")
     peak = PEAK_FLOPS.get(backend)
     if flops and peak:
-        mfu = flops / per_iter / peak
-        out["embed_mfu"] = round(mfu, 4)
-        msg += f", MFU {mfu*100:.1f}% ({flops/batch/1e9:.1f} GFLOP/page)"
+        out["mfu"] = round(flops / per_iter / peak, 4)
+        out["gflop_per_page"] = round(flops / batch / 1e9, 1)
+        msg += (f", MFU {out['mfu']*100:.1f}% "
+                f"({out['gflop_per_page']:.1f} GFLOP/page)")
     log(msg)
+    return out
+
+
+def bench_embed_throughput(jax, jnp, backend: str) -> dict:
+    """Pages/sec/chip + MFU for the encoder hot loop (BASELINE.md target:
+    >=1k pages/s/chip; the reference's corresponding loop is
+    create_document_embeddings, functions.py:765-809).
+
+    On TPU three families are recorded (VERDICT r2 #1): the small
+    retrievers ColFlor-0.2B and ColSmol-256M (the families with a shot at
+    the 1k target) and the ColPali-3B flagship (so its MFU is
+    driver-verified, not self-reported). The headline embed_* keys carry
+    the fastest small retriever. Diagnostics only - failures here must
+    never kill the headline metric.
+    """
+    if backend == "tpu":
+        targets = [
+            ("ahmed-masry/ColFlor", "colflor", 16, 8, False),
+            ("vidore/colSmol-256M", "colsmol", 16, 8, False),
+            ("vidore/colpali-v1.3", "colpali3b", 8, 4, True),
+        ]
+    else:
+        targets = [("tiny-colpali", "tiny", 4, 4, False)]
+
+    out: dict = {}
+    best = None
+    for name, short, batch, n_iters, dev_init in targets:
+        try:
+            rec = _bench_one_embed(jax, jnp, backend, name, batch, n_iters,
+                                   device_init=dev_init)
+        except Exception as e:  # noqa: BLE001 - per-model isolation
+            log(f"[bench] embed {name} skipped: {type(e).__name__}: {e}")
+            continue
+        for k, v in rec.items():
+            out[f"embed_{short}_{k}"] = v
+        if short != "colpali3b" and (best is None
+                                     or rec["pages_per_sec"] > best[1]):
+            best = (name, rec["pages_per_sec"], rec.get("mfu"))
+    if best:
+        out["embed_model"] = best[0]
+        out["embed_pages_per_sec"] = best[1]
+        if best[2] is not None:
+            out["embed_mfu"] = best[2]
     return out
 
 

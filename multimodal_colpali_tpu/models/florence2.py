@@ -132,6 +132,24 @@ class DepthwiseCPE(nn.Module):
         return x + y
 
 
+def _use_window_kernel() -> bool:
+    """Fused Pallas window attention (ops/window_attention.py), OPT-IN via
+    MMCP_WINDOW_ATTENTION=1.
+
+    Round-3 v5e measurements (batch 16 @448px): the einsum path's window
+    attention costs ~50 ms of ColFlor's 163 ms forward (~30% of runtime
+    for ~2% of FLOPs), but the fused kernel does NOT beat it - 165.5 ms
+    (block 16) / 192 ms (block 24) vs 163.4 ms einsum. The 12x12=144-token
+    windows with head_dim 32 are MXU-hostile in any formulation (K=32
+    fills a quarter of the systolic array; S=144 pads the lane dim), and
+    the VMEM ceiling caps the window block at ~16, leaving the kernel
+    grid-overhead-bound. Kept for future tuning; default stays on the
+    einsum path that measured fastest."""
+    import os
+
+    return os.environ.get("MMCP_WINDOW_ATTENTION") == "1"
+
+
 class WindowAttention(nn.Module):
     cfg: Florence2VisionConfig
     stage: int
@@ -156,8 +174,21 @@ class WindowAttention(nn.Module):
         q, k, v = jnp.split(
             qkv.reshape(xw.shape[0], ws * ws, 3, heads, head_dim)
             .transpose(2, 0, 1, 3, 4), 3, axis=0)
-        out = L.attention(q[0], k[0], v[0], mask=None, scale=head_dim ** -0.5)
-        out = out.reshape(xw.shape[0], ws * ws, dim)
+        n_win = xw.shape[0]
+        if _use_window_kernel():
+            from multimodal_colpali_tpu.ops.window_attention import (
+                window_attention)
+
+            to_rows = lambda t: t[0].transpose(0, 2, 1, 3).reshape(
+                n_win * heads, ws * ws, head_dim)
+            out = window_attention(to_rows(q), to_rows(k), to_rows(v),
+                                   scale=head_dim ** -0.5)
+            out = out.reshape(n_win, heads, ws * ws, head_dim
+                              ).transpose(0, 2, 1, 3)
+        else:
+            out = L.attention(q[0], k[0], v[0], mask=None,
+                              scale=head_dim ** -0.5)
+        out = out.reshape(n_win, ws * ws, dim)
         out = L.DenseGeneral(dim, name="proj")(out)
         out = out.reshape(b, nh, nw, ws, ws, dim).transpose(0, 1, 3, 2, 4, 5)
         out = out.reshape(b, hp, wp, dim)
