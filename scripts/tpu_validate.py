@@ -232,6 +232,9 @@ def main() -> None:
     if fused_ok:
         fused = encoder_mfu("ahmed-masry/ColFlor", batch=16, fused=True)
         log(f"[validate] fused speedup: {fused / base:.2f}x")
+    # ColSmol: the small retriever closest to the 1k pages/s target
+    # (round-3 record: 480.8 pages/s at 46.8% MFU)
+    encoder_mfu("vidore/colSmol-256M", batch=16, fused=False)
     if args.flagship:
         encoder_mfu("vidore/colpali-v1.3", batch=8, fused=False)
         if fused_ok:

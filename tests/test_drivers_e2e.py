@@ -377,3 +377,40 @@ def test_sweep_driver_end_to_end(workspace):
         assert set(full["vd_name"].unique()) == {
             "no_RAG", "text_RAG", "mm_RAG", "colpali"}
         assert set(full["permuted_answers"].unique()) == {True, False}
+
+
+@pytest.mark.e2e
+def test_serve_cli_gemma3(workspace):
+    """Driver 07 serves a Gemma-3 LM (the reference's actual generator
+    class) through the paged batcher with chunked prefill enabled."""
+    env = _env("http://unused")
+    env.pop("OPENAI_BASE_URL")
+    serve = subprocess.Popen(
+        [sys.executable, str(DRIVERS / "07_serve.py"),
+         "--model", "tiny-gemma3", "--port", "0", "--paged",
+         "--prefill-chunk", "16", "--max-seq-len", "320",
+         "--dtype", "float32"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        base = _wait_for_serve(serve)
+        import urllib.request
+
+        req = urllib.request.Request(
+            base.rstrip("/") + "/chat/completions",
+            data=json.dumps({
+                "model": "g3", "max_tokens": 8,
+                "messages": [{"role": "user",
+                              "content": "hello " * 30}],  # > prefill chunk
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out = json.load(r)
+        text = out["choices"][0]["message"]["content"]
+        assert text and "error" not in out
+        # determinism through the full stack
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out2 = json.load(r)
+        assert out2["choices"][0]["message"]["content"] == text
+    finally:
+        serve.terminate()
+        serve.wait(timeout=10)
