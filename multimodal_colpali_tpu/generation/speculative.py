@@ -1,0 +1,244 @@
+"""Prompt-lookup (n-gram) speculative decoding, TPU-native.
+
+vLLM's ``speculative_config={"method": "ngram"}`` accelerates decode by
+drafting tokens from the prompt itself - RAG answers copy spans from
+their context, so the draft source is free. This module implements the
+same idea as ONE jitted ``lax.while_loop``, with every iteration doing a
+single k-token verify forward instead of k sequential single-token
+steps:
+
+1. **Draft**: find the most recent earlier occurrence of the context's
+   last ``ngram`` tokens in the (prompt + generated) buffer and propose
+   the ``k`` tokens that followed it (pure vectorized compare - no host
+   round trip, no draft model).
+2. **Verify**: feed ``[last_token, d1..d_{k-1}]`` through the engine's
+   ``_chunk`` (one chunked forward writing k KV rows) and compare each
+   draft against the greedy argmax of the previous position.
+3. **Accept** the longest matching prefix plus the correction token -
+   between 1 and k tokens emitted per forward. Rejected drafts' KV rows
+   are causally masked and overwritten by later iterations, so the
+   emitted stream is BIT-IDENTICAL to vanilla greedy decode (tested).
+
+Greedy only (the standard lossless setting; the reference's MCQ answers
+decode at temperature 0). Batched: each row drafts/accepts
+independently; the loop runs until every row is done.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _draft(tokens: jax.Array, first: jax.Array, cur_end: jax.Array,
+           k: int, ngram: int, pad_id: int) -> jax.Array:
+    """Vectorized prompt-lookup draft.
+
+    tokens: [B, T] buffer (prompt left-aligned at ``first``, generated
+    appended); cur_end: [B] index one past the last valid token. Returns
+    [B, k] proposals (the tokens that followed the most recent earlier
+    occurrence of the trailing ngram; pad_id when no match).
+    """
+    b, t = tokens.shape
+    idx = jnp.arange(t)
+    # trailing ngram per row: tokens[cur_end - ngram : cur_end]
+    tail = jax.vmap(
+        lambda row, e: jax.lax.dynamic_slice(row, (e - ngram,), (ngram,))
+    )(tokens, cur_end)
+    # windows[b, j] == tokens[b, j : j + ngram]
+    win = jnp.stack([tokens[:, i: t - ngram + 1 + i] for i in range(ngram)],
+                    axis=-1)                      # [B, T-ngram+1, ngram]
+    match = jnp.all(win == tail[:, None, :], axis=-1)
+    pos = idx[None, : t - ngram + 1]
+    # earlier occurrence with a FULL k-token continuation inside the valid
+    # region: the trailing ngram itself always matches at cur_end - ngram
+    # but has nothing after it, and on periodic text (the common
+    # acceptance case) every near-end match is similarly truncated - so
+    # require room for the whole draft window
+    ok = (match & (pos >= first[:, None])
+          & (pos + ngram + k <= cur_end[:, None]))
+    # most recent such match
+    best = jnp.max(jnp.where(ok, pos, -1), axis=1)          # [B]
+    has = best >= 0
+    start = jnp.where(has, best + ngram, 0)
+    out = jax.vmap(
+        lambda row, s: jax.lax.dynamic_slice(row, (s,), (k,))
+    )(tokens, jnp.minimum(start, t - k))
+    return jnp.where(has[:, None], out, jnp.int32(pad_id))
+
+
+def speculative_generate(
+    engine,
+    prompts: Sequence[Sequence[int]],
+    max_new_tokens: int = 64,
+    k: int = 4,
+    ngram: int = 2,
+    eos_id: int = -1,
+    pad_id: int = 0,
+    bucket: int = 16,
+) -> tuple:
+    """Greedy generation with prompt-lookup speculation.
+
+    Returns (token lists - bit-identical to ``engine.generate`` greedy -
+    and the mean accepted tokens per verify forward, the speedup
+    signal)."""
+    if not prompts:
+        return [], 0.0
+    c = engine.cfg
+    s = max(max(len(p) for p in prompts), ngram + 1)
+    s = ((s + bucket - 1) // bucket) * bucket
+    b = len(prompts)
+    t_buf = s + max_new_tokens + k + 1
+    ids = np.full((b, s), pad_id, np.int32)
+    mask = np.zeros((b, s), np.int32)
+    for i, p in enumerate(prompts):
+        ids[i, -len(p):] = p
+        mask[i, -len(p):] = 1
+
+    key = ("spec", s, max_new_tokens, k, ngram, eos_id, pad_id)
+    cache = engine._jit_cache
+    if key not in cache:
+        t_kv = t_buf
+
+        def run(params, ids, mask):
+            kc = tuple(
+                jnp.zeros((b, t_kv, c.num_key_value_heads, c.head_dim),
+                          engine.dtype) for _ in range(c.num_hidden_layers))
+            first = s - jnp.sum(mask, axis=1)                # [B]
+            kv_valid_prompt = jnp.concatenate(
+                [mask.astype(bool),
+                 jnp.ones((b, t_buf - s), bool)], axis=1)
+            positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
+            x = engine._embed(params, ids)
+            hidden, (kc, vc) = engine._chunk(
+                params, x, positions, kc, kc, 0, kv_valid_prompt)
+            logits = engine._logits(params, hidden[:, -1])
+            tok0 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            tokens = jnp.zeros((b, t_buf), jnp.int32).at[:, :s].set(ids)
+            tokens = tokens.at[:, s].set(tok0)
+            n_gen = jnp.ones((b,), jnp.int32)
+            done = tok0 == eos_id
+            last_pos = positions[:, -1]                      # len_p - 1
+
+            def cond(st):
+                _, _, _, n_gen, done, _, _ = st
+                return jnp.any(~done & (n_gen < max_new_tokens))
+
+            def body(st):
+                kc, vc, tokens, n_gen, done, n_fwd, n_acc = st
+                cur_end = s + n_gen
+                drafts = _draft(tokens, first, cur_end, k, ngram, pad_id)
+                last = jax.vmap(lambda row, e: row[e - 1])(tokens, cur_end)
+                fed = jnp.concatenate([last[:, None], drafts[:, : k - 1]],
+                                      axis=1)                # [B, k]
+                # positions: last token sits at len_p - 1 + n_gen
+                pos = (last_pos + n_gen)[:, None] + jnp.arange(k)[None, :]
+                # write rows start where the last token's KV row belongs
+                write0 = s + n_gen - 1
+                # per-row write offset differs; roll each row's chunk into
+                # a common buffer via per-row dynamic_update_slice
+                x = engine._embed(params, fed)
+
+                def kv_write(i, knew, vnew):
+                    def upd(cache, new):
+                        return jax.vmap(
+                            lambda cb, nb, w: jax.lax.dynamic_update_slice(
+                                cb, nb, (w, 0, 0))
+                        )(cache, new, write0)
+                    return upd(kc[i], knew), upd(vc[i], vnew)
+
+                cols = jnp.arange(t_buf)
+                gq = write0[:, None] + jnp.arange(k)[None, :]  # [B, k]
+                amask = (kv_valid_prompt[:, None, :]
+                         & (cols[None, None, :] <= gq[:, :, None])
+                         )[:, None, :, :].transpose(0, 1, 2, 3)
+
+                from multimodal_colpali_tpu.generation.engine import (
+                    attn_scale, layer_stack)
+                from multimodal_colpali_tpu.models import layers as L
+
+                sc = attn_scale(c)
+                types = (c.layer_types_resolved
+                         if getattr(c, "is_gemma3", False) else None)
+                if types is not None:
+                    sl = amask & (cols[None, None, None, :]
+                                  > (gq[:, :, None] - c.sliding_window)
+                                  [:, None, :, :])
+
+                def attend(i, q, kcc, vcc):
+                    m = amask
+                    if types is not None and \
+                            types[i] == "sliding_attention":
+                        m = sl
+                    # amask is [B, 1, k, T]
+                    return L.attention(q, kcc, vcc, mask=m, scale=sc)
+
+                hidden, (kc2, vc2) = layer_stack(params, c, x, pos,
+                                                 kv_write, attend)
+                logits = engine._logits(
+                    params, hidden.reshape(b * k, -1)).reshape(b, k, -1)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+                # accept: drafts[i] confirmed iff drafts[i] == greedy[i-1]
+                ok = drafts[:, 1:k] == greedy[:, : k - 1]    # [B, k-1]
+                acc = jnp.cumprod(ok.astype(jnp.int32), axis=1)
+                j = jnp.sum(acc, axis=1)                     # 0..k-1
+                # emitted token i (0-based): drafts[i+1] for i<j, else
+                # greedy[j] at i==j
+                ii = jnp.arange(k)[None, :]
+                emit = jnp.where(
+                    ii < j[:, None],
+                    jnp.concatenate([drafts[:, 1:],
+                                     jnp.zeros((b, 1), jnp.int32)], 1),
+                    jnp.take_along_axis(greedy, j[:, None], axis=1))
+                # stop at eos / budget; rows already done emit nothing
+                can = ((ii <= j[:, None]) & ~done[:, None]
+                       & (n_gen[:, None] + ii < max_new_tokens))
+                is_eos = emit == eos_id
+                before_eos = jnp.cumsum(
+                    jnp.concatenate([jnp.zeros((b, 1), jnp.int32),
+                                     is_eos.astype(jnp.int32)[:, :-1]], 1),
+                    axis=1) == 0
+                can = can & before_eos
+                n_emit = jnp.sum(can.astype(jnp.int32), axis=1)
+
+                write_pos = cur_end[:, None] + ii
+                rows = jnp.arange(b)[:, None] * 0 + jnp.arange(b)[:, None]
+                flat_pos = jnp.clip(write_pos, 0, t_buf - 1)
+                cur_vals = jax.vmap(lambda row, p: row[p])(tokens, flat_pos)
+                new_vals = jnp.where(can, emit, cur_vals)
+                tokens = jax.vmap(
+                    lambda row, p, v: row.at[p].set(v)
+                )(tokens, flat_pos, new_vals)
+
+                hit_eos = jnp.any(is_eos & can, axis=1)
+                n_gen2 = jnp.minimum(n_gen + n_emit, max_new_tokens)
+                done2 = done | hit_eos | (n_gen2 >= max_new_tokens)
+                n_fwd2 = n_fwd + jnp.sum(~done)
+                n_acc2 = n_acc + jnp.sum(n_emit)
+                return (kc2, vc2, tokens, n_gen2, done2, n_fwd2, n_acc2)
+
+            st = (kc, vc, tokens, n_gen, done, jnp.int32(0), jnp.int32(0))
+            kc, vc, tokens, n_gen, done, n_fwd, n_acc = jax.lax.while_loop(
+                cond, body, st)
+            return tokens[:, s:], n_gen, n_fwd, n_acc
+
+        cache[key] = jax.jit(run)
+
+    toks, n_gen, n_fwd, n_acc = cache[key](
+        engine.params, jnp.asarray(ids), jnp.asarray(mask))
+    toks = np.asarray(toks)
+    n_gen = np.asarray(n_gen)
+    results: List[List[int]] = []
+    for i in range(b):
+        row = toks[i, : int(n_gen[i])].tolist()
+        if eos_id in row:
+            row = row[: row.index(eos_id)]
+        results.append(row)
+    accepted_per_fwd = float(n_acc) / max(float(n_fwd), 1.0)
+    return results, accepted_per_fwd
