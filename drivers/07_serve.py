@@ -70,20 +70,29 @@ def main() -> None:
     from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
     from multimodal_colpali_tpu.generation.server import GenerationServer
     from multimodal_colpali_tpu.models.registry import (
-        GEMMA3_CONFIGS, load_gemma3_lm, load_retriever)
+        GEMMA3_CONFIGS, load_retriever)
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     mm_engine = image_pre = None
     if args.model in GEMMA3_CONFIGS:
         # the reference's actual generator class (Gemma-3; vLLM serves
-        # google/gemma-3-27b-it, 00_run_docker_containers.sh:26-39),
-        # first-party: text-only LM, no PaliGemma image path
+        # google/gemma-3-27b-it over image-context MCQ prompts,
+        # 00_run_docker_containers.sh:26-39) - FULL multimodal: the LM
+        # decodes through the batchers, image prompts prefill through
+        # Gemma3MMEngine (SigLIP tower + avg-pool projector + per-image
+        # bidirectional spans)
+        from multimodal_colpali_tpu.generation.gemma3_mm import Gemma3MMEngine
+        from multimodal_colpali_tpu.models.processing import ImagePreprocessor
+        from multimodal_colpali_tpu.models.registry import load_gemma3_mm
+
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            cfg3, params, tok = load_gemma3_lm(args.model, dtype=dtype)
-        engine = GemmaDecodeEngine(cfg3, params, dtype=dtype)
+            cfg_mm, params, tok = load_gemma3_mm(args.model, dtype=dtype)
+        engine = GemmaDecodeEngine(cfg_mm.text, params, dtype=dtype)
+        mm_engine = Gemma3MMEngine(cfg_mm, params, dtype=dtype)
+        image_pre = ImagePreprocessor(cfg_mm.vision.image_size)
         if tok is None:
-            vocab = cfg3.vocab_size
+            vocab = cfg_mm.text.vocab_size
             tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
     else:
         with warnings.catch_warnings():

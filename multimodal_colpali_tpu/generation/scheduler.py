@@ -186,12 +186,24 @@ class ContinuousBatcher:
         return jax.jit(run)
 
     def _mm_prefill_fn(self, s: int):
-        """Multimodal prefill: image embeds merged into the <image> slots,
-        bidirectional prefix attention, 1-indexed positions (HF PaliGemma
-        conventions; mirrors PaliGemmaEngine._build's prefill). Returns the
-        same (k, v, logits, last_pos) contract as ``_prefill_fn`` - decode
-        from there on is modality-agnostic."""
+        """Multimodal prefill. Two flavors behind one contract
+        ((k, v, logits, last_pos) - decode from there on is
+        modality-agnostic):
+
+        - PaliGemma (default): image embeds merged into the <image>
+          slots, bidirectional prefix attention, 1-indexed positions
+          (HF conventions; mirrors PaliGemmaEngine._build's prefill).
+        - Gemma-3 MM (the engine exposes ``_prefill``): causal prefill
+          with per-image bidirectional spans and the sliding/global
+          interleave, 0-indexed positions - the engine owns that mask
+          logic, the scheduler just jits its prefill."""
         mm, c = self.mm_engine, self.cfg
+        if hasattr(mm, "_prefill"):
+            def run3(p, ids, mask, pix):
+                k, v, logits, last_pos = mm._prefill(p, ids, mask, pix)
+                return k, v, logits[0], last_pos[0]
+
+            return jax.jit(run3)
         eng = mm.lm
 
         def run(p, ids, mask, pix):
@@ -406,7 +418,11 @@ class ContinuousBatcher:
         s2 = max(((n_gen + self.bucket - 1) // self.bucket) * self.bucket,
                  self.bucket)
         lm, c = self.mm_engine.lm, self.cfg
-        jkey = ("mm_resume", n_p, n_gen, s1, s2, s)
+        # position base for the causal extension: PaliGemma prompts are
+        # 1-indexed (last prompt token at n_p), Gemma-3 MM 0-indexed
+        # (last at n_p - 1)
+        pos_base = n_p - 1 if hasattr(self.mm_engine, "_prefill") else n_p
+        jkey = ("mm_resume", n_p, n_gen, s1, s2, s, pos_base)
         if jkey not in self._jit:
             total = n_p + s2
             kvshape = (1, total, c.num_key_value_heads, c.head_dim)
@@ -417,7 +433,7 @@ class ContinuousBatcher:
                     base = jnp.zeros(kvshape, lm.dtype)
                     kc.append(base.at[:, :n_p].set(a[:, s1 - n_p:]))
                     vc.append(base.at[:, :n_p].set(b[:, s1 - n_p:]))
-                positions = n_p + jnp.cumsum(mask2, axis=1)  # 1-indexed cont.
+                positions = pos_base + jnp.cumsum(mask2, axis=1)
                 kv_valid = jnp.concatenate(
                     [jnp.ones((1, n_p), bool), mask2.astype(bool)], axis=1)
                 x = lm._embed(p, ids2)

@@ -162,3 +162,41 @@ class BertConfig:
         return cls(vocab_size=100, hidden_size=32, intermediate_size=64,
                    num_hidden_layers=2, num_attention_heads=2,
                    max_position_embeddings=64)
+
+
+@dataclasses.dataclass(frozen=True)
+class Gemma3MMConfig:
+    """Gemma-3 multimodal (vision + LM) - the FULL generator the
+    reference serves (google/gemma-3-27b-it answers IMAGE-context MCQs,
+    00_run_docker_containers.sh:26-39 + 05_experiment02.py:155-166).
+
+    The vision tower is plain SigLIP (shared with PaliGemma -
+    ``SiglipVisionTower``); the projector avg-pools the patch grid down
+    to ``mm_tokens_per_image`` soft tokens (RMSNorm + a bias-free
+    projection). Image tokens attend BIDIRECTIONALLY within their own
+    image span; everything else is causal (incl. the 5:1 sliding
+    interleave)."""
+
+    vision: SiglipVisionConfig = dataclasses.field(
+        default_factory=lambda: SiglipVisionConfig(
+            hidden_size=1152, intermediate_size=4304, num_hidden_layers=27,
+            num_attention_heads=16, image_size=896, patch_size=14))
+    text: Gemma3TextConfig = dataclasses.field(
+        default_factory=Gemma3TextConfig)
+    image_token_id: int = 262144
+    mm_tokens_per_image: int = 256
+
+    @classmethod
+    def gemma3_27b(cls) -> "Gemma3MMConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 64) -> "Gemma3MMConfig":
+        return cls(
+            vision=SiglipVisionConfig(
+                hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                num_attention_heads=2, image_size=28, patch_size=14),
+            text=Gemma3TextConfig.tiny(vocab_size=vocab_size),
+            image_token_id=vocab_size - 1,
+            mm_tokens_per_image=1,
+        )

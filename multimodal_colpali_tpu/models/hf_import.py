@@ -468,3 +468,64 @@ def gemma3_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
         "embed": {"embed_tokens": _np(sd["embed_tokens.weight"])},
         "language_model": language,
     }
+
+
+def gemma3_mm_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Convert a torch ``Gemma3ForConditionalGeneration`` state dict to the
+    Gemma3MMEngine param tree (the reference's full generator: vLLM serves
+    google/gemma-3-27b-it over image-context MCQs,
+    00_run_docker_containers.sh:26-39).
+
+    Vision tree matches ``colpali_params_from_hf``'s (same SigLIP tower;
+    the attention-pooling ``head`` in the checkpoint is unused by the mm
+    path and skipped); language tree matches ``gemma3_params_from_hf``;
+    the projector carries the bias-free ``mm_input_projection`` matrix
+    ([v_hidden, t_hidden], already kernel-oriented) and the
+    ``mm_soft_emb_norm`` RMS weight.
+    """
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        norm[re.sub(r"^model\.", "", k)] = v
+    sd = norm
+
+    vt = "vision_tower.vision_model."
+    vision: Dict[str, Any] = {
+        "patch_embedding": {
+            "kernel": _np(sd[vt + "embeddings.patch_embedding.weight"]
+                          ).transpose(2, 3, 1, 0),
+            "bias": _np(sd[vt + "embeddings.patch_embedding.bias"]),
+        },
+        "position_embedding": _np(
+            sd[vt + "embeddings.position_embedding.weight"]),
+        "post_layernorm": _ln(sd, vt + "post_layernorm"),
+    }
+    for i in range(cfg.vision.num_hidden_layers):
+        p = f"{vt}encoder.layers.{i}."
+        vision[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj"),
+                "k_proj": _lin(sd, p + "self_attn.k_proj"),
+                "v_proj": _lin(sd, p + "self_attn.v_proj"),
+                "out_proj": _lin(sd, p + "self_attn.out_proj"),
+            },
+            "layer_norm1": _ln(sd, p + "layer_norm1"),
+            "layer_norm2": _ln(sd, p + "layer_norm2"),
+            "mlp": {"fc1": _lin(sd, p + "mlp.fc1"),
+                    "fc2": _lin(sd, p + "mlp.fc2")},
+        }
+
+    lm_sd = {k[len("language_model."):]: v for k, v in sd.items()
+             if k.startswith("language_model.")}
+    language = gemma3_params_from_hf(lm_sd, cfg.text)
+
+    return {
+        "embed": language["embed"],
+        "language_model": language["language_model"],
+        "vision_tower": vision,
+        "multi_modal_projector": {
+            "mm_input_projection": _np(
+                sd["multi_modal_projector.mm_input_projection_weight"]),
+            "mm_soft_emb_norm": _rms(
+                sd, "multi_modal_projector.mm_soft_emb_norm"),
+        },
+    }

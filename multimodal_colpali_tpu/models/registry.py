@@ -600,3 +600,82 @@ def load_gemma3_lm(name: str, checkpoint_dir: Optional[str] = None,
                               and os.environ.get("MMCP_DEVICE_INIT") == "1")
         params = gemma3_random_params(cfg, seed, dtype=dtype, device=bool(dev))
     return cfg, params, tok
+
+
+GEMMA3_MM_CONFIGS: Dict[str, Any] = {}
+
+
+def _register_gemma3_mm():
+    from multimodal_colpali_tpu.models.configs import Gemma3MMConfig
+
+    GEMMA3_MM_CONFIGS.update({
+        "google/gemma-3-27b-it": Gemma3MMConfig.gemma3_27b,
+        "gemma-3-27b": Gemma3MMConfig.gemma3_27b,
+        "tiny-gemma3": Gemma3MMConfig.tiny,
+    })
+
+
+_register_gemma3_mm()
+
+
+def gemma3_mm_random_params(cfg, seed: int = 0, dtype: Any = jnp.float32):
+    """Random Gemma-3 MM params: language via ``gemma3_random_params``,
+    vision via the flax tower's eval_shape, plus the projector."""
+    from multimodal_colpali_tpu.models.siglip import SiglipVisionTower
+
+    lang = gemma3_random_params(cfg.text, seed, dtype=dtype)
+    tower = SiglipVisionTower(cfg.vision)
+    shapes = jax.eval_shape(lambda: tower.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
+                  jnp.float32)))["params"]
+    rng = np.random.default_rng(seed + 1)
+
+    def fill(path, s):
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "bias":
+            return np.zeros(s.shape, np.float32)
+        if name in ("scale",) or (name == "weight" and len(s.shape) == 1):
+            return np.ones(s.shape, np.float32)       # LayerNorms
+        fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+        return (rng.standard_normal(s.shape).astype(np.float32)
+                * float(fan_in) ** -0.5)
+
+    vision = jax.tree_util.tree_map_with_path(fill, shapes)
+    v_h, t_h = cfg.vision.hidden_size, cfg.text.hidden_size
+    proj = {
+        "mm_input_projection": rng.standard_normal(
+            (v_h, t_h)).astype(np.float32) * float(v_h) ** -0.5,
+        "mm_soft_emb_norm": {"weight": np.zeros((v_h,), np.float32)},
+    }
+    return {
+        "embed": lang["embed"],
+        "language_model": lang["language_model"],
+        "vision_tower": vision,
+        "multi_modal_projector": proj,
+    }
+
+
+def load_gemma3_mm(name: str, checkpoint_dir: Optional[str] = None,
+                   dtype: Any = jnp.float32, seed: int = 0):
+    """Load the FULL Gemma-3 generator (vision + LM) -> (cfg, params,
+    tokenizer). Checkpoint resolution mirrors ``load_retriever``."""
+    if name not in GEMMA3_MM_CONFIGS:
+        raise KeyError(
+            f"unknown gemma3 mm model {name!r}; known: "
+            f"{sorted(GEMMA3_MM_CONFIGS)}")
+    cfg = GEMMA3_MM_CONFIGS[name]()
+    ckpt = _find_checkpoint(name, checkpoint_dir)
+    tok = None
+    if ckpt is not None:
+        tok = _load_tokenizer_from(ckpt)
+        sd = hf_import.load_state_dict(ckpt)
+        params = hf_import.gemma3_mm_params_from_hf(sd, cfg)
+    else:
+        warnings.warn(
+            f"no local checkpoint for {name!r}; using random init "
+            f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
+            stacklevel=2,
+        )
+        params = gemma3_mm_random_params(cfg, seed, dtype=dtype)
+    return cfg, params, tok

@@ -1,0 +1,214 @@
+"""Gemma-3 MULTIMODAL parity: the reference's full generator class
+(google/gemma-3-27b-it serves image-context MCQs) against torch
+``Gemma3ForConditionalGeneration`` on a tiny config - vision tower,
+avg-pool projector, image-span bidirectional attention composed with the
+sliding/global interleave, and greedy decode."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from multimodal_colpali_tpu.models.configs import (Gemma3MMConfig,
+                                                   Gemma3TextConfig,
+                                                   SiglipVisionConfig)
+
+torch = pytest.importorskip("torch")
+
+
+def _pair(mm_tokens: int = 4):
+    from transformers import Gemma3Config, Gemma3ForConditionalGeneration
+
+    from multimodal_colpali_tpu.generation.gemma3_mm import Gemma3MMEngine
+    from multimodal_colpali_tpu.models import hf_import
+
+    cfg = Gemma3MMConfig(
+        vision=SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14),
+        text=Gemma3TextConfig.tiny(vocab_size=64),
+        image_token_id=63,
+        mm_tokens_per_image=mm_tokens,
+    )
+    hf_cfg = Gemma3Config(
+        vision_config=dict(
+            hidden_size=cfg.vision.hidden_size,
+            intermediate_size=cfg.vision.intermediate_size,
+            num_hidden_layers=cfg.vision.num_hidden_layers,
+            num_attention_heads=cfg.vision.num_attention_heads,
+            image_size=cfg.vision.image_size,
+            patch_size=cfg.vision.patch_size),
+        text_config=dict(
+            vocab_size=cfg.text.vocab_size,
+            hidden_size=cfg.text.hidden_size,
+            intermediate_size=cfg.text.intermediate_size,
+            num_hidden_layers=cfg.text.num_hidden_layers,
+            num_attention_heads=cfg.text.num_attention_heads,
+            num_key_value_heads=cfg.text.num_key_value_heads,
+            head_dim=cfg.text.head_dim,
+            sliding_window=cfg.text.sliding_window,
+            layer_types=list(cfg.text.layer_types_resolved),
+            rope_theta=cfg.text.rope_theta,
+            rope_local_base_freq=cfg.text.rope_local_base_freq,
+            rope_scaling={"rope_type": "linear",
+                          "factor": cfg.text.rope_scaling_factor},
+            query_pre_attn_scalar=cfg.text.query_pre_attn_scalar),
+        mm_tokens_per_image=cfg.mm_tokens_per_image,
+        image_token_index=cfg.image_token_id,
+        boi_token_index=61, eoi_token_index=62,
+    )
+    torch.manual_seed(0)
+    hf = Gemma3ForConditionalGeneration(hf_cfg).eval()
+    # HF leaves the projector matrix at its zeros init (raw nn.Parameter,
+    # untouched by _init_weights); zero features would make the parity
+    # trivially image-blind
+    with torch.no_grad():
+        hf.model.multi_modal_projector.mm_input_projection_weight.normal_(
+            0, 0.3)
+    params = hf_import.gemma3_mm_params_from_hf(hf.state_dict(), cfg)
+    return cfg, Gemma3MMEngine(cfg, params), hf
+
+
+def _hf_generate(hf, prompt, pix_nchw, max_new, image_token_id):
+    ids_t = torch.tensor([prompt], dtype=torch.long)
+    tt = (ids_t == image_token_id).long()
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=ids_t,
+            attention_mask=torch.ones_like(ids_t),
+            token_type_ids=tt,
+            pixel_values=torch.from_numpy(pix_nchw),
+            max_new_tokens=max_new, do_sample=False)
+    return out[0, len(prompt):].tolist()
+
+
+def test_gemma3_mm_prefill_logits_match_torch():
+    cfg, eng, hf = _pair()
+    rng = np.random.default_rng(0)
+    prompt = eng.build_mm_prompt([5, 9, 11, 3], bos_id=2, boi_id=61,
+                                 eoi_id=62)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    got = eng.next_token_logits([prompt], pix[None], bucket=len(prompt))
+
+    ids_t = torch.tensor([prompt], dtype=torch.long)
+    tt = (ids_t == cfg.image_token_id).long()
+    with torch.no_grad():
+        want = hf(input_ids=ids_t, attention_mask=torch.ones_like(ids_t),
+                  token_type_ids=tt,
+                  pixel_values=torch.from_numpy(
+                      pix.transpose(0, 3, 1, 2))).logits[0, -1].numpy()
+    np.testing.assert_allclose(got[0], want, rtol=3e-4, atol=3e-4)
+
+
+def test_gemma3_mm_greedy_generation_matches_torch():
+    """Greedy decode parity with a single image; generation long enough
+    to cross the sliding window."""
+    cfg, eng, hf = _pair()
+    rng = np.random.default_rng(1)
+    prompt = eng.build_mm_prompt([5, 9, 11, 3, 17, 42], bos_id=2,
+                                 boi_id=61, eoi_id=62)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    got = eng.generate([prompt], pix[None], max_new_tokens=14,
+                       bucket=len(prompt))[0]
+    want = _hf_generate(hf, prompt, pix.transpose(0, 3, 1, 2), 14,
+                        cfg.image_token_id)
+    assert got == want, (got, want)
+
+
+def test_gemma3_mm_two_images_match_torch():
+    """TWO context images (the reference's multi-image MCQ prompts): each
+    image's soft-token span is its own bidirectional block; swapping the
+    images changes the output."""
+    cfg, eng, hf = _pair()
+    rng = np.random.default_rng(2)
+    prompt = eng.build_mm_prompt([5, 9, 11], bos_id=2, n_images=2,
+                                 boi_id=61, eoi_id=62)
+    assert prompt.count(cfg.image_token_id) == 2 * cfg.mm_tokens_per_image
+    pix = rng.standard_normal(
+        (2, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    got = eng.generate([prompt], pix[None], max_new_tokens=10,
+                       bucket=len(prompt))[0]
+    want = _hf_generate(hf, prompt, pix.transpose(0, 3, 1, 2), 10,
+                        cfg.image_token_id)
+    assert got == want, (got, want)
+    # both images condition the output: swapping them moves the logits
+    # (the random tiny model's greedy STREAM may still collapse to the
+    # same cycle, so compare distributions, not tokens)
+    a = eng.next_token_logits([prompt], pix[None], bucket=len(prompt))
+    b = eng.next_token_logits([prompt], pix[::-1][None].copy(),
+                              bucket=len(prompt))
+    assert not np.allclose(a, b)
+
+
+def _tiny_mm():
+    import warnings
+
+    import jax.numpy as jnp
+
+    from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+    from multimodal_colpali_tpu.generation.gemma3_mm import Gemma3MMEngine
+    from multimodal_colpali_tpu.models.registry import (
+        GEMMA3_MM_CONFIGS, gemma3_mm_random_params)
+
+    cfg = GEMMA3_MM_CONFIGS["tiny-gemma3"]()
+    params = gemma3_mm_random_params(cfg, seed=4)
+    return (cfg, GemmaDecodeEngine(cfg.text, params, dtype=jnp.float32),
+            Gemma3MMEngine(cfg, params, dtype=jnp.float32))
+
+
+def test_gemma3_mm_through_batchers():
+    """A Gemma-3 image request decodes in the slot batch next to text
+    requests (both batchers), matching the isolated engine stream - the
+    scheduler's mm hook routes to the engine's causal+span prefill."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    cfg, eng, mm = _tiny_mm()
+    rng = np.random.default_rng(3)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    prompt = mm.build_mm_prompt([5, 9, 11], bos_id=2)
+    want_mm = mm.generate([prompt], pix[None], max_new_tokens=6,
+                          bucket=16)[0]
+    want_txt = eng.generate([[40, 2, 7]], max_new_tokens=8)[0]
+
+    for cls, kw in ((ContinuousBatcher, {}),
+                    (PagedContinuousBatcher, {"page_size": 8})):
+        bat = cls(eng, batch_slots=2, max_seq_len=64, chunk=3,
+                  mm_engine=mm, **kw)
+        txt_fut = bat.submit([40, 2, 7], max_new_tokens=8)
+        mm_fut = bat.submit(prompt, max_new_tokens=6, pixel_values=pix)
+        bat.drain()
+        assert mm_fut.result(60) == want_mm, cls.__name__
+        assert txt_fut.result(60) == want_txt, cls.__name__
+
+
+def test_gemma3_mm_preemption_resumes():
+    """A preempted Gemma-3 image request resumes via the two-stage causal
+    extension (0-indexed positions) and still bit-matches the
+    uninterrupted stream."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    cfg, eng, mm = _tiny_mm()
+    rng = np.random.default_rng(5)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    prompt = mm.build_mm_prompt([5, 9, 11, 3, 17], bos_id=2)
+    want = mm.generate([prompt], pix[None], max_new_tokens=10, bucket=16)[0]
+    # tight pool -> mm request preempted by the text requests
+    bat = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64,
+                                 chunk=3, page_size=8, pool_pages=8,
+                                 mm_engine=mm)
+    mm_fut = bat.submit(prompt, max_new_tokens=10, pixel_values=pix)
+    txt_futs = [bat.submit(list(range(2, 16)), max_new_tokens=8)
+                for _ in range(2)]
+    bat.drain()
+    assert mm_fut.result(60) == want
+    for f in txt_futs:
+        f.result(60)
