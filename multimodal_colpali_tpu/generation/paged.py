@@ -109,6 +109,15 @@ class PagedContinuousBatcher(ContinuousBatcher):
             self._vpools = tuple(jnp.zeros(pool_shape, engine.dtype)
                                  for _ in range(c.num_hidden_layers))
         self._len = jnp.zeros((self.B,), jnp.int32)     # tokens held per slot
+        # Multimodal prefix caching is sound ONLY for causal mm engines
+        # with fixed-length image spans (Gemma-3 MM: a page's K/V depend
+        # on the tokens up to its end plus, for spans crossing its right
+        # boundary, on soft tokens fully determined by the pixel digest in
+        # the chain root and the span's fixed extent). PaliGemma's
+        # bidirectional PREFIX makes every page depend on the whole
+        # prompt, so it stays excluded.
+        self._mm_prefix_ok = (prefix_caching and mm_engine is not None
+                              and hasattr(mm_engine, "_prefill"))
         self._place_pool_state()
         # host-side allocator state; page 0 is the trash page
         self._free: List[int] = list(range(self.P - 1, 0, -1))
@@ -243,14 +252,41 @@ class PagedContinuousBatcher(ContinuousBatcher):
             keys.append(chain)
         return keys
 
+    def _mm_spans_ok(self, tokens) -> bool:
+        """Chain-key soundness check for mm prompts: every image-token run
+        must have EXACTLY ``mm_tokens_per_image`` tokens - only then does
+        (digest, tokens-so-far) determine the soft tokens a boundary-
+        crossing span contributes to a page's K/V. Malformed prompts
+        (truncated runs a user could hand-craft) disable sharing."""
+        img = self.mm_engine.cfg.image_token_id
+        per = self.mm_engine.cfg.mm_tokens_per_image
+        run = 0
+        for t in tokens:
+            if t == img:
+                run += 1
+            elif run:
+                if run != per:
+                    return False
+                run = 0
+        return run in (0, per)
+
     def _prefix_prefill(self, prompt_eff, ctx, mm):
         """Prefill ONLY the prompt tail against cached prefix pages - the
         compute half of automatic prefix caching (the write half is the
         page reuse in ``_install_slot``). The cached K/V rows are gathered
         from the pool inside the jit; tail tokens attend to them plus
         themselves causally, at positions offset by the prefix length.
-        Multimodal prompts fall back (image embeds span the prefix)."""
-        if not self.prefix_caching or mm:
+
+        Multimodal prompts participate when the engine's prefill is
+        causal with fixed-length image spans (Gemma-3 MM; the pixel
+        digest is part of the chain root so different images never
+        alias) and the TAIL carries no image tokens - a RAG sweep's
+        shared image+preamble prefix then skips its forward entirely
+        across questions. PaliGemma mm prompts fall back (bidirectional
+        prefix)."""
+        if not self.prefix_caching or (mm and not self._mm_prefix_ok):
+            return None
+        if mm and not self._mm_spans_ok(prompt_eff):
             return None
         page = self.page
         n_prompt = len(prompt_eff)
@@ -268,12 +304,23 @@ class PagedContinuousBatcher(ContinuousBatcher):
             return None
         n_ctx = n_reused * page
         tail = prompt_eff[n_ctx:]
-        s_tail = max(((len(tail) + self.bucket - 1) // self.bucket)
+        if mm and self.mm_engine.cfg.image_token_id in tail:
+            # an image span in the tail needs the mm embed path; only
+            # text tails ride the cached-prefix compute skip
+            return None
+        n_tail = len(tail)
+        s_tail = max(((n_tail + self.bucket - 1) // self.bucket)
                      * self.bucket, self.bucket)
         phys = jnp.asarray(
             [self._key_page[k] for k in keys[:n_reused]], jnp.int32)
         eng, c = self.engine, self.cfg
-        jkey = ("prefix_prefill", s_tail, n_reused)
+        # The tail chunk is LEFT-aligned after the context rows: tail
+        # token i sits at global slot n_ctx + i, so slot distance equals
+        # token distance and per-layer sliding-window masks (Gemma-3)
+        # stay true. (Right-aligning would put the pad slots BETWEEN the
+        # context and the tokens, inflating every distance.) The returned
+        # rows are re-right-aligned to the install contract.
+        jkey = ("prefix_prefill", s_tail, n_reused, n_tail)
         if jkey not in self._jit:
             int8 = self.kv_dtype == "int8"
             total = n_ctx + s_tail
@@ -294,23 +341,26 @@ class PagedContinuousBatcher(ContinuousBatcher):
                         eng.dtype)
                     kc.append(base.at[:, :n_ctx].set(ck.reshape(shape)))
                     vc.append(base.at[:, :n_ctx].set(cv.reshape(shape)))
-                positions = n_ctx + jnp.maximum(
-                    jnp.cumsum(mask, axis=1) - 1, 0)
+                positions = n_ctx + jnp.cumsum(mask, axis=1) - 1
+                positions = jnp.maximum(positions, 0)
                 kv_valid = jnp.concatenate(
                     [jnp.ones((1, n_ctx), bool), mask.astype(bool)], axis=1)
                 x = eng._embed(p, ids)
                 hidden, (k, v) = eng._chunk(p, x, positions, tuple(kc),
                                             tuple(vc), n_ctx, kv_valid)
-                k_tail = tuple(kk[:, n_ctx:] for kk in k)
-                v_tail = tuple(vv[:, n_ctx:] for vv in v)
-                return (k_tail, v_tail, eng._logits(p, hidden[:, -1])[0],
-                        positions[0, -1])
+                k_tail = tuple(jnp.roll(kk[:, n_ctx:], s_tail - n_tail,
+                                        axis=1) for kk in k)
+                v_tail = tuple(jnp.roll(vv[:, n_ctx:], s_tail - n_tail,
+                                        axis=1) for vv in v)
+                return (k_tail, v_tail,
+                        eng._logits(p, hidden[:, n_tail - 1])[0],
+                        jnp.int32(n_ctx + n_tail - 1))
 
             self._jit[jkey] = jax.jit(run)
         ids = np.full((1, s_tail), self.pad_id, np.int32)
         mask = np.zeros((1, s_tail), np.int32)
-        ids[0, -len(tail):] = tail
-        mask[0, -len(tail):] = 1
+        ids[0, :n_tail] = tail
+        mask[0, :n_tail] = 1
         k, v, logits, last_pos = self._jit[jkey](
             eng.params, jnp.asarray(ids), jnp.asarray(mask),
             self._kpools, self._vpools, phys)
@@ -388,10 +438,14 @@ class PagedContinuousBatcher(ContinuousBatcher):
         n_pages = -(-n_prompt // page)
         keys: List[Any] = []
         n_reused = 0
-        # ctx is the multimodal pixel digest: mm prompts are EXCLUDED from
-        # page sharing entirely - PaliGemma prefill is bidirectional, so a
-        # page's K/V depends on the whole prompt, not just tokens-so-far
-        if self.prefix_caching and tokens is not None and ctx is None:
+        # ctx is the multimodal pixel digest. PaliGemma mm prompts are
+        # EXCLUDED from page sharing (bidirectional prefill: a page's K/V
+        # depends on the whole prompt); Gemma-3 MM prompts participate
+        # (causal + fixed-length spans; the digest is in the chain root)
+        # when their span structure is well-formed.
+        if self.prefix_caching and tokens is not None and (
+                ctx is None
+                or (self._mm_prefix_ok and self._mm_spans_ok(tokens))):
             keys = hint[3] if hint is not None                 else self._chain_keys(tokens, ctx)
             if hint is not None:
                 # tail prefill already chose the reuse depth; install MUST

@@ -203,3 +203,23 @@ def test_paged_attention_int8_window_matches_oracle():
                                     window=6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_gemma3_text_prefix_caching_sliding_masks(tiny_g3):
+    """Regression: the cached-prefix TAIL prefill must place tail tokens
+    at their true global slots - right-aligning them inflated slot
+    distances past the pad gap and broke Gemma-3's sliding-window masks
+    (text prompts sharing a long prefix decoded differently)."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    cfg, params, _ = tiny_g3
+    eng = GemmaDecodeEngine(cfg, params)
+    shared = list(range(2, 18))                    # two full pages @ 8
+    prompts = [shared + [40, 41], shared + [50], shared + [33]]
+    want = [eng.generate([p], max_new_tokens=8)[0] for p in prompts]
+    bat = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64,
+                                 chunk=3, page_size=8, prefix_caching=True)
+    futs = [bat.submit(p, max_new_tokens=8) for p in prompts]
+    bat.drain()
+    assert [f.result(60) for f in futs] == want
+    assert bat.prefix_prefill_hits >= 1

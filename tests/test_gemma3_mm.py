@@ -212,3 +212,142 @@ def test_gemma3_mm_preemption_resumes():
     assert mm_fut.result(60) == want
     for f in txt_futs:
         f.result(60)
+
+
+def _tiny_mm4():
+    """Tiny Gemma-3 MM with 4 soft tokens/image so spans cross page
+    boundaries under small pages."""
+    import jax.numpy as jnp
+
+    from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+    from multimodal_colpali_tpu.generation.gemma3_mm import Gemma3MMEngine
+    from multimodal_colpali_tpu.models.registry import gemma3_mm_random_params
+
+    cfg = Gemma3MMConfig(
+        vision=SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=28, patch_size=14),
+        text=Gemma3TextConfig.tiny(vocab_size=64),
+        image_token_id=63, mm_tokens_per_image=4)
+    params = gemma3_mm_random_params(cfg, seed=6)
+    return (cfg, GemmaDecodeEngine(cfg.text, params, dtype=jnp.float32),
+            Gemma3MMEngine(cfg, params, dtype=jnp.float32))
+
+
+def test_gemma3_mm_prefix_caching_shares_image_prefix():
+    """Gemma-3 MM prompts share cached pages: requests with the same
+    image + preamble and different question tails reuse the prefix pages
+    (incl. the span-crossing ones) AND skip the prefix's prefill compute;
+    streams match the isolated engine."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    cfg, eng, mm = _tiny_mm4()
+    rng = np.random.default_rng(7)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    preamble = [5, 9, 11, 3, 17, 8, 2]
+    base = mm.build_mm_prompt(preamble, bos_id=2)   # 1+4+7 = 12 tokens
+    prompts = [base + [40, 41], base + [50], base + [33, 34, 35]]
+    want = [mm.generate([p], pix[None], max_new_tokens=6, bucket=16)[0]
+            for p in prompts]
+
+    bat = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=64,
+                                 chunk=3, page_size=4, mm_engine=mm,
+                                 prefix_caching=True)
+    futs = [bat.submit(p, max_new_tokens=6, pixel_values=pix)
+            for p in prompts]
+    bat.drain()
+    assert [f.result(60) for f in futs] == want
+    # the 12-token base = 3 full pages @4, incl the span-crossing page
+    assert bat.prefix_cache_hits >= 4
+    assert bat.prefix_prefill_hits >= 1   # tail-only compute happened
+
+
+def test_gemma3_mm_prefix_caching_different_images_never_alias():
+    """The pixel digest lives in the chain root: same token prefix with a
+    DIFFERENT image must not reuse pages."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    cfg, eng, mm = _tiny_mm4()
+    rng = np.random.default_rng(8)
+    pix_a = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    pix_b = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    prompt = mm.build_mm_prompt([5, 9, 11, 3, 17, 8, 2], bos_id=2) + [40]
+    want_b = mm.generate([prompt], pix_b[None], max_new_tokens=6,
+                         bucket=16)[0]
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=4, mm_engine=mm,
+                                 prefix_caching=True)
+    fa = bat.submit(prompt, max_new_tokens=6, pixel_values=pix_a)
+    bat.drain()
+    hits_after_a = bat.prefix_cache_hits
+    fb = bat.submit(prompt, max_new_tokens=6, pixel_values=pix_b)
+    bat.drain()
+    fa.result(60)
+    assert fb.result(60) == want_b
+    assert bat.prefix_cache_hits == hits_after_a   # no cross-image reuse
+
+
+def test_gemma3_mm_prefix_caching_malformed_span_disabled():
+    """A truncated image-token run (not mm_tokens_per_image long) makes
+    the chain keys unsound - such prompts neither register nor reuse,
+    and still decode correctly."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    cfg, eng, mm = _tiny_mm4()
+    rng = np.random.default_rng(9)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    # hand-crafted: only 3 image tokens (span truncated)
+    bad = [2] + [cfg.image_token_id] * 3 + [5, 9, 11, 3, 17]
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=4, mm_engine=mm,
+                                 prefix_caching=True)
+    f1 = bat.submit(bad + [40], max_new_tokens=5, pixel_values=pix)
+    f2 = bat.submit(bad + [50], max_new_tokens=5, pixel_values=pix)
+    bat.drain()
+    f1.result(60)
+    f2.result(60)
+    assert bat.prefix_cache_hits == 0
+    assert bat.prefix_prefill_hits == 0
+
+
+def test_paligemma_mm_prompts_still_never_share():
+    """PaliGemma's bidirectional prefix keeps its mm prompts excluded
+    from sharing even with prefix_caching on (regression guard for the
+    gemma3-only relaxation)."""
+    from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+    from multimodal_colpali_tpu.models.colpali import ColPaliModel
+    from multimodal_colpali_tpu.models.configs import ColPaliModelConfig
+    from multimodal_colpali_tpu.models.registry import fast_random_params
+
+    import jax
+
+    ccfg = ColPaliModelConfig.tiny(vocab_size=64)
+    params = jax.tree.map(jnp.asarray,
+                          fast_random_params(ColPaliModel(ccfg), ccfg, seed=3))
+    from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+
+    eng = GemmaDecodeEngine(ccfg.text, params)
+    mm = PaliGemmaEngine(ccfg, params)
+    rng = np.random.default_rng(10)
+    pix = rng.standard_normal(
+        (1, ccfg.vision.image_size, ccfg.vision.image_size, 3)
+    ).astype(np.float32)
+    prompt = mm.build_mm_prompt([5, 9, 11, 3], bos_id=2)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=4, mm_engine=mm,
+                                 prefix_caching=True)
+    futs = [bat.submit(prompt + [t], max_new_tokens=5, pixel_values=pix)
+            for t in (40, 50)]
+    bat.drain()
+    for f in futs:
+        f.result(60)
+    assert bat.prefix_cache_hits == 0
