@@ -58,6 +58,11 @@ def parse_args() -> argparse.Namespace:
                    help="Chunked prefill: text prompts longer than this "
                         "many tokens prefill in segments interleaved with "
                         "decode chunks (0 = off; vLLM's chunked prefill).")
+    p.add_argument("--speculative", type=int, default=0, metavar="K",
+                   help="Prompt-lookup speculative decoding through the "
+                        "dense batcher: verify K drafted tokens per slot "
+                        "per forward (greedy slots accept; sampled slots "
+                        "advance one). Not combinable with --paged.")
     return p.parse_args()
 
 
@@ -127,6 +132,8 @@ def main() -> None:
                   chunk=args.chunk, eos_id=getattr(tok, "eos_id", -1),
                   mm_engine=mm_engine, prefill_chunk=args.prefill_chunk)
         if args.paged:
+            if args.speculative:
+                raise SystemExit("--speculative requires the dense batcher")
             from multimodal_colpali_tpu.generation.paged import (
                 PagedContinuousBatcher)
 
@@ -135,6 +142,12 @@ def main() -> None:
                 pool_pages=args.pool_pages, kv_dtype=args.kv_dtype,
                 prefix_caching=args.prefix_caching,
                 **kw).serve()
+        elif args.speculative:
+            from multimodal_colpali_tpu.generation.speculative import (
+                SpeculativeContinuousBatcher)
+
+            batcher = SpeculativeContinuousBatcher(
+                engine, spec_k=args.speculative, **kw).serve()
         else:
             batcher = ContinuousBatcher(engine, **kw).serve()
         backend = batcher

@@ -242,3 +242,221 @@ def speculative_generate(
         results.append(row)
     accepted_per_fwd = float(n_acc) / max(float(n_fwd), 1.0)
     return results, accepted_per_fwd
+
+
+class SpeculativeContinuousBatcher:
+    """Continuous batching with per-slot prompt-lookup speculation.
+
+    Subclasses the dense ``ContinuousBatcher``: admission, prefill (incl.
+    chunked prefill), streaming, and failure recovery are inherited; only
+    the decode step changes. Each scan step feeds ``spec_k`` tokens per
+    slot ([cur, d1..d_{k-1}] drafted from a device-resident token-history
+    buffer), verifies them in one forward, and advances each slot by its
+    own accepted count (1..spec_k) - vLLM's ngram speculative decoding
+    inside the slot batch, TPU-style (static shapes; ragged advance via
+    per-slot end indices, which the dense cache already carries).
+
+    Rules: greedy slots accept drafts; sampled slots (temperature > 0)
+    ignore drafts and advance exactly one (their correction token comes
+    from ``sample_per_slot`` at the slot's own step index, so streams
+    still bit-match the non-speculative scheduler). Requests wanting
+    logprobs route the whole chunk through the parent's decode (the
+    per-position records don't compose with variable acceptance).
+    """
+
+    pass  # replaced below (needs the class defined after imports)
+
+
+def _make_speculative_batcher():
+    from multimodal_colpali_tpu.generation.engine import (
+        attn_scale, layer_stack, sample_per_slot)
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+    from multimodal_colpali_tpu.models import layers as L
+
+    class _SpeculativeContinuousBatcher(ContinuousBatcher):
+        __doc__ = SpeculativeContinuousBatcher.__doc__
+
+        def __init__(self, *args, spec_k: int = 4, spec_ngram: int = 2,
+                     **kwargs):
+            super().__init__(*args, **kwargs)
+            self.spec_k = int(spec_k)
+            self.spec_ngram = int(spec_ngram)
+            self._toks_dev = jnp.zeros((self.B, self.T), jnp.int32)
+            self._nlen = jnp.zeros((self.B,), jnp.int32)
+            self.spec_forwards = 0
+            self.spec_accepted = 0
+
+        def _slot_capacity(self, s: int) -> int:
+            # the verify window may write spec_k - 1 stale rows past the
+            # last accepted token; keep that slack out of the budget
+            return self.T - s - (self.spec_k - 1)
+
+        def _finish_admission(self, slot, req, s, prompt_eff, *a, **kw):
+            super()._finish_admission(slot, req, s, prompt_eff, *a, **kw)
+            row = list(prompt_eff) + list(req.tokens[-1:])
+            self._toks_dev = self._toks_dev.at[slot, : len(row)].set(
+                jnp.asarray(row, jnp.int32))
+            self._nlen = self._nlen.at[slot].set(len(row))
+
+        def _decode_fn(self, chunk: int, with_filter: bool = True,
+                       with_logprobs: bool = True):
+            if with_logprobs:
+                return super()._decode_fn(chunk, with_filter, with_logprobs)
+            eng, c = self.engine, self.cfg
+            n_layers = c.num_hidden_layers
+            t, b = self.T, self.B
+            k = self.spec_k
+            ngram = self.spec_ngram
+            pad_id = self.pad_id
+            sc = attn_scale(c)
+            types = (c.layer_types_resolved
+                     if getattr(c, "is_gemma3", False) else None)
+
+            def one_step(p, caches, toks_dev, nlen, tok, pos, start, end,
+                         temp, seed, remaining, gen_step, eos, top_p, top_k):
+                kcs, vcs = caches[:n_layers], caches[n_layers:]
+                active = remaining > 0
+                first = jnp.zeros((b,), jnp.int32)
+                drafts = _draft(toks_dev, first, jnp.maximum(nlen, ngram),
+                                k, ngram, pad_id)
+                fed = jnp.concatenate([tok[:, None], drafts[:, : k - 1]],
+                                      axis=1)                  # [B, k]
+                x = eng._embed(p, fed)
+                positions = pos[:, None] + jnp.arange(k)[None, :]
+                rows = jnp.arange(b)
+                wcols = end[:, None] + jnp.arange(k)[None, :]  # [B, k]
+                wcols_safe = jnp.clip(wcols, 0, t - 1)
+                cols = jnp.arange(t)
+                base_m = ((cols[None, None, :] >= start[:, None, None])
+                          & (cols[None, None, :] <= wcols[:, :, None])
+                          )[:, None]                           # [B,1,k,T]
+                if types is not None:
+                    sl_m = base_m & (cols[None, None, None, :]
+                                     > (wcols[:, :, None] - c.sliding_window)
+                                     [:, None])
+
+                def kv_write(i, kk, vv):
+                    return (kcs[i].at[rows[:, None], wcols_safe].set(kk),
+                            vcs[i].at[rows[:, None], wcols_safe].set(vv))
+
+                def attend(i, q, kc, vc):
+                    m = base_m
+                    if types is not None and \
+                            types[i] == "sliding_attention":
+                        m = sl_m
+                    return L.attention(q, kc, vc, mask=m, scale=sc)
+
+                xx, (nk, nv) = layer_stack(p, c, x, positions, kv_write,
+                                           attend)
+                logits = eng._logits(p, xx.reshape(b * k, -1)
+                                     ).reshape(b, k, -1)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                ok = drafts[:, 1:k] == greedy[:, : k - 1]
+                acc = jnp.cumprod(ok.astype(jnp.int32), axis=1)
+                j = jnp.sum(acc, axis=1)
+                j = jnp.where(temp > 0, 0, j)    # sampled slots: no drafts
+                corr_g = jnp.take_along_axis(greedy, j[:, None],
+                                             axis=1)[:, 0]
+                corr_t = sample_per_slot(logits[:, 0], seed, gen_step,
+                                         temp, top_p, top_k,
+                                         use_filter=with_filter)
+                correction = jnp.where(temp > 0, corr_t, corr_g)
+                ii = jnp.arange(k)[None, :]
+                emit = jnp.where(
+                    ii < j[:, None],
+                    jnp.concatenate([drafts[:, 1:],
+                                     jnp.zeros((b, 1), jnp.int32)], 1),
+                    jnp.where(ii == j[:, None], correction[:, None],
+                              jnp.int32(pad_id)))
+                can = ((ii <= j[:, None]) & active[:, None]
+                       & (ii < remaining[:, None]))
+                is_eos = emit == eos[:, None]
+                before_eos = jnp.cumsum(jnp.concatenate(
+                    [jnp.zeros((b, 1), jnp.int32),
+                     is_eos.astype(jnp.int32)[:, :-1]], 1), axis=1) == 0
+                can = can & before_eos
+                n_emit = jnp.sum(can.astype(jnp.int32), axis=1)
+
+                bpos = nlen[:, None] + ii
+                bpos_safe = jnp.clip(bpos, 0, t - 1)
+                cur = jax.vmap(lambda row, p2: row[p2])(toks_dev, bpos_safe)
+                toks_dev = jax.vmap(lambda row, p2, v2: row.at[p2].set(v2))(
+                    toks_dev, bpos_safe, jnp.where(can, emit, cur))
+                last = jnp.take_along_axis(
+                    emit, jnp.maximum(n_emit - 1, 0)[:, None], axis=1)[:, 0]
+                tok = jnp.where(n_emit > 0, last, tok)
+                hit_eos = jnp.any(is_eos & can, axis=1)
+                nlen = nlen + n_emit
+                end = end + n_emit
+                pos = pos + n_emit
+                gen_step = gen_step + n_emit
+                remaining = jnp.maximum(remaining - n_emit, 0)
+                remaining = jnp.where(hit_eos, 0, remaining)
+                caches = tuple(nk) + tuple(nv)
+                return ((caches, toks_dev, nlen, tok, pos, start, end, temp,
+                         seed, remaining, gen_step, eos, top_p, top_k),
+                        (emit, can, active))
+
+            def run(p, caches, toks_dev, nlen, tok, pos, start, end, temp,
+                    seed, remaining, gen_step, eos, top_p, top_k):
+                def body(carry, _):
+                    carry, ys = one_step(p, *carry)
+                    return carry, ys
+
+                carry, ys = jax.lax.scan(
+                    body, (caches, toks_dev, nlen, tok, pos, start, end,
+                           temp, seed, remaining, gen_step, eos, top_p,
+                           top_k), None, length=chunk)
+                return carry, ys
+
+            return jax.jit(run)
+
+        def _step_chunk(self) -> None:
+            flags = self._decode_flags()
+            if flags[1]:   # logprobs wanted: parent's exact decode path
+                return super()._step_chunk()
+            key = ("spec_decode", flags)
+            if key not in self._jit:
+                self._jit[key] = self._decode_fn(self.chunk, flags[0],
+                                                 False)
+            carry, ys = self._jit[key](
+                self.engine.params, self._caches, self._toks_dev,
+                self._nlen, self._tok, self._pos, self._start, self._end,
+                self._temp, self._seed, self._remaining, self._gen_step,
+                self._eos, self._top_p, self._top_k)
+            (self._caches, self._toks_dev, self._nlen, self._tok,
+             self._pos, self._start, self._end, self._temp, self._seed,
+             self._remaining, self._gen_step, self._eos, self._top_p,
+             self._top_k) = carry
+            self._account_spec_chunk(ys)
+
+        def _account_spec_chunk(self, ys) -> None:
+            emit, can, active = (np.asarray(y) for y in ys)
+            self.spec_forwards += int(active.sum())
+            self.spec_accepted += int(can.sum())
+            for slot, req in enumerate(self._slots):
+                if req is None:
+                    continue
+                done = False
+                for step in range(emit.shape[0]):
+                    for i in range(emit.shape[2]):
+                        if not can[step, slot, i]:
+                            continue
+                        tokv = int(emit[step, slot, i])
+                        req.tokens.append(tokv)
+                        if tokv == req.eos_id:
+                            done = True
+                            break
+                    if done:
+                        break
+                self._emit_stream(req)
+                remaining = np.asarray(self._remaining)
+                if (remaining[slot] <= 0
+                        or len(req.tokens) >= req.max_new_tokens
+                        or (req.tokens and req.tokens[-1] == req.eos_id)):
+                    self._finish(slot)
+
+    return _SpeculativeContinuousBatcher
+
+
+SpeculativeContinuousBatcher = _make_speculative_batcher()

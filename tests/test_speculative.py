@@ -82,3 +82,112 @@ def test_speculative_gemma3(tiny_lm):
     want = eng.generate(prompts, max_new_tokens=14)
     got, _ = speculative_generate(eng, prompts, max_new_tokens=14, k=3)
     assert got == want
+
+
+# -- speculation through the continuous batcher -------------------------------
+
+def _spec_bat(eng, **kw):
+    from multimodal_colpali_tpu.generation.speculative import (
+        SpeculativeContinuousBatcher)
+
+    return SpeculativeContinuousBatcher(eng, batch_slots=3, max_seq_len=96,
+                                        chunk=2, **kw)
+
+
+def test_spec_batcher_matches_engine_greedy(tiny_lm):
+    """Speculative slot decoding is a pure scheduling change: greedy
+    streams bit-match the engine, and cycling outputs accept multiple
+    tokens per verify forward."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(2, 60, (n,)).tolist() for n in (5, 11, 19, 3)]
+    want = [eng.generate([p], max_new_tokens=20)[0] for p in prompts]
+    bat = _spec_bat(eng, spec_k=4)
+    futs = [bat.submit(p, max_new_tokens=20) for p in prompts]
+    bat.drain()
+    assert [f.result(30) for f in futs] == want
+    assert bat.spec_accepted > bat.spec_forwards, \
+        (bat.spec_accepted, bat.spec_forwards)
+
+
+def test_spec_batcher_mixed_sampling_slots(tiny_lm):
+    """Sampled slots decode next to greedy slots: they ignore drafts
+    (one token per forward at their own step index) so their streams
+    bit-match the non-speculative batcher; greedy slots still match the
+    engine."""
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    greedy_p, temp_p = [5, 9, 17, 3], [40, 2, 8]
+    want_g = eng.generate([greedy_p], max_new_tokens=10)[0]
+    ref = ContinuousBatcher(eng, batch_slots=2, max_seq_len=96, chunk=2)
+    want_t = ref.submit(temp_p, max_new_tokens=10, temperature=1.2, seed=7)
+    ref.drain()
+    want_t = want_t.result(30)
+
+    bat = _spec_bat(eng, spec_k=4)
+    fg = bat.submit(greedy_p, max_new_tokens=10)
+    ft = bat.submit(temp_p, max_new_tokens=10, temperature=1.2, seed=7)
+    bat.drain()
+    assert fg.result(30) == want_g
+    assert ft.result(30) == want_t
+
+
+def test_spec_batcher_eos_and_staggered_admission(tiny_lm):
+    """eos inside an accepted window truncates exactly; a request
+    admitted mid-flight does not perturb running slots."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [[5, 9, 17, 3], [40, 2], [7, 30, 8]]
+    free = eng.generate(prompts[:1], max_new_tokens=12)[0]
+    eos = free[4]
+    want = [eng.generate([p], max_new_tokens=12, eos_id=eos)[0]
+            for p in prompts]
+    bat = _spec_bat(eng, spec_k=4, eos_id=eos)
+    futs = [bat.submit(p, max_new_tokens=12) for p in prompts[:2]]
+    with bat._lock:
+        bat._admit()
+        bat._step_chunk()
+    futs.append(bat.submit(prompts[2], max_new_tokens=12))
+    bat.drain()
+    assert [f.result(30) for f in futs] == want
+
+
+def test_spec_batcher_logprobs_fall_back(tiny_lm):
+    """A logprobs request routes the chunk through the parent's exact
+    decode; records match the non-speculative batcher."""
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompt = [5, 9, 17, 3]
+    ref = ContinuousBatcher(eng, batch_slots=2, max_seq_len=96, chunk=2)
+    fw = ref.submit(prompt, max_new_tokens=8, logprobs=2)
+    ref.drain()
+    want = fw.result(30)
+    bat = _spec_bat(eng, spec_k=4)
+    f = bat.submit(prompt, max_new_tokens=8, logprobs=2)
+    bat.drain()
+    got = f.result(30)
+    assert got[0] == want[0]
+    assert got[1] == pytest.approx(want[1])
+
+
+def test_spec_batcher_gemma3(tiny_lm):
+    """Speculative slot decoding composes with Gemma-3's sliding
+    layers."""
+    from multimodal_colpali_tpu.models.configs import Gemma3TextConfig
+    from multimodal_colpali_tpu.models.registry import gemma3_random_params
+
+    cfg = Gemma3TextConfig.tiny(vocab_size=64)
+    params = gemma3_random_params(cfg, seed=5)
+    eng = GemmaDecodeEngine(cfg, params)
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(2, 60, (n,)).tolist() for n in (9, 14)]
+    want = [eng.generate([p], max_new_tokens=16)[0] for p in prompts]
+    bat = _spec_bat(eng, spec_k=3)
+    futs = [bat.submit(p, max_new_tokens=16) for p in prompts]
+    bat.drain()
+    assert [f.result(30) for f in futs] == want
