@@ -168,7 +168,7 @@ def encoder_mfu(name: str, batch: int, fused: bool) -> float:
 
 def decode_throughput(name: str = "vidore/colpali-v1.3", slots: int = 4,
                       chunk: int = 16, max_new: int = 64,
-                      paged: bool = False) -> float:
+                      paged: bool = False, spec_k: int = 0) -> float:
     """Serving-tier tokens/s: continuous batcher over the model's Gemma LM,
     ``slots`` concurrent requests decoding ``max_new`` tokens each. The
     chunked decode amortizes the tunnel's ~35-40 ms dispatch overhead."""
@@ -190,6 +190,13 @@ def decode_throughput(name: str = "vidore/colpali-v1.3", slots: int = 4,
         bat = PagedContinuousBatcher(eng, batch_slots=slots,
                                      max_seq_len=256, chunk=chunk,
                                      page_size=32)
+    elif spec_k:
+        from multimodal_colpali_tpu.generation.speculative import (
+            SpeculativeContinuousBatcher)
+
+        bat = SpeculativeContinuousBatcher(eng, batch_slots=slots,
+                                           max_seq_len=256, chunk=chunk,
+                                           spec_k=spec_k)
     else:
         from multimodal_colpali_tpu.generation.scheduler import (
             ContinuousBatcher)
@@ -203,8 +210,15 @@ def decode_throughput(name: str = "vidore/colpali-v1.3", slots: int = 4,
     outs = bat.generate(prompts, max_new_tokens=max_new)
     dt = time.time() - t0
     n_tok = sum(len(o) for o in outs)
-    log(f"[decode] {name} {'paged' if paged else 'dense'} slots={slots} "
-        f"chunk={chunk}: {n_tok} tokens in {dt:.2f}s = {n_tok/dt:.1f} tok/s")
+    kind = ("paged" if paged
+            else f"speculative(k={spec_k})" if spec_k else "dense")
+    extra = ""
+    if spec_k and bat.spec_forwards:
+        extra = (f", {bat.spec_accepted / bat.spec_forwards:.2f} "
+                 f"accepted tokens/forward")
+    log(f"[decode] {name} {kind} slots={slots} "
+        f"chunk={chunk}: {n_tok} tokens in {dt:.2f}s = {n_tok/dt:.1f} tok/s"
+        f"{extra}")
     return n_tok / dt
 
 
@@ -242,6 +256,7 @@ def main() -> None:
     if args.decode:
         decode_throughput(paged=False)
         decode_throughput(paged=True)
+        decode_throughput(spec_k=4)
 
     if not args.skip_bench:
         r = subprocess.run([sys.executable,
