@@ -59,10 +59,10 @@ def parse_args() -> argparse.Namespace:
                         "many tokens prefill in segments interleaved with "
                         "decode chunks (0 = off; vLLM's chunked prefill).")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
-                   help="Prompt-lookup speculative decoding through the "
-                        "dense batcher: verify K drafted tokens per slot "
-                        "per forward (greedy slots accept; sampled slots "
-                        "advance one). Not combinable with --paged.")
+                   help="Prompt-lookup speculative decoding: verify K "
+                        "drafted tokens per slot per forward (greedy slots "
+                        "accept; sampled slots advance one). Composes with "
+                        "--paged (vLLM's ngram method over PagedAttention).")
     return p.parse_args()
 
 
@@ -133,11 +133,14 @@ def main() -> None:
                   mm_engine=mm_engine, prefill_chunk=args.prefill_chunk)
         if args.paged:
             if args.speculative:
-                raise SystemExit("--speculative requires the dense batcher")
-            from multimodal_colpali_tpu.generation.paged import (
-                PagedContinuousBatcher)
+                from multimodal_colpali_tpu.generation.speculative import (
+                    SpeculativePagedContinuousBatcher as PagedCls)
 
-            batcher = PagedContinuousBatcher(
+                kw["spec_k"] = args.speculative
+            else:
+                from multimodal_colpali_tpu.generation.paged import (
+                    PagedContinuousBatcher as PagedCls)
+            batcher = PagedCls(
                 engine, page_size=args.page_size,
                 pool_pages=args.pool_pages, kv_dtype=args.kv_dtype,
                 prefix_caching=args.prefix_caching,

@@ -46,6 +46,11 @@ from multimodal_colpali_tpu.ops.paged_attention import (
 class PagedContinuousBatcher(ContinuousBatcher):
     """Slot-based continuous batching over a shared paged KV pool."""
 
+    # Extra KV rows a decode step may touch past the last accepted token
+    # (0 here; the speculative subclass writes spec_k - 1 stale verify
+    # rows that page-demand accounting must cover).
+    _spec_slack = 0
+
     def __init__(self, engine: GemmaDecodeEngine, batch_slots: int = 4,
                  max_seq_len: int = 512, chunk: int = 8,
                  prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0,
@@ -398,7 +403,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
             # finishes at prefill; only the prompt pages are ever allocated
             worst_rows = n_prompt
         else:
-            worst_rows = n_prompt + budget_c - 1
+            worst_rows = n_prompt + budget_c - 1 + self._spec_slack
         if -(-worst_rows // self.page) > min(usable, self.NB):
             return False
         n_reused = 0
@@ -668,6 +673,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
 
         return jax.jit(run, donate_argnums=(2, 3))
 
+    def _chunk_rows(self, rem: int) -> int:
+        """KV rows one decode chunk may append for a slot with ``rem``
+        budget left (the speculative subclass emits up to spec_k per scan
+        step and writes spec_k - 1 stale verify rows past the last)."""
+        return min(self.chunk, rem)
+
     def _ensure_chunk_capacity(self) -> None:
         """Grant every active slot pages for the coming chunk, preempting
         youngest-first when the pool runs dry. Oldest slots are served
@@ -680,7 +691,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
         for slot in order:
             if self._slots[slot] is None:   # preempted by an earlier pass
                 continue
-            want = int(lens[slot]) + min(self.chunk, int(rem[slot]))
+            want = int(lens[slot]) + self._chunk_rows(int(rem[slot]))
             while not self._alloc_to(slot, want):
                 if not self._preempt_youngest(protect=slot):
                     raise RuntimeError(

@@ -267,29 +267,113 @@ class SpeculativeContinuousBatcher:
     pass  # replaced below (needs the class defined after imports)
 
 
-def _make_speculative_batcher():
+class SpeculativePagedContinuousBatcher:
+    """Prompt-lookup speculation over the PAGED KV pool.
+
+    ``PagedContinuousBatcher`` with the speculative decode step: vLLM's
+    ngram speculative decoding composed with its PagedAttention memory
+    model (vLLM supports exactly this pairing; the reference's serving
+    container is vLLM, 00_run_docker_containers.sh:26-39). Admission,
+    page allocation, preemption-with-recompute, prefix caching, and int8
+    pools are all inherited - only the per-chunk decode changes:
+
+    - the verify forward scatters ``spec_k`` K/V rows per slot into
+      (page, row) picked from the block table (one batched scatter, no
+      host round trip);
+    - attention flattens the ``[B, spec_k]`` verify queries into a
+      ``B * spec_k`` slot batch sharing repeated block tables, so ONE
+      paged-attention kernel call covers the window with per-query
+      lengths (query i attends logical rows ``< len + i + 1``);
+    - rejected drafts' rows are simply left behind: the next verify
+      window starts at the accepted end and overwrites them before any
+      accepted query can attend them, so streams stay BIT-IDENTICAL to
+      the non-speculative paged batcher (tested, incl. int8 pools).
+
+    Page accounting covers the stale rows: ``_slot_capacity`` keeps
+    ``spec_k - 1`` rows of slack, ``_can_admit`` adds the same slack to
+    worst-case demand, and each chunk grants pages for up to
+    ``chunk * spec_k`` accepted tokens plus the slack.
+    """
+
+    pass  # replaced below
+
+
+def _make_speculative_batchers():
     from multimodal_colpali_tpu.generation.engine import (
         attn_scale, layer_stack, sample_per_slot)
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
     from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
     from multimodal_colpali_tpu.models import layers as L
+    from multimodal_colpali_tpu.ops.paged_attention import (
+        paged_attention, paged_attention_int8, quantize_kv_rows)
 
-    class _SpeculativeContinuousBatcher(ContinuousBatcher):
-        __doc__ = SpeculativeContinuousBatcher.__doc__
+    def accept_emit(drafts, logits, *, temp, seed, gen_step, top_p, top_k,
+                    active, remaining, eos, pad_id, k, with_filter):
+        """Accept/emit shared by the dense and paged speculative decodes:
+        longest verified draft prefix plus the correction token, gated by
+        activity, budget, and eos. Returns (emit [B,k], can [B,k],
+        n_emit [B], hit_eos [B])."""
+        b = drafts.shape[0]
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        ok = drafts[:, 1:k] == greedy[:, : k - 1]
+        acc = jnp.cumprod(ok.astype(jnp.int32), axis=1)
+        j = jnp.sum(acc, axis=1)
+        j = jnp.where(temp > 0, 0, j)    # sampled slots: no drafts
+        corr_g = jnp.take_along_axis(greedy, j[:, None], axis=1)[:, 0]
+        corr_t = sample_per_slot(logits[:, 0], seed, gen_step, temp,
+                                 top_p, top_k, use_filter=with_filter)
+        correction = jnp.where(temp > 0, corr_t, corr_g)
+        ii = jnp.arange(k)[None, :]
+        emit = jnp.where(
+            ii < j[:, None],
+            jnp.concatenate([drafts[:, 1:],
+                             jnp.zeros((b, 1), jnp.int32)], 1),
+            jnp.where(ii == j[:, None], correction[:, None],
+                      jnp.int32(pad_id)))
+        can = ((ii <= j[:, None]) & active[:, None]
+               & (ii < remaining[:, None]))
+        is_eos = emit == eos[:, None]
+        before_eos = jnp.cumsum(jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.int32),
+             is_eos.astype(jnp.int32)[:, :-1]], 1), axis=1) == 0
+        can = can & before_eos
+        n_emit = jnp.sum(can.astype(jnp.int32), axis=1)
+        hit_eos = jnp.any(is_eos & can, axis=1)
+        return emit, can, n_emit, hit_eos
+
+    class _SpecHostMixin:
+        """Host-side speculation state shared by both batchers: the
+        device-resident token-history buffer drafts are looked up in, the
+        per-slot valid length, and per-chunk accounting of variable
+        acceptance back into request state."""
 
         def __init__(self, *args, spec_k: int = 4, spec_ngram: int = 2,
                      **kwargs):
             super().__init__(*args, **kwargs)
             self.spec_k = int(spec_k)
             self.spec_ngram = int(spec_ngram)
-            self._toks_dev = jnp.zeros((self.B, self.T), jnp.int32)
+            self._toks_dev = jnp.zeros((self.B, self._spec_buf_width()),
+                                       jnp.int32)
             self._nlen = jnp.zeros((self.B,), jnp.int32)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                b_ax = self._batch_axis()
+                self._toks_dev = jax.device_put(
+                    self._toks_dev,
+                    NamedSharding(self.mesh, P(b_ax, None)))
+                self._nlen = jax.device_put(
+                    self._nlen, NamedSharding(self.mesh, P(b_ax)))
             self.spec_forwards = 0
             self.spec_accepted = 0
+
+        def _spec_buf_width(self) -> int:
+            return self.T
 
         def _slot_capacity(self, s: int) -> int:
             # the verify window may write spec_k - 1 stale rows past the
             # last accepted token; keep that slack out of the budget
-            return self.T - s - (self.spec_k - 1)
+            return super()._slot_capacity(s) - (self.spec_k - 1)
 
         def _finish_admission(self, slot, req, s, prompt_eff, *a, **kw):
             super()._finish_admission(slot, req, s, prompt_eff, *a, **kw)
@@ -297,6 +381,35 @@ def _make_speculative_batcher():
             self._toks_dev = self._toks_dev.at[slot, : len(row)].set(
                 jnp.asarray(row, jnp.int32))
             self._nlen = self._nlen.at[slot].set(len(row))
+
+        def _account_spec_chunk(self, ys) -> None:
+            emit, can, active = (np.asarray(y) for y in ys)
+            self.spec_forwards += int(active.sum())
+            self.spec_accepted += int(can.sum())
+            remaining = np.asarray(self._remaining)
+            for slot, req in enumerate(self._slots):
+                if req is None:
+                    continue
+                done = False
+                for step in range(emit.shape[0]):
+                    for i in range(emit.shape[2]):
+                        if not can[step, slot, i]:
+                            continue
+                        tokv = int(emit[step, slot, i])
+                        req.tokens.append(tokv)
+                        if tokv == req.eos_id:
+                            done = True
+                            break
+                    if done:
+                        break
+                self._emit_stream(req)
+                if (remaining[slot] <= 0
+                        or len(req.tokens) >= req.max_new_tokens
+                        or (req.tokens and req.tokens[-1] == req.eos_id)):
+                    self._finish(slot)
+
+    class _SpeculativeContinuousBatcher(_SpecHostMixin, ContinuousBatcher):
+        __doc__ = SpeculativeContinuousBatcher.__doc__
 
         def _decode_fn(self, chunk: int, with_filter: bool = True,
                        with_logprobs: bool = True):
@@ -350,33 +463,13 @@ def _make_speculative_batcher():
                                            attend)
                 logits = eng._logits(p, xx.reshape(b * k, -1)
                                      ).reshape(b, k, -1)
-                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                ok = drafts[:, 1:k] == greedy[:, : k - 1]
-                acc = jnp.cumprod(ok.astype(jnp.int32), axis=1)
-                j = jnp.sum(acc, axis=1)
-                j = jnp.where(temp > 0, 0, j)    # sampled slots: no drafts
-                corr_g = jnp.take_along_axis(greedy, j[:, None],
-                                             axis=1)[:, 0]
-                corr_t = sample_per_slot(logits[:, 0], seed, gen_step,
-                                         temp, top_p, top_k,
-                                         use_filter=with_filter)
-                correction = jnp.where(temp > 0, corr_t, corr_g)
-                ii = jnp.arange(k)[None, :]
-                emit = jnp.where(
-                    ii < j[:, None],
-                    jnp.concatenate([drafts[:, 1:],
-                                     jnp.zeros((b, 1), jnp.int32)], 1),
-                    jnp.where(ii == j[:, None], correction[:, None],
-                              jnp.int32(pad_id)))
-                can = ((ii <= j[:, None]) & active[:, None]
-                       & (ii < remaining[:, None]))
-                is_eos = emit == eos[:, None]
-                before_eos = jnp.cumsum(jnp.concatenate(
-                    [jnp.zeros((b, 1), jnp.int32),
-                     is_eos.astype(jnp.int32)[:, :-1]], 1), axis=1) == 0
-                can = can & before_eos
-                n_emit = jnp.sum(can.astype(jnp.int32), axis=1)
+                emit, can, n_emit, hit_eos = accept_emit(
+                    drafts, logits, temp=temp, seed=seed, gen_step=gen_step,
+                    top_p=top_p, top_k=top_k, active=active,
+                    remaining=remaining, eos=eos, pad_id=pad_id, k=k,
+                    with_filter=with_filter)
 
+                ii = jnp.arange(k)[None, :]
                 bpos = nlen[:, None] + ii
                 bpos_safe = jnp.clip(bpos, 0, t - 1)
                 cur = jax.vmap(lambda row, p2: row[p2])(toks_dev, bpos_safe)
@@ -385,7 +478,6 @@ def _make_speculative_batcher():
                 last = jnp.take_along_axis(
                     emit, jnp.maximum(n_emit - 1, 0)[:, None], axis=1)[:, 0]
                 tok = jnp.where(n_emit > 0, last, tok)
-                hit_eos = jnp.any(is_eos & can, axis=1)
                 nlen = nlen + n_emit
                 end = end + n_emit
                 pos = pos + n_emit
@@ -430,33 +522,168 @@ def _make_speculative_batcher():
              self._top_k) = carry
             self._account_spec_chunk(ys)
 
-        def _account_spec_chunk(self, ys) -> None:
-            emit, can, active = (np.asarray(y) for y in ys)
-            self.spec_forwards += int(active.sum())
-            self.spec_accepted += int(can.sum())
-            for slot, req in enumerate(self._slots):
-                if req is None:
-                    continue
-                done = False
-                for step in range(emit.shape[0]):
-                    for i in range(emit.shape[2]):
-                        if not can[step, slot, i]:
-                            continue
-                        tokv = int(emit[step, slot, i])
-                        req.tokens.append(tokv)
-                        if tokv == req.eos_id:
-                            done = True
-                            break
-                    if done:
-                        break
-                self._emit_stream(req)
-                remaining = np.asarray(self._remaining)
-                if (remaining[slot] <= 0
-                        or len(req.tokens) >= req.max_new_tokens
-                        or (req.tokens and req.tokens[-1] == req.eos_id)):
-                    self._finish(slot)
+    class _SpeculativePagedContinuousBatcher(_SpecHostMixin,
+                                             PagedContinuousBatcher):
+        __doc__ = SpeculativePagedContinuousBatcher.__doc__
 
-    return _SpeculativeContinuousBatcher
+        @property
+        def _spec_slack(self):
+            return self.spec_k - 1
+
+        def _spec_buf_width(self) -> int:
+            # logical rows a slot can hold plus the verify window's slack
+            return self.NB * self.page + self.spec_k
+
+        def _chunk_rows(self, rem: int) -> int:
+            # up to spec_k accepted tokens per scan step, plus the stale
+            # verify rows past the last accepted one
+            return min(self.chunk * self.spec_k, rem) + self.spec_k - 1
+
+        def _decode_fn(self, chunk: int, with_filter: bool = True,
+                       with_logprobs: bool = True):
+            if with_logprobs:
+                return super()._decode_fn(chunk, with_filter, with_logprobs)
+            eng, c = self.engine, self.cfg
+            b = self.B
+            k = self.spec_k
+            page = self.page
+            nb = self.NB
+            ngram = self.spec_ngram
+            pad_id = self.pad_id
+            int8 = self.kv_dtype == "int8"
+            sc = attn_scale(c)
+            types = (c.layer_types_resolved
+                     if getattr(c, "is_gemma3", False) else None)
+
+            def layer_window(i: int) -> int:
+                if types is not None and types[i] == "sliding_attention":
+                    return int(c.sliding_window)
+                return 0
+
+            def one_step(p, bt, kpools, vpools, toks_dev, nlen, tok, pos,
+                         length, temp, seed, remaining, gen_step, eos,
+                         top_p, top_k):
+                active = remaining > 0
+                first = jnp.zeros((b,), jnp.int32)
+                drafts = _draft(toks_dev, first, jnp.maximum(nlen, ngram),
+                                k, ngram, pad_id)
+                fed = jnp.concatenate([tok[:, None], drafts[:, : k - 1]],
+                                      axis=1)                  # [B, k]
+                x = eng._embed(p, fed)
+                positions = pos[:, None] + jnp.arange(k)[None, :]
+                rows = jnp.arange(b)
+                ii = jnp.arange(k)[None, :]
+                # verify row i of a slot lands at logical position
+                # length + i -> (block table entry, in-page offset)
+                wtok = length[:, None] + ii                    # [B, k]
+                blk = bt[rows[:, None], jnp.clip(wtok // page, 0, nb - 1)]
+                blk = jnp.where(active[:, None], blk, 0)       # trash page
+                off = wtok % page
+                # per-query attention lengths: query i sees rows <= its own
+                att_len = jnp.where(active[:, None], wtok + 1,
+                                    length[:, None])
+                btf = jnp.repeat(bt, k, axis=0)                # [B*k, NB]
+                alf = att_len.reshape(-1)
+
+                if int8:
+                    def kv_write(i, kk, vv):
+                        kc_, ks_ = quantize_kv_rows(kk)   # [B,k,Hkv,D]
+                        vc_, vs_ = quantize_kv_rows(vv)
+                        kp, kps = kpools[i]
+                        vp, vps = vpools[i]
+                        return ((kp.at[blk, off].set(kc_),
+                                 kps.at[blk, off].set(ks_)),
+                                (vp.at[blk, off].set(vc_),
+                                 vps.at[blk, off].set(vs_)))
+
+                    def attend(i, q, kp, vp):
+                        qf = q.reshape((b * k,) + q.shape[2:])
+                        out = paged_attention_int8(
+                            qf, kp[0], kp[1], vp[0], vp[1], btf, alf,
+                            scale=sc, window=layer_window(i))
+                        return out.reshape(b, k, -1)
+                else:
+                    def kv_write(i, kk, vv):
+                        return (kpools[i].at[blk, off].set(kk),
+                                vpools[i].at[blk, off].set(vv))
+
+                    def attend(i, q, kp, vp):
+                        qf = q.reshape((b * k,) + q.shape[2:])
+                        out = paged_attention(qf, kp, vp, btf, alf,
+                                              scale=sc,
+                                              window=layer_window(i))
+                        return out.reshape(b, k, -1)
+
+                xx, (nk, nv) = layer_stack(p, c, x, positions, kv_write,
+                                           attend)
+                logits = eng._logits(p, xx.reshape(b * k, -1)
+                                     ).reshape(b, k, -1)
+                emit, can, n_emit, hit_eos = accept_emit(
+                    drafts, logits, temp=temp, seed=seed, gen_step=gen_step,
+                    top_p=top_p, top_k=top_k, active=active,
+                    remaining=remaining, eos=eos, pad_id=pad_id, k=k,
+                    with_filter=with_filter)
+
+                width = toks_dev.shape[1]
+                bpos = nlen[:, None] + ii
+                bpos_safe = jnp.clip(bpos, 0, width - 1)
+                cur = jax.vmap(lambda row, p2: row[p2])(toks_dev, bpos_safe)
+                toks_dev = jax.vmap(lambda row, p2, v2: row.at[p2].set(v2))(
+                    toks_dev, bpos_safe, jnp.where(can, emit, cur))
+                last = jnp.take_along_axis(
+                    emit, jnp.maximum(n_emit - 1, 0)[:, None], axis=1)[:, 0]
+                tok = jnp.where(n_emit > 0, last, tok)
+                nlen = nlen + n_emit
+                length = length + n_emit
+                pos = pos + n_emit
+                gen_step = gen_step + n_emit
+                remaining = jnp.maximum(remaining - n_emit, 0)
+                remaining = jnp.where(hit_eos, 0, remaining)
+                return ((tuple(nk), tuple(nv), toks_dev, nlen, tok, pos,
+                         length, temp, seed, remaining, gen_step, eos,
+                         top_p, top_k),
+                        (emit, can, active))
+
+            def run(p, bt, kpools, vpools, toks_dev, nlen, tok, pos,
+                    length, temp, seed, remaining, gen_step, eos, top_p,
+                    top_k):
+                def body(carry, _):
+                    carry, ys = one_step(p, bt, *carry)
+                    return carry, ys
+
+                carry, ys = jax.lax.scan(
+                    body, (kpools, vpools, toks_dev, nlen, tok, pos,
+                           length, temp, seed, remaining, gen_step, eos,
+                           top_p, top_k), None, length=chunk)
+                return carry, ys
+
+            return jax.jit(run, donate_argnums=(2, 3))
+
+        def _step_chunk(self) -> None:
+            flags = self._decode_flags()
+            if flags[1]:   # logprobs wanted: parent's exact paged decode
+                return super()._step_chunk()
+            self._ensure_chunk_capacity()
+            if not any(r is not None for r in self._slots):
+                return
+            key = ("spec_decode", flags)
+            if key not in self._jit:
+                self._jit[key] = self._decode_fn(self.chunk, flags[0],
+                                                 False)
+            carry, ys = self._jit[key](
+                self.engine.params, jnp.asarray(self._bt_host),
+                self._kpools, self._vpools, self._toks_dev, self._nlen,
+                self._tok, self._pos, self._len, self._temp, self._seed,
+                self._remaining, self._gen_step, self._eos, self._top_p,
+                self._top_k)
+            (self._kpools, self._vpools, self._toks_dev, self._nlen,
+             self._tok, self._pos, self._len, self._temp, self._seed,
+             self._remaining, self._gen_step, self._eos, self._top_p,
+             self._top_k) = carry
+            self._account_spec_chunk(ys)
+
+    return _SpeculativeContinuousBatcher, _SpeculativePagedContinuousBatcher
 
 
-SpeculativeContinuousBatcher = _make_speculative_batcher()
+(SpeculativeContinuousBatcher,
+ SpeculativePagedContinuousBatcher) = _make_speculative_batchers()

@@ -191,3 +191,141 @@ def test_spec_batcher_gemma3(tiny_lm):
     futs = [bat.submit(p, max_new_tokens=16) for p in prompts]
     bat.drain()
     assert [f.result(30) for f in futs] == want
+
+
+# -- speculation through the PAGED batcher ------------------------------------
+
+def _spec_paged(eng, **kw):
+    from multimodal_colpali_tpu.generation.speculative import (
+        SpeculativePagedContinuousBatcher)
+
+    kw.setdefault("batch_slots", 3)
+    kw.setdefault("max_seq_len", 96)
+    kw.setdefault("chunk", 2)
+    kw.setdefault("page_size", 8)
+    return SpeculativePagedContinuousBatcher(eng, **kw)
+
+
+def test_spec_paged_matches_engine_greedy(tiny_lm):
+    """Verify rows scatter through the block tables; streams bit-match
+    the engine and cycling outputs accept multiple tokens per forward."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    rng = np.random.default_rng(4)
+    prompts = [rng.integers(2, 60, (n,)).tolist() for n in (5, 11, 19, 3)]
+    want = [eng.generate([p], max_new_tokens=20)[0] for p in prompts]
+    bat = _spec_paged(eng, spec_k=4)
+    got = bat.generate(prompts, max_new_tokens=20)
+    assert got == want
+    assert bat.spec_accepted > bat.spec_forwards, \
+        (bat.spec_accepted, bat.spec_forwards)
+
+
+def test_spec_paged_mixed_sampling_slots(tiny_lm):
+    """Sampled slots next to greedy ones: both bit-match their
+    non-speculative per-request streams."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    greedy_p, temp_p = [5, 9, 17, 3], [40, 2, 8]
+    want_g = eng.generate([greedy_p], max_new_tokens=10)[0]
+    ref = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=96,
+                                 chunk=2, page_size=8)
+    want_t = ref.submit(temp_p, max_new_tokens=10, temperature=1.2, seed=7)
+    ref.drain()
+    want_t = want_t.result(30)
+
+    bat = _spec_paged(eng, spec_k=4)
+    fg = bat.submit(greedy_p, max_new_tokens=10)
+    ft = bat.submit(temp_p, max_new_tokens=10, temperature=1.2, seed=7)
+    bat.drain()
+    assert fg.result(30) == want_g
+    assert ft.result(30) == want_t
+
+
+def test_spec_paged_int8_pools(tiny_lm):
+    """Speculation over int8 pools: accepted tokens' K/V rows quantize to
+    the exact codes sequential decode writes, so streams bit-match the
+    non-speculative int8 paged batcher."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(2, 60, (n,)).tolist() for n in (7, 13, 4)]
+    ref = PagedContinuousBatcher(eng, batch_slots=3, max_seq_len=96,
+                                 chunk=2, page_size=8, kv_dtype="int8")
+    want = ref.generate(prompts, max_new_tokens=14)
+    bat = _spec_paged(eng, spec_k=4, kv_dtype="int8")
+    got = bat.generate(prompts, max_new_tokens=14)
+    assert got == want
+
+
+def test_spec_paged_preemption_completes(tiny_lm):
+    """An oversubscribed pool preempts mid-speculation; recompute resumes
+    each stream bit-identically (the spec-aware page accounting must
+    cover the stale verify rows, or a scatter lands out of table)."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompts = [list(range(2, 18)), list(range(5, 17)), list(range(7, 21))]
+    want = [eng.generate([p], max_new_tokens=10)[0] for p in prompts]
+    bat = _spec_paged(eng, spec_k=4, max_seq_len=64, chunk=4, pool_pages=10)
+    got = bat.generate(prompts, max_new_tokens=10)
+    assert got == want
+    assert bat.preemptions > 0, "pool was sized to force preemption"
+
+
+def test_spec_paged_prefix_caching(tiny_lm):
+    """Prompt pages shared by content + speculative decode: decode writes
+    never touch shared pages, so reuse and bit-match coexist."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    shared = list(range(2, 20))                 # two full 8-token pages
+    prompts = [shared + [33], shared + [44, 7]]
+    want = [eng.generate([p], max_new_tokens=12)[0] for p in prompts]
+    bat = _spec_paged(eng, spec_k=4, prefix_caching=True)
+    f0 = bat.submit(prompts[0], max_new_tokens=12)
+    bat.drain()
+    f1 = bat.submit(prompts[1], max_new_tokens=12)
+    bat.drain()
+    assert [f0.result(30), f1.result(30)] == want
+    assert bat.prefix_cache_hits > 0
+
+
+def test_spec_paged_logprobs_fall_back(tiny_lm):
+    """A logprobs request routes chunks through the exact paged decode;
+    records match the non-speculative paged batcher."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    prompt = [5, 9, 17, 3]
+    ref = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=96,
+                                 chunk=2, page_size=8)
+    fw = ref.submit(prompt, max_new_tokens=8, logprobs=2)
+    ref.drain()
+    want = fw.result(30)
+    bat = _spec_paged(eng, spec_k=4)
+    f = bat.submit(prompt, max_new_tokens=8, logprobs=2)
+    bat.drain()
+    got = f.result(30)
+    assert got[0] == want[0]
+    assert got[1] == pytest.approx(want[1])
+
+
+def test_spec_paged_gemma3(tiny_lm):
+    """Per-query sliding windows through the paged kernel (flattened
+    B*k batch) match the engine's dense sliding masks."""
+    from multimodal_colpali_tpu.models.configs import Gemma3TextConfig
+    from multimodal_colpali_tpu.models.registry import gemma3_random_params
+
+    cfg = Gemma3TextConfig.tiny(vocab_size=64)
+    params = gemma3_random_params(cfg, seed=5)
+    eng = GemmaDecodeEngine(cfg, params)
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(2, 60, (n,)).tolist() for n in (9, 14)]
+    want = [eng.generate([p], max_new_tokens=16)[0] for p in prompts]
+    bat = _spec_paged(eng, spec_k=3)
+    got = bat.generate(prompts, max_new_tokens=16)
+    assert got == want
