@@ -168,10 +168,13 @@ def encoder_mfu(name: str, batch: int, fused: bool) -> float:
 
 def decode_throughput(name: str = "vidore/colpali-v1.3", slots: int = 4,
                       chunk: int = 16, max_new: int = 64,
-                      paged: bool = False, spec_k: int = 0) -> float:
+                      paged: bool = False, spec_k: int = 0,
+                      kv_dtype: str = "native") -> float:
     """Serving-tier tokens/s: continuous batcher over the model's Gemma LM,
     ``slots`` concurrent requests decoding ``max_new`` tokens each. The
-    chunked decode amortizes the tunnel's ~35-40 ms dispatch overhead."""
+    chunked decode amortizes the tunnel's ~35-40 ms dispatch overhead.
+    ``paged`` and ``spec_k`` compose (SpeculativePagedContinuousBatcher);
+    ``kv_dtype="int8"`` applies to the paged tiers."""
     import warnings
 
     import jax.numpy as jnp
@@ -183,13 +186,20 @@ def decode_throughput(name: str = "vidore/colpali-v1.3", slots: int = 4,
         warnings.simplefilter("ignore")
         ret = load_retriever(name)
     eng = GemmaDecodeEngine(ret.model.cfg.text, ret.params, dtype=jnp.bfloat16)
-    if paged:
+    if paged and spec_k:
+        from multimodal_colpali_tpu.generation.speculative import (
+            SpeculativePagedContinuousBatcher)
+
+        bat = SpeculativePagedContinuousBatcher(
+            eng, batch_slots=slots, max_seq_len=256, chunk=chunk,
+            page_size=32, kv_dtype=kv_dtype, spec_k=spec_k)
+    elif paged:
         from multimodal_colpali_tpu.generation.paged import (
             PagedContinuousBatcher)
 
         bat = PagedContinuousBatcher(eng, batch_slots=slots,
                                      max_seq_len=256, chunk=chunk,
-                                     page_size=32)
+                                     page_size=32, kv_dtype=kv_dtype)
     elif spec_k:
         from multimodal_colpali_tpu.generation.speculative import (
             SpeculativeContinuousBatcher)
@@ -210,7 +220,8 @@ def decode_throughput(name: str = "vidore/colpali-v1.3", slots: int = 4,
     outs = bat.generate(prompts, max_new_tokens=max_new)
     dt = time.time() - t0
     n_tok = sum(len(o) for o in outs)
-    kind = ("paged" if paged
+    kind = (f"paged+speculative(k={spec_k},{kv_dtype})" if paged and spec_k
+            else f"paged({kv_dtype})" if paged
             else f"speculative(k={spec_k})" if spec_k else "dense")
     extra = ""
     if spec_k and bat.spec_forwards:
@@ -257,6 +268,7 @@ def main() -> None:
         decode_throughput(paged=False)
         decode_throughput(paged=True)
         decode_throughput(spec_k=4)
+        decode_throughput(paged=True, spec_k=4, kv_dtype="int8")
 
     if not args.skip_bench:
         r = subprocess.run([sys.executable,
