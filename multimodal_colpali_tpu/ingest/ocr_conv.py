@@ -34,7 +34,15 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
-CHARSET = [chr(c) for c in range(33, 127)]   # space is geometric
+# Merged-cluster classes: tightly kerned fonts (Computer Modern - the
+# scientific-paper look - especially) render f-sequences as ONE connected
+# component, so the segmenter hands the classifier a single box spanning
+# several characters. Dedicated classes decode those boxes back to their
+# character sequences (EasyOCR's printed models read ligatures the same
+# way). CHARSET entries may therefore be multi-char strings; recognition
+# joins them, so no caller changes.
+LIGATURES = ("ff", "fi", "fl", "ffi", "ffl")
+CHARSET = [chr(c) for c in range(33, 127)] + list(LIGATURES)  # space is geometric
 PATCH = 16
 N_FEATS = 3
 

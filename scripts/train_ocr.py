@@ -29,8 +29,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from multimodal_colpali_tpu.ingest.ocr_conv import (   # noqa: E402
-    CHARSET, _WEIGHTS_PATH, binarize, conv_ocr_init, conv_ocr_logits,
-    line_samples, segment_glyphs)
+    CHARSET, LIGATURES, _WEIGHTS_PATH, binarize, conv_ocr_init,
+    conv_ocr_logits, line_samples, segment_glyphs)
 
 
 def find_fonts():
@@ -80,7 +80,7 @@ def harvest(font_path: str, rng, sizes=(14, 18, 24, 34), n_lines: int = 30):
     from PIL import ImageFont
 
     xs, fs, ys = [], [], []
-    chars = "".join(CHARSET)
+    chars = "".join(c for c in CHARSET if len(c) == 1)
     for size in sizes:
         try:
             try:  # basic layout: no ligatures, matching simple scanners
@@ -92,11 +92,24 @@ def harvest(font_path: str, rng, sizes=(14, 18, 24, 34), n_lines: int = 30):
             return xs, fs, ys
         for li in range(2 * n_lines):
             if li % 2 == 0:
-                text = " ".join(rng.choice(list(chars), size=14))
+                toks = [str(c) for c in rng.choice(list(chars), size=12)]
+                if li % 4 == 0:
+                    # merged-cluster tokens: when the font renders the
+                    # f-sequence as ONE component the box gets the
+                    # ligature label; when it splits, the count
+                    # mismatches and the line drops - exactly the
+                    # distribution the recognizer sees at inference.
+                    # Only every other spaced line carries them so
+                    # non-merging fonts keep their charset coverage.
+                    for lig in rng.choice(list(LIGATURES), size=2):
+                        toks.insert(int(rng.integers(0, len(toks) + 1)),
+                                    str(lig))
+                text = " ".join(toks)
+                labels = toks
             else:
                 text = " ".join(_rand_word(rng)
                                 for _ in range(int(rng.integers(3, 7))))
-            labels = [c for c in text if c != " "]
+                labels = [c for c in text if c != " "]
             arr = render_line(font, text)
             ink = binarize(arr)
             lines = segment_glyphs(ink)
@@ -113,8 +126,28 @@ def harvest(font_path: str, rng, sizes=(14, 18, 24, 34), n_lines: int = 30):
     return xs, fs, ys
 
 
+def _n4(x, op):
+    """4-neighbor morphological op over a batch of [N, H, W] patches."""
+    y = x.copy()
+    y[:, 1:, :] = op(y[:, 1:, :], x[:, :-1, :])
+    y[:, :-1, :] = op(y[:, :-1, :], x[:, 1:, :])
+    y[:, :, 1:] = op(y[:, :, 1:], x[:, :, :-1])
+    y[:, :, :-1] = op(y[:, :, :-1], x[:, :, 1:])
+    return y
+
+
 def augment(x, rng):
-    """Salt noise + edge erosion jitter on a batch of patches."""
+    """Salt noise + edge erosion jitter on a batch of patches, plus
+    stroke-thickness jitter (1-px dilate/erode on a random slice of the
+    batch) - fonts differ in weight more than in skeleton, so thickness
+    invariance is the cheapest unseen-font generalization lever."""
+    x = x.copy()
+    r = rng.random(len(x))
+    thick, thin = r < 0.18, r > 0.85
+    if thick.any():
+        x[thick] = _n4(x[thick], np.maximum)
+    if thin.any():
+        x[thin] = _n4(x[thin], np.minimum)
     noise = rng.random(x.shape) < 0.02
     x = np.clip(x + noise * rng.random(x.shape), 0, 1)
     drop = rng.random(x.shape) < 0.03

@@ -66,6 +66,19 @@ def test_conv_ocr_exact_on_dejavu():
         assert score > 0.85
 
 
+def test_conv_ocr_ligatures_in_holdout_font():
+    """Computer Modern (the scientific-paper look; cmr10 is HELD OUT of
+    training) renders f-sequences as single connected components - the
+    round-3 'ligature-heavy renders merge into one glyph' gap. The
+    merged boxes must decode through the ligature classes back to their
+    character sequences."""
+    font = _font("cmr10.ttf", size=34)
+    im = _page_image(["final efficient"], font, size=(620, 80), y0=15)
+    text = ConvOcr().recognize(np.asarray(im))
+    assert "final" in text, text        # fi ligature
+    assert "efficient" in text, text    # ffi ligature
+
+
 def test_scanned_foreign_font_roundtrips_to_text_chunks(tmp_path):
     """VERDICT r2 #3 'done' criterion: a scanned fixture in a
     non-built-in font round-trips to correct text chunks through the FULL
