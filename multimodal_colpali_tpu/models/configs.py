@@ -99,6 +99,32 @@ class Gemma3TextConfig:
     def gemma3_27b(cls) -> "Gemma3TextConfig":
         return cls()
 
+    # The smaller released family members (published HF config values) -
+    # users of the reference pick generator size by GPU budget; the same
+    # knob exists here (gemma-3-4b fits ONE v5e chip in bf16, 27B needs
+    # the dp x tp sharded serving path).
+    @classmethod
+    def gemma3_1b(cls) -> "Gemma3TextConfig":
+        return cls(vocab_size=262_144, hidden_size=1152,
+                   intermediate_size=6912, num_hidden_layers=26,
+                   num_attention_heads=4, num_key_value_heads=1,
+                   head_dim=256, sliding_window=512,
+                   rope_scaling_factor=1.0, query_pre_attn_scalar=256.0)
+
+    @classmethod
+    def gemma3_4b(cls) -> "Gemma3TextConfig":
+        return cls(hidden_size=2560, intermediate_size=10240,
+                   num_hidden_layers=34, num_attention_heads=8,
+                   num_key_value_heads=4, head_dim=256,
+                   query_pre_attn_scalar=256.0)
+
+    @classmethod
+    def gemma3_12b(cls) -> "Gemma3TextConfig":
+        return cls(hidden_size=3840, intermediate_size=15360,
+                   num_hidden_layers=48, num_attention_heads=16,
+                   num_key_value_heads=8, head_dim=256,
+                   query_pre_attn_scalar=256.0)
+
     @classmethod
     def tiny(cls, vocab_size: int = 64) -> "Gemma3TextConfig":
         """Small config for torch-parity tests: both layer types present,
@@ -189,6 +215,17 @@ class Gemma3MMConfig:
     @classmethod
     def gemma3_27b(cls) -> "Gemma3MMConfig":
         return cls()
+
+    # 4b/12b share the 27B's SigLIP-400M tower + 256-token projector;
+    # only the text tower shrinks (published HF configs). 1b is
+    # text-only upstream, so no mm variant exists for it.
+    @classmethod
+    def gemma3_4b(cls) -> "Gemma3MMConfig":
+        return cls(text=Gemma3TextConfig.gemma3_4b())
+
+    @classmethod
+    def gemma3_12b(cls) -> "Gemma3MMConfig":
+        return cls(text=Gemma3TextConfig.gemma3_12b())
 
     @classmethod
     def tiny(cls, vocab_size: int = 64) -> "Gemma3MMConfig":

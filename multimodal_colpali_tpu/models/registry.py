@@ -494,6 +494,12 @@ def _register_gemma3():
     GEMMA3_CONFIGS.update({
         "google/gemma-3-27b-it": Gemma3TextConfig.gemma3_27b,
         "gemma-3-27b": Gemma3TextConfig.gemma3_27b,
+        "google/gemma-3-12b-it": Gemma3TextConfig.gemma3_12b,
+        "gemma-3-12b": Gemma3TextConfig.gemma3_12b,
+        "google/gemma-3-4b-it": Gemma3TextConfig.gemma3_4b,
+        "gemma-3-4b": Gemma3TextConfig.gemma3_4b,
+        "google/gemma-3-1b-it": Gemma3TextConfig.gemma3_1b,
+        "gemma-3-1b": Gemma3TextConfig.gemma3_1b,
         "tiny-gemma3": Gemma3TextConfig.tiny,
     })
 
@@ -611,6 +617,10 @@ def _register_gemma3_mm():
     GEMMA3_MM_CONFIGS.update({
         "google/gemma-3-27b-it": Gemma3MMConfig.gemma3_27b,
         "gemma-3-27b": Gemma3MMConfig.gemma3_27b,
+        "google/gemma-3-12b-it": Gemma3MMConfig.gemma3_12b,
+        "gemma-3-12b": Gemma3MMConfig.gemma3_12b,
+        "google/gemma-3-4b-it": Gemma3MMConfig.gemma3_4b,
+        "gemma-3-4b": Gemma3MMConfig.gemma3_4b,
         "tiny-gemma3": Gemma3MMConfig.tiny,
     })
 

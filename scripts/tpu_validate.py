@@ -233,12 +233,72 @@ def decode_throughput(name: str = "vidore/colpali-v1.3", slots: int = 4,
     return n_tok / dt
 
 
+def gemma3_decode_throughput(name: str = "gemma-3-4b", slots: int = 4,
+                             chunk: int = 16, max_new: int = 64,
+                             paged: bool = True, spec_k: int = 0,
+                             kv_dtype: str = "int8") -> float:
+    """First-party decode tokens/s for the reference's ACTUAL generator
+    class (vLLM serves google/gemma-3-27b-it,
+    /root/reference/00_run_docker_containers.sh:26-39). gemma-3-4b is the
+    family member that fits ONE v5e chip in bf16 (~7.8 GB of 16 GB);
+    27B needs the dp x tp sharded path. Random device-init weights -
+    decode rate is weight-agnostic (HBM-bound on the param stream)."""
+    import jax.numpy as jnp
+
+    from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+    from multimodal_colpali_tpu.models.registry import load_gemma3_lm
+
+    t0 = time.time()
+    cfg, params, _ = load_gemma3_lm(name, dtype=jnp.bfloat16,
+                                    device_init=True)
+    eng = GemmaDecodeEngine(cfg, params, dtype=jnp.bfloat16)
+    log(f"[g3] {name} params materialized on device in {time.time()-t0:.0f}s")
+
+    if paged and spec_k:
+        from multimodal_colpali_tpu.generation.speculative import (
+            SpeculativePagedContinuousBatcher)
+
+        bat = SpeculativePagedContinuousBatcher(
+            eng, batch_slots=slots, max_seq_len=256, chunk=chunk,
+            page_size=32, kv_dtype=kv_dtype, spec_k=spec_k)
+    elif paged:
+        from multimodal_colpali_tpu.generation.paged import (
+            PagedContinuousBatcher)
+
+        bat = PagedContinuousBatcher(eng, batch_slots=slots,
+                                     max_seq_len=256, chunk=chunk,
+                                     page_size=32, kv_dtype=kv_dtype)
+    else:
+        from multimodal_colpali_tpu.generation.scheduler import (
+            ContinuousBatcher)
+
+        bat = ContinuousBatcher(eng, batch_slots=slots, max_seq_len=256,
+                                chunk=chunk)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(3, 200, (24,)).tolist() for _ in range(slots)]
+    t0 = time.time()
+    bat.generate(prompts, max_new_tokens=2)   # warm prefill+decode compiles
+    log(f"[g3] compiles warm in {time.time()-t0:.0f}s")
+    t0 = time.time()
+    outs = bat.generate(prompts, max_new_tokens=max_new)
+    dt = time.time() - t0
+    n_tok = sum(len(o) for o in outs)
+    kind = (f"paged+spec(k={spec_k},{kv_dtype})" if paged and spec_k
+            else f"paged({kv_dtype})" if paged else "dense")
+    log(f"[g3] {name} {kind} slots={slots} chunk={chunk}: "
+        f"{n_tok} tokens in {dt:.2f}s = {n_tok/dt:.1f} tok/s")
+    return n_tok / dt
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--flagship", action="store_true",
                    help="also measure ColPali-3B (remote compile: 5-10 min)")
     p.add_argument("--decode", action="store_true",
                    help="measure serving-tier decode tokens/s (dense + paged)")
+    p.add_argument("--gemma3", action="store_true",
+                   help="measure first-party Gemma-3-4b decode tokens/s "
+                        "(the reference's generator class on one chip)")
     p.add_argument("--skip-bench", action="store_true")
     args = p.parse_args()
 
@@ -264,6 +324,9 @@ def main() -> None:
         encoder_mfu("vidore/colpali-v1.3", batch=8, fused=False)
         if fused_ok:
             encoder_mfu("vidore/colpali-v1.3", batch=8, fused=True)
+    if args.gemma3:
+        gemma3_decode_throughput(paged=True, kv_dtype="int8")
+        gemma3_decode_throughput(paged=True, spec_k=4, kv_dtype="int8")
     if args.decode:
         decode_throughput(paged=False)
         decode_throughput(paged=True)

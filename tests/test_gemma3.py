@@ -67,6 +67,46 @@ def test_gemma3_27b_layer_pattern():
     assert sum(t == "full_attention" for t in types) == 62 // 6
 
 
+def test_gemma3_family_configs_match_published():
+    """The 1b/4b/12b registry entries pin the published HF config values
+    (generator size is a user knob in the reference's serving setup,
+    00_run_docker_containers.sh:26-39 parameterizes the model id)."""
+    from multimodal_colpali_tpu.models.registry import GEMMA3_CONFIGS
+
+    expect = {
+        # name: (layers, hidden, inter, q, kv, hd, window, rope_scale)
+        "gemma-3-1b":  (26, 1152, 6912, 4, 1, 256, 512, 1.0),
+        "gemma-3-4b":  (34, 2560, 10240, 8, 4, 256, 1024, 8.0),
+        "gemma-3-12b": (48, 3840, 15360, 16, 8, 256, 1024, 8.0),
+        "gemma-3-27b": (62, 5376, 21504, 32, 16, 128, 1024, 8.0),
+    }
+    for name, (L, h, inter, q, kv, hd, win, rs) in expect.items():
+        cfg = GEMMA3_CONFIGS[name]()
+        assert (cfg.num_hidden_layers, cfg.hidden_size,
+                cfg.intermediate_size, cfg.num_attention_heads,
+                cfg.num_key_value_heads, cfg.head_dim,
+                cfg.sliding_window, cfg.rope_scaling_factor) == \
+            (L, h, inter, q, kv, hd, win, rs), name
+        # all family members share the 5:1 sliding:global interleave
+        types = cfg.layer_types_resolved
+        assert sum(t == "full_attention" for t in types) == L // 6
+        # HF aliases resolve to the same constructor
+        assert GEMMA3_CONFIGS[f"google/{name}-it"]() == cfg
+        # q/k norm scale: every post-27B size uses 256 (== head_dim)
+        if name != "gemma-3-27b":
+            assert cfg.query_pre_attn_scalar == 256.0
+
+    # mm variants: 4b/12b wrap the same SigLIP tower around their text
+    # config; 1b has no mm variant upstream
+    from multimodal_colpali_tpu.models.registry import GEMMA3_MM_CONFIGS
+
+    for name in ("gemma-3-4b", "gemma-3-12b", "gemma-3-27b"):
+        mm = GEMMA3_MM_CONFIGS[name]()
+        assert mm.text == GEMMA3_CONFIGS[name]()
+        assert (mm.vision.image_size, mm.mm_tokens_per_image) == (896, 256)
+    assert "gemma-3-1b" not in GEMMA3_MM_CONFIGS
+
+
 def test_gemma3_prefill_logits_match_torch(tiny_g3):
     """Next-token logits parity on a prompt LONGER than the sliding
     window, so local layers genuinely mask - the core architecture
