@@ -47,6 +47,11 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--pool-pages", type=int, default=None,
                    help="Total pages in the shared pool (with --paged); "
                         "default sizes every slot to max-seq-len.")
+    p.add_argument("--weight-dtype", default="native",
+                   choices=["native", "int8"],
+                   help="Weight-only int8 quantization for the LM "
+                        "(vLLM's --quantization role): ~2x decode "
+                        "bandwidth; gemma-3-12b fits one v5e chip.")
     p.add_argument("--kv-dtype", default="native", choices=["native", "int8"],
                    help="KV pool storage (with --paged): int8 stores "
                         "absmax-quantized codes + per-token scales, ~halving "
@@ -93,7 +98,13 @@ def main() -> None:
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             cfg_mm, params, tok = load_gemma3_mm(args.model, dtype=dtype)
-        engine = GemmaDecodeEngine(cfg_mm.text, params, dtype=dtype)
+        engine = GemmaDecodeEngine(cfg_mm.text, params, dtype=dtype,
+                                   weight_dtype=args.weight_dtype)
+        if args.weight_dtype == "int8":
+            # share the quantized embed/LM buffers with the mm engine
+            # (its GemmaDecodeEngine detects the pre-quantized subtrees)
+            params = {**params, "embed": engine.params["embed"],
+                      "language_model": engine.params["language_model"]}
         mm_engine = Gemma3MMEngine(cfg_mm, params, dtype=dtype)
         image_pre = ImagePreprocessor(cfg_mm.vision.image_size)
         if tok is None:
@@ -109,7 +120,8 @@ def main() -> None:
                 f"gemma3 LMs ({sorted(GEMMA3_CONFIGS)}); {args.model!r} is "
                 f"{retriever.family!r}")
         cfg = retriever.model.cfg
-        engine = GemmaDecodeEngine(cfg.text, retriever.params, dtype=dtype)
+        engine = GemmaDecodeEngine(cfg.text, retriever.params, dtype=dtype,
+                                   weight_dtype=args.weight_dtype)
 
         tok = getattr(retriever.processor, "tokenizer", None)
         if tok is None or not hasattr(tok, "decode"):
@@ -122,7 +134,11 @@ def main() -> None:
         if hasattr(retriever.processor, "image_preprocessor"):
             from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
 
-            mm_engine = PaliGemmaEngine(cfg, retriever.params, dtype=dtype)
+            rp = retriever.params
+            if args.weight_dtype == "int8":
+                rp = {**rp, "embed": engine.params["embed"],
+                      "language_model": engine.params["language_model"]}
+            mm_engine = PaliGemmaEngine(cfg, rp, dtype=dtype)
             image_pre = retriever.processor.image_preprocessor
 
     backend = engine

@@ -40,6 +40,8 @@ import jax.numpy as jnp
 
 from multimodal_colpali_tpu.models import layers as L
 from multimodal_colpali_tpu.models.configs import GemmaTextConfig
+from multimodal_colpali_tpu.ops.quant import (
+    q_dense, q_logits, q_take, quantize_lm_params)
 
 
 def _rms(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -49,7 +51,9 @@ def _rms(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 
 
 def _lin(x: jax.Array, p: Dict[str, Any]) -> jax.Array:
-    return L.dense(x, p["kernel"], p.get("bias"))
+    # kernels may be weight-only int8 dicts (ops/quant.py); the native
+    # path is byte-for-byte the old L.dense call
+    return q_dense(x, p["kernel"], p.get("bias"), dense_fn=L.dense)
 
 
 def filter_top_p_top_k(logits: jax.Array, top_p, top_k) -> jax.Array:
@@ -246,13 +250,32 @@ class GemmaDecodeEngine:
     params: Any                      # {"embed": {...}, "language_model": {...}}
     dtype: Any = jnp.float32
     mesh: Any = None                 # Optional[jax.sharding.Mesh]
+    weight_dtype: str = "native"     # "native" | "int8" (weight-only quant)
 
     def __post_init__(self):
+        if self.weight_dtype not in ("native", "int8"):
+            raise ValueError(
+                f"weight_dtype must be 'native' or 'int8', "
+                f"got {self.weight_dtype!r}")
         keep = {"embed": self.params["embed"],
                 "language_model": self.params["language_model"]}
-        params = jax.tree.map(
-            lambda p: jnp.asarray(p, self.dtype)
-            if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p), keep)
+        from multimodal_colpali_tpu.ops.quant import is_quantized
+        if is_quantized(keep["embed"].get("embed_tokens")):
+            # already cast + quantized by a sibling engine (07_serve
+            # shares one int8 tree between the text and mm engines) -
+            # must NOT re-cast: the f32 scales would degrade to bf16
+            self.weight_dtype = "int8"
+            params = keep
+        else:
+            params = jax.tree.map(
+                lambda p: jnp.asarray(p, self.dtype)
+                if jnp.asarray(p).dtype == jnp.float32
+                else jnp.asarray(p), keep)
+            if self.weight_dtype == "int8":
+                # one jitted pass: device-resident trees quantize
+                # on-device (12B/27B must never bounce through the
+                # single host core)
+                params = jax.jit(quantize_lm_params)(params)
         if self.mesh is not None:
             from multimodal_colpali_tpu.parallel.mesh import shard_params_for_tp
 
@@ -263,10 +286,9 @@ class GemmaDecodeEngine:
     # -- layer math (mirrors models/gemma.py bit for bit) -------------------
 
     def _embed(self, p, ids: jax.Array) -> jax.Array:
-        table = p["embed"]["embed_tokens"]
-        x = jnp.take(table, ids, axis=0)
+        x = q_take(p["embed"]["embed_tokens"], ids, jnp.float32)
         scale = jnp.asarray(self.cfg.hidden_size ** 0.5, jnp.float32)
-        return (x.astype(jnp.float32) * scale).astype(self.dtype)
+        return (x * scale).astype(self.dtype)
 
     def _chunk(self, p, x, positions, kcaches, vcaches, write_idx, kv_valid,
                causal: bool = True):
@@ -313,9 +335,8 @@ class GemmaDecodeEngine:
 
     def _logits(self, p, hidden: jax.Array) -> jax.Array:
         # tied LM head: logits = hidden @ embed_table.T, fp32
-        table = p["embed"]["embed_tokens"]
-        return jnp.einsum("bh,vh->bv", hidden.astype(jnp.float32),
-                          table.astype(jnp.float32))
+        return q_logits(hidden.astype(jnp.float32),
+                        p["embed"]["embed_tokens"])
 
     # -- generation ----------------------------------------------------------
 
@@ -481,10 +502,12 @@ class PaliGemmaEngine:
     (functions.py:1036-1064) can also run on-TPU over retrieved pages.
     """
 
-    def __init__(self, cfg, params, dtype: Any = jnp.float32):
+    def __init__(self, cfg, params, dtype: Any = jnp.float32,
+                 weight_dtype: str = "native"):
         # cfg: ColPaliModelConfig (vision + text + image_token_id)
         self.cfg = cfg
-        self.lm = GemmaDecodeEngine(cfg.text, params, dtype=dtype)
+        self.lm = GemmaDecodeEngine(cfg.text, params, dtype=dtype,
+                                    weight_dtype=weight_dtype)
         cast = lambda t: jax.tree.map(
             lambda p: jnp.asarray(p, dtype)
             if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p), t)
@@ -507,10 +530,9 @@ class PaliGemmaEngine:
 
         c = self.cfg
         p = self.lm.params
-        table = p["embed"]["embed_tokens"]
-        embeds = jnp.take(
-            table, jnp.where(ids == c.image_token_id, 0, ids), axis=0
-        ).astype(self.lm.dtype)
+        embeds = q_take(p["embed"]["embed_tokens"],
+                        jnp.where(ids == c.image_token_id, 0, ids),
+                        self.lm.dtype)
         if pix.ndim == 4:
             pix = pix[:, None]                       # [B, 1, H, W, 3]
         b, n_img = pix.shape[:2]
@@ -569,9 +591,10 @@ class PaliGemmaEngine:
 
             def body(carry, step):
                 kc, vc, tok, done = carry
-                xx = jnp.take(p["embed"]["embed_tokens"], tok[:, None], axis=0)
+                xx = q_take(p["embed"]["embed_tokens"], tok[:, None],
+                            jnp.float32)
                 scale = jnp.asarray(c.hidden_size ** 0.5, jnp.float32)
-                xx = (xx.astype(jnp.float32) * scale).astype(eng.dtype)
+                xx = (xx * scale).astype(eng.dtype)
                 pos = (last_pos + step)[:, None]
                 hidden, (kc, vc) = eng._chunk(
                     p, xx, pos, kc, vc, s + step - 1, kv_valid)

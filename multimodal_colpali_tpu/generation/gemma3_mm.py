@@ -35,6 +35,7 @@ import jax.numpy as jnp
 from multimodal_colpali_tpu.generation.engine import (
     GemmaDecodeEngine, attn_scale, filter_top_p_top_k, layer_stack)
 from multimodal_colpali_tpu.models import layers as L
+from multimodal_colpali_tpu.ops.quant import q_take
 
 
 def _rms_g(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -46,9 +47,11 @@ def _rms_g(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
 class Gemma3MMEngine:
     """Image-conditioned Gemma-3 generation on a Gemma3MMConfig."""
 
-    def __init__(self, cfg, params, dtype: Any = jnp.float32):
+    def __init__(self, cfg, params, dtype: Any = jnp.float32,
+                 weight_dtype: str = "native"):
         self.cfg = cfg
-        self.lm = GemmaDecodeEngine(cfg.text, params, dtype=dtype)
+        self.lm = GemmaDecodeEngine(cfg.text, params, dtype=dtype,
+                                    weight_dtype=weight_dtype)
         cast = lambda t: jax.tree.map(
             lambda p: jnp.asarray(p, dtype)
             if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p), t)
@@ -97,11 +100,11 @@ class Gemma3MMEngine:
         image features do NOT get rescaled)."""
         c = self.cfg
         p = self.lm.params
-        table = p["embed"]["embed_tokens"]
-        embeds = jnp.take(
-            table, jnp.where(ids == c.image_token_id, 0, ids), axis=0)
+        embeds = q_take(p["embed"]["embed_tokens"],
+                        jnp.where(ids == c.image_token_id, 0, ids),
+                        jnp.float32)
         scale = jnp.asarray(c.text.hidden_size ** 0.5, jnp.float32)
-        embeds = (embeds.astype(jnp.float32) * scale).astype(self.lm.dtype)
+        embeds = (embeds * scale).astype(self.lm.dtype)
         img = self._image_features(pix)
         is_img = ids == c.image_token_id
         img_pos = jnp.clip(jnp.cumsum(is_img, axis=1) - 1, 0,

@@ -578,9 +578,57 @@ def gemma3_random_params(cfg, seed: int = 0, dtype: Any = jnp.float32,
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def gemma3_random_params_int8(cfg, seed: int = 0,
+                              dtype: Any = jnp.bfloat16):
+    """Random Gemma-3 params materialized DIRECTLY as weight-only int8
+    on the device, one leaf-sized jit at a time, so the bf16 tree never
+    exists anywhere: gemma-3-12b is ~23.5 GB in bf16 (cannot live on a
+    16 GB v5e) but ~11.8 GB as int8 codes. Peak device footprint is the
+    resident int8 tree plus ONE leaf's f32 transient (the embed table,
+    ~4 GB for 12B, is generated first while the tree is empty).
+
+    Returns the ``ops/quant.py`` representation the decode engine
+    detects as pre-quantized (norm weights stay ``dtype``)."""
+    from multimodal_colpali_tpu.ops.quant import quantize_int8
+
+    shapes = gemma3_param_shapes(cfg)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    key = jax.random.PRNGKey(seed)
+    jits: Dict[Tuple, Any] = {}
+
+    def build_leaf(shape, axis, i):
+        sig = (shape, axis)
+        if sig not in jits:
+            def f(k):
+                fan_in = shape[0] if len(shape) >= 2 else shape[-1]
+                w = (jax.random.normal(k, shape, jnp.float32)
+                     * float(fan_in) ** -0.5)
+                return quantize_int8(w, axis=axis)
+            jits[sig] = jax.jit(f)
+        return jits[sig](jax.random.fold_in(key, i))
+
+    # embed first: its f32 transient is the largest, and the tree is
+    # still empty at that point
+    order = sorted(
+        range(len(flat)),
+        key=lambda i: -int(np.prod(flat[i][1].shape)))
+    out: List[Any] = [None] * len(flat)
+    for i in order:
+        path, s = flat[i]
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "weight":
+            out[i] = jnp.zeros(s.shape, dtype)          # (1+w) norms
+        elif name == "embed_tokens":
+            out[i] = build_leaf(s.shape, 1, i)           # scale per row
+        else:
+            out[i] = build_leaf(s.shape, 0, i)           # scale per col
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def load_gemma3_lm(name: str, checkpoint_dir: Optional[str] = None,
                    dtype: Any = jnp.bfloat16, seed: int = 0,
-                   device_init: Optional[bool] = None):
+                   device_init: Optional[bool] = None,
+                   weight_dtype: str = "native"):
     """Load a Gemma-3 generator LM by name -> (cfg, params, tokenizer).
 
     Checkpoint resolution and the random-init fallback mirror
@@ -596,15 +644,23 @@ def load_gemma3_lm(name: str, checkpoint_dir: Optional[str] = None,
         tok = _load_tokenizer_from(ckpt)
         sd = hf_import.load_state_dict(ckpt)
         params = hf_import.gemma3_params_from_hf(sd, cfg)
+        # checkpoint int8: the engine quantizes post-load (host RAM holds
+        # the tree; only the int8 codes reach the device via the engine)
     else:
         warnings.warn(
             f"no local checkpoint for {name!r}; using random init "
             f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
             stacklevel=2,
         )
-        dev = device_init or (device_init is None
-                              and os.environ.get("MMCP_DEVICE_INIT") == "1")
-        params = gemma3_random_params(cfg, seed, dtype=dtype, device=bool(dev))
+        if weight_dtype == "int8":
+            # leaf-streamed on-device init: the bf16 tree never exists
+            # (the only way a 12B fits a 16 GB chip)
+            params = gemma3_random_params_int8(cfg, seed, dtype=dtype)
+        else:
+            dev = device_init or (device_init is None
+                                  and os.environ.get("MMCP_DEVICE_INIT") == "1")
+            params = gemma3_random_params(cfg, seed, dtype=dtype,
+                                          device=bool(dev))
     return cfg, params, tok
 
 

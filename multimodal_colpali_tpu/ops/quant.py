@@ -1,0 +1,125 @@
+"""Weight-only int8 quantization for the serving engine.
+
+vLLM exposes ``--quantization`` so a generator can be served on fewer /
+smaller GPUs (the reference's serving container is plain bf16,
+/root/reference/00_run_docker_containers.sh:26-39, but the knob is part of
+the server surface this framework replaces). TPU decode at serving batch
+sizes is bound by the HBM weight stream, not the MXU, so weight-only int8
+(a) roughly halves decode latency and (b) fits gemma-3-12b (~11.8 GB) on
+one 16 GB v5e chip that bf16 (~23.5 GB) cannot.
+
+Representation: each 2-D kernel ``[in, out]`` becomes
+``{"q8": int8 codes (same shape), "scale": f32 [out]}`` - symmetric
+per-output-channel absmax scaling. The embedding table ``[V, H]``
+quantizes per ROW (per vocab entry, ``scale: [V]``) so both the embed
+gather and the tied-logits matmul consume the same codes.
+
+TPU-first compute order: the matmul runs on the CODES
+(``x @ q8.astype(bf16)``, int8 read from HBM, exact upcast) and the f32
+scale multiplies the PRODUCT - a cheap per-column epilogue XLA fuses.
+This is numerically equivalent to dequantize-then-matmul up to one
+floating-point rounding per output element (post- vs pre-scaling). With
+power-of-two scales even that rounding vanishes (exponent shifts commute
+with float rounding); the tests exploit this for an end-to-end pin with
+zero quantization error - residual differences are only XLA's
+contraction order between the two compiled programs (~1 ulp).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_int8(w: jax.Array, axis: int = 0) -> dict:
+    """Symmetric absmax int8 quantization of ``w`` along ``axis`` (the
+    reduction axis of the matmul it will feed): each slice orthogonal to
+    ``axis`` gets one f32 scale. Returns ``{"q8", "scale"}``; ``scale``
+    has ``axis`` removed."""
+    wf = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=axis)
+    scale = jnp.where(amax > 0, amax, 1.0) / 127.0
+    codes = jnp.round(wf / jnp.expand_dims(scale, axis))
+    return {"q8": jnp.clip(codes, -127, 127).astype(jnp.int8),
+            "scale": scale.astype(jnp.float32)}
+
+
+def is_quantized(p: Any) -> bool:
+    return isinstance(p, dict) and "q8" in p
+
+
+def dequantize(qw: dict, axis: int = 0, dtype: Any = jnp.float32) -> jax.Array:
+    """Materialize the bf16/f32 weight (tests / export; the compute paths
+    below never call this - they keep the HBM stream int8). ``axis`` is
+    the reduction axis passed to ``quantize_int8`` (0 for kernels, 1 for
+    the embed table)."""
+    s = jnp.expand_dims(qw["scale"], axis)
+    return (qw["q8"].astype(jnp.float32) * s).astype(dtype)
+
+
+def q_dense(x: jax.Array, kernel: Any, bias: Optional[jax.Array] = None,
+            dense_fn=None) -> jax.Array:
+    """``x @ kernel (+ bias)`` where ``kernel`` is a plain array or a
+    ``quantize_int8`` dict (codes ``[in, out]``, scale ``[out]``). The
+    quantized path matmuls the codes and applies the scale to the
+    product (see module docstring)."""
+    if not is_quantized(kernel):
+        if dense_fn is not None:
+            return dense_fn(x, kernel, bias)
+        y = x @ kernel
+        return y if bias is None else y + bias
+    y = x @ kernel["q8"].astype(x.dtype)
+    y = y * kernel["scale"].astype(x.dtype)
+    return y if bias is None else y + bias
+
+
+def q_take(table: Any, ids: jax.Array, dtype: Any = jnp.float32) -> jax.Array:
+    """Embedding-row gather: ``table`` is ``[V, H]`` or a per-row
+    quantized dict (``scale: [V]``). Returns rows in ``dtype``, scales
+    applied (gathering codes + one f32 multiply keeps the HBM table
+    int8)."""
+    if not is_quantized(table):
+        return jnp.take(table, ids, axis=0).astype(dtype)
+    rows = jnp.take(table["q8"], ids, axis=0).astype(jnp.float32)
+    s = jnp.take(table["scale"], ids, axis=0)
+    return (rows * s[..., None]).astype(dtype)
+
+
+def q_logits(hidden_f32: jax.Array, table: Any) -> jax.Array:
+    """Tied LM head ``hidden @ table.T`` in f32; per-row scales multiply
+    the logit columns. ``hidden_f32``: [B, H]; returns [B, V]."""
+    if not is_quantized(table):
+        return jnp.einsum("bh,vh->bv", hidden_f32,
+                          table.astype(jnp.float32))
+    logits = jnp.einsum("bh,vh->bv", hidden_f32,
+                        table["q8"].astype(jnp.float32))
+    return logits * table["scale"][None, :]
+
+
+def quantize_lm_params(params: Any) -> Any:
+    """Quantize a decode-engine param tree in place of its bf16 kernels:
+    every 2-D ``kernel`` under ``language_model`` becomes a per-column
+    int8 dict and ``embed.embed_tokens`` a per-row dict. Norm weights
+    and biases stay in the compute dtype (tiny, and (1+w) norms are
+    scale-sensitive). Runs under jit, so device-resident trees quantize
+    on-device (the 12B/27B trees must never bounce to host)."""
+
+    def walk(t):
+        if isinstance(t, dict):
+            out = {}
+            for k, v in t.items():
+                if k == "kernel" and getattr(v, "ndim", 0) == 2:
+                    out[k] = quantize_int8(v, axis=0)
+                else:
+                    out[k] = walk(v)
+            return out
+        return t
+
+    out = dict(params)
+    out["language_model"] = walk(params["language_model"])
+    emb = dict(params["embed"])
+    emb["embed_tokens"] = quantize_int8(emb["embed_tokens"], axis=1)
+    out["embed"] = emb
+    return out

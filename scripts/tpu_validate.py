@@ -236,7 +236,8 @@ def decode_throughput(name: str = "vidore/colpali-v1.3", slots: int = 4,
 def gemma3_decode_throughput(name: str = "gemma-3-4b", slots: int = 4,
                              chunk: int = 16, max_new: int = 64,
                              paged: bool = True, spec_k: int = 0,
-                             kv_dtype: str = "int8") -> float:
+                             kv_dtype: str = "int8",
+                             weight_dtype: str = "native") -> float:
     """First-party decode tokens/s for the reference's ACTUAL generator
     class (vLLM serves google/gemma-3-27b-it,
     /root/reference/00_run_docker_containers.sh:26-39). gemma-3-4b is the
@@ -250,9 +251,12 @@ def gemma3_decode_throughput(name: str = "gemma-3-4b", slots: int = 4,
 
     t0 = time.time()
     cfg, params, _ = load_gemma3_lm(name, dtype=jnp.bfloat16,
-                                    device_init=True)
-    eng = GemmaDecodeEngine(cfg, params, dtype=jnp.bfloat16)
-    log(f"[g3] {name} params materialized on device in {time.time()-t0:.0f}s")
+                                    device_init=True,
+                                    weight_dtype=weight_dtype)
+    eng = GemmaDecodeEngine(cfg, params, dtype=jnp.bfloat16,
+                            weight_dtype=weight_dtype)
+    log(f"[g3] {name} params materialized on device in {time.time()-t0:.0f}s"
+        f" (weights {weight_dtype})")
 
     if paged and spec_k:
         from multimodal_colpali_tpu.generation.speculative import (
@@ -285,6 +289,8 @@ def gemma3_decode_throughput(name: str = "gemma-3-4b", slots: int = 4,
     n_tok = sum(len(o) for o in outs)
     kind = (f"paged+spec(k={spec_k},{kv_dtype})" if paged and spec_k
             else f"paged({kv_dtype})" if paged else "dense")
+    if weight_dtype != "native":
+        kind += f"+w{weight_dtype}"
     log(f"[g3] {name} {kind} slots={slots} chunk={chunk}: "
         f"{n_tok} tokens in {dt:.2f}s = {n_tok/dt:.1f} tok/s")
     return n_tok / dt
