@@ -334,9 +334,11 @@ class GemmaDecodeEngine:
         return layer_stack(p, c, x, positions, kv_write, attend)
 
     def _logits(self, p, hidden: jax.Array) -> jax.Array:
-        # tied LM head: logits = hidden @ embed_table.T, fp32
+        # tied LM head: logits = hidden @ embed_table.T, fp32 (quantized
+        # tables may carry pad rows; slice back to the true vocab)
         return q_logits(hidden.astype(jnp.float32),
-                        p["embed"]["embed_tokens"])
+                        p["embed"]["embed_tokens"],
+                        out_dim=self.cfg.vocab_size)
 
     # -- generation ----------------------------------------------------------
 

@@ -589,12 +589,13 @@ def gemma3_random_params_int8(cfg, seed: int = 0,
 
     Returns the ``ops/quant.py`` representation the decode engine
     detects as pre-quantized (norm weights stay ``dtype``)."""
-    from multimodal_colpali_tpu.ops.quant import quantize_int8
+    from multimodal_colpali_tpu.ops.quant import (quantize_embed_int8,
+                                                  quantize_int8)
 
     shapes = gemma3_param_shapes(cfg)
     flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
     key = jax.random.PRNGKey(seed)
-    jits: Dict[Tuple, Any] = {}
+    jits: Dict[Any, Any] = {}
 
     def build_leaf(shape, axis, i):
         sig = (shape, axis)
@@ -603,7 +604,8 @@ def gemma3_random_params_int8(cfg, seed: int = 0,
                 fan_in = shape[0] if len(shape) >= 2 else shape[-1]
                 w = (jax.random.normal(k, shape, jnp.float32)
                      * float(fan_in) ** -0.5)
-                return quantize_int8(w, axis=axis)
+                return (quantize_embed_int8(w) if axis == 1
+                        else quantize_int8(w, axis=axis))
             jits[sig] = jax.jit(f)
         return jits[sig](jax.random.fold_in(key, i))
 

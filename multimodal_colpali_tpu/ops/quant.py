@@ -64,14 +64,24 @@ def q_dense(x: jax.Array, kernel: Any, bias: Optional[jax.Array] = None,
     """``x @ kernel (+ bias)`` where ``kernel`` is a plain array or a
     ``quantize_int8`` dict (codes ``[in, out]``, scale ``[out]``). The
     quantized path matmuls the codes and applies the scale to the
-    product (see module docstring)."""
+    product (see module docstring); on TPU it dispatches to the Pallas
+    kernel (ops/int8_matmul.py) so the codes stream from HBM as int8
+    with no materialized upcast."""
     if not is_quantized(kernel):
         if dense_fn is not None:
             return dense_fn(x, kernel, bias)
         y = x @ kernel
         return y if bias is None else y + bias
-    y = x @ kernel["q8"].astype(x.dtype)
-    y = y * kernel["scale"].astype(x.dtype)
+    from multimodal_colpali_tpu.ops.int8_matmul import (int8_matmul_enabled,
+                                                        int8_matmul_kn)
+    if int8_matmul_enabled():
+        lead = x.shape[:-1]
+        y = int8_matmul_kn(x.reshape(-1, x.shape[-1]), kernel["q8"],
+                           kernel["scale"])
+        y = y.reshape(*lead, y.shape[-1])
+    else:
+        y = x @ kernel["q8"].astype(x.dtype)
+        y = y * kernel["scale"].astype(x.dtype)
     return y if bias is None else y + bias
 
 
@@ -87,15 +97,49 @@ def q_take(table: Any, ids: jax.Array, dtype: Any = jnp.float32) -> jax.Array:
     return (rows * s[..., None]).astype(dtype)
 
 
-def q_logits(hidden_f32: jax.Array, table: Any) -> jax.Array:
+def q_logits(hidden_f32: jax.Array, table: Any,
+             out_dim: Optional[int] = None) -> jax.Array:
     """Tied LM head ``hidden @ table.T`` in f32; per-row scales multiply
-    the logit columns. ``hidden_f32``: [B, H]; returns [B, V]."""
+    the logit columns. ``hidden_f32``: [B, H]; returns [B, V].
+
+    Quantized tables may carry zero-code pad rows (so the Pallas kernel's
+    tiling divides the vocab, see ``quantize_lm_params``); pass
+    ``out_dim`` to slice back to the true vocab. On TPU the Pallas path
+    computes with bf16 hidden (f32 accumulation) - HF's own bf16
+    inference precision; the XLA path keeps f32 products."""
     if not is_quantized(table):
         return jnp.einsum("bh,vh->bv", hidden_f32,
                           table.astype(jnp.float32))
-    logits = jnp.einsum("bh,vh->bv", hidden_f32,
-                        table["q8"].astype(jnp.float32))
-    return logits * table["scale"][None, :]
+    from multimodal_colpali_tpu.ops.int8_matmul import (int8_matmul_enabled,
+                                                        int8_matmul_nk)
+    if int8_matmul_enabled():
+        logits = int8_matmul_nk(hidden_f32.astype(jnp.bfloat16),
+                                table["q8"], table["scale"],
+                                out_dtype=jnp.float32)
+    else:
+        logits = jnp.einsum("bh,vh->bv", hidden_f32,
+                            table["q8"].astype(jnp.float32))
+        logits = logits * table["scale"][None, :]
+    if out_dim is not None and logits.shape[-1] != out_dim:
+        logits = logits[:, :out_dim]
+    return logits
+
+
+EMBED_PAD = 512   # pad quantized embed rows so vocab % kernel tile == 0
+
+
+def quantize_embed_int8(table: jax.Array, pad_to: int = EMBED_PAD) -> dict:
+    """Per-row quantization of the embed table, padded with zero-code
+    rows (scale 1) to a multiple of ``pad_to`` so the tied-logits Pallas
+    kernel's N tiling divides the vocab (262208 % 512 != 0). Pad rows
+    produce logits == 0 and are sliced off by ``q_logits(out_dim=V)``;
+    the embed gather never touches them (ids < V)."""
+    q = quantize_int8(table, axis=1)
+    pad = (-table.shape[0]) % pad_to
+    if pad:
+        q = {"q8": jnp.pad(q["q8"], ((0, pad), (0, 0))),
+             "scale": jnp.pad(q["scale"], (0, pad), constant_values=1.0)}
+    return q
 
 
 def quantize_lm_params(params: Any) -> Any:
@@ -120,6 +164,6 @@ def quantize_lm_params(params: Any) -> Any:
     out = dict(params)
     out["language_model"] = walk(params["language_model"])
     emb = dict(params["embed"])
-    emb["embed_tokens"] = quantize_int8(emb["embed_tokens"], axis=1)
+    emb["embed_tokens"] = quantize_embed_int8(emb["embed_tokens"])
     out["embed"] = emb
     return out

@@ -233,6 +233,43 @@ def decode_throughput(name: str = "vidore/colpali-v1.3", slots: int = 4,
     return n_tok / dt
 
 
+def validate_int8_matmul() -> bool:
+    """Hardware parity of the weight-int8 Pallas matmul (both layouts)
+    vs the XLA dequant path, on real decode shapes incl. the padded-
+    vocab tied-logits case - the gate for the quantized engine's TPU
+    dispatch (ops/quant.q_dense/q_logits route here when
+    int8_matmul_enabled())."""
+    import jax.numpy as jnp
+
+    from multimodal_colpali_tpu.ops.int8_matmul import (int8_matmul_kn,
+                                                        int8_matmul_nk,
+                                                        int8_matmul_xla)
+
+    rng = np.random.default_rng(0)
+    ok = True
+    for m, k, n in [(4, 2560, 10240), (1, 2560, 2048), (16, 10240, 2560)]:
+        x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+        c = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        s = jnp.asarray(np.abs(rng.standard_normal(n)) * 0.01, jnp.float32)
+        got = np.asarray(int8_matmul_kn(x, c, s), np.float32)
+        want = np.asarray(int8_matmul_xla(x, c, s), np.float32)
+        rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+        log(f"[int8mm] kn m={m} k={k} n={n}: rel {rel:.5f}")
+        ok &= rel < 2e-2
+    # tied-logits layout at a real (padded) vocab
+    v, h = 262656, 2560
+    x = jnp.asarray(rng.standard_normal((4, h)), jnp.bfloat16)
+    c = jnp.asarray(rng.integers(-127, 128, (v, h)), jnp.int8)
+    s = jnp.asarray(np.abs(rng.standard_normal(v)) * 0.01, jnp.float32)
+    got = np.asarray(int8_matmul_nk(x, c, s, out_dtype=jnp.float32))
+    want = np.asarray(int8_matmul_xla(x, c, s, transpose_codes=True),
+                      np.float32)
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    log(f"[int8mm] nk m=4 v={v} h={h}: rel {rel:.5f}")
+    ok &= rel < 2e-2
+    return ok
+
+
 def gemma3_decode_throughput(name: str = "gemma-3-4b", slots: int = 4,
                              chunk: int = 16, max_new: int = 64,
                              paged: bool = True, spec_k: int = 0,
@@ -331,8 +368,14 @@ def main() -> None:
         if fused_ok:
             encoder_mfu("vidore/colpali-v1.3", batch=8, fused=True)
     if args.gemma3:
+        i8 = validate_int8_matmul()
+        log(f"[validate] weight-int8 matmul parity on TPU: "
+            f"{'PASS' if i8 else 'FAIL - set MMCP_INT8_MATMUL=0'}")
         gemma3_decode_throughput(paged=True, kv_dtype="int8")
         gemma3_decode_throughput(paged=True, spec_k=4, kv_dtype="int8")
+        if i8:
+            gemma3_decode_throughput(paged=True, kv_dtype="int8",
+                                     weight_dtype="int8")
     if args.decode:
         decode_throughput(paged=False)
         decode_throughput(paged=True)

@@ -158,7 +158,9 @@ def test_int8_engine_logits_close_on_random_weights(arch):
 
 
 def test_int8_param_bytes_roughly_halved():
-    cfg = Gemma3TextConfig.tiny(vocab_size=64)
+    # vocab 2048 so the embed pad (to a multiple of 512) is zero and the
+    # byte comparison is clean; real vocabs pad by <0.2%
+    cfg = Gemma3TextConfig.tiny(vocab_size=2048)
     params = gemma3_random_params(cfg, seed=0)
     bf16 = GemmaDecodeEngine(cfg, params, dtype=jnp.bfloat16)
     q = GemmaDecodeEngine(cfg, params, dtype=jnp.bfloat16,
@@ -187,6 +189,68 @@ def test_batchers_bit_match_engine_with_int8_weights():
     paged = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
                                    chunk=3, page_size=8)
     assert paged.generate(PROMPTS, max_new_tokens=7) == want
+
+
+@pytest.mark.parametrize("m", [1, 4, 16])
+def test_pallas_int8_matmul_parity_interpret(m):
+    """The Pallas weight-int8 kernels (both layouts) match the XLA
+    compute order on dividing shapes, including the M sublane pad."""
+    from multimodal_colpali_tpu.ops.int8_matmul import (int8_matmul_kn,
+                                                        int8_matmul_nk,
+                                                        int8_matmul_xla)
+    rng = np.random.default_rng(m)
+    k, n = 512, 1024
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    codes = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    scale = jnp.asarray(np.abs(rng.standard_normal(n)) * 0.01, jnp.float32)
+    got = np.asarray(int8_matmul_kn(x, codes, scale, interpret=True),
+                     np.float32)
+    want = np.asarray(int8_matmul_xla(x, codes, scale), np.float32)
+    assert np.abs(got - want).max() <= 0.02 * np.abs(want).max()
+
+    codes2 = jnp.asarray(rng.integers(-127, 128, (n, k)), jnp.int8)
+    got = np.asarray(int8_matmul_nk(x, codes2, scale,
+                                    out_dtype=jnp.float32, interpret=True))
+    want = np.asarray(int8_matmul_xla(x, codes2, scale,
+                                      transpose_codes=True), np.float32)
+    assert np.abs(got - want).max() <= 0.02 * np.abs(want).max()
+
+
+def test_pallas_int8_matmul_fallback_on_odd_shapes():
+    """Shapes the tiling cannot divide must fall back to the XLA path
+    (same numbers), never silently truncate the grid."""
+    from multimodal_colpali_tpu.ops.int8_matmul import (int8_matmul_kn,
+                                                        int8_matmul_xla)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((3, 96)), jnp.bfloat16)
+    codes = jnp.asarray(rng.integers(-127, 128, (96, 80)), jnp.int8)
+    scale = jnp.asarray(np.ones(80), jnp.float32)
+    got = np.asarray(int8_matmul_kn(x, codes, scale, interpret=True),
+                     np.float32)
+    want = np.asarray(int8_matmul_xla(x, codes, scale), np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_quantized_embed_pad_rows_never_leak():
+    """quantize_embed_int8 pads the vocab axis to the kernel tile; the
+    engine must still emit exactly vocab_size logits and gather only
+    real rows."""
+    from multimodal_colpali_tpu.ops.quant import quantize_embed_int8
+
+    cfg = Gemma3TextConfig.tiny(vocab_size=64)
+    params = gemma3_random_params(cfg, seed=3)
+    eng = GemmaDecodeEngine(cfg, params, dtype=jnp.float32,
+                            weight_dtype="int8")
+    table = eng.params["embed"]["embed_tokens"]
+    assert table["q8"].shape[0] % 512 == 0           # padded
+    logits = eng.next_token_logits(PROMPTS, bucket=32)
+    assert logits.shape == (len(PROMPTS), 64)        # sliced back
+    # pad rows are zero codes with scale 1
+    q = quantize_embed_int8(jnp.asarray(
+        np.random.default_rng(0).standard_normal((70, 8)), jnp.float32))
+    assert q["q8"].shape[0] == 512
+    assert not np.asarray(q["q8"][70:]).any()
+    assert (np.asarray(q["scale"][70:]) == 1.0).all()
 
 
 def test_pre_quantized_tree_shared_between_engines():
