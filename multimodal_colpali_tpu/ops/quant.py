@@ -108,6 +108,17 @@ def q_logits(hidden_f32: jax.Array, table: Any,
     computes with bf16 hidden (f32 accumulation) - HF's own bf16
     inference precision; the XLA path keeps f32 products."""
     if not is_quantized(table):
+        if table.dtype == jnp.bfloat16:
+            # bf16 table: dot in bf16 with f32 accumulation instead of
+            # casting the whole table to f32 (a [V, H] materialization
+            # EVERY decode step - ~2.7 GB for gemma-3-4b). The hidden
+            # state came out of the bf16 layer stack, so the bf16
+            # round-trip is exact and every product matches the f32
+            # einsum bit for bit; only the sum order may differ (~1 ulp).
+            return jax.lax.dot_general(
+                hidden_f32.astype(jnp.bfloat16), table,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
         return jnp.einsum("bh,vh->bv", hidden_f32,
                           table.astype(jnp.float32))
     from multimodal_colpali_tpu.ops.int8_matmul import (int8_matmul_enabled,

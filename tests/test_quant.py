@@ -231,6 +231,22 @@ def test_pallas_int8_matmul_fallback_on_odd_shapes():
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
 
 
+def test_native_bf16_logits_avoid_f32_table_cast():
+    """q_logits on a bf16 table dots in bf16 with f32 accumulation
+    (no [V, H] f32 materialization per decode step); every product is
+    exact, so the result matches the f32-cast einsum to ~1 ulp."""
+    from multimodal_colpali_tpu.ops.quant import q_logits
+
+    rng = np.random.default_rng(5)
+    table = jnp.asarray(rng.standard_normal((640, 32)), jnp.bfloat16)
+    hidden = jnp.asarray(rng.standard_normal((4, 32)),
+                         jnp.bfloat16).astype(jnp.float32)
+    got = np.asarray(q_logits(hidden, table))
+    want = np.asarray(jnp.einsum("bh,vh->bv", hidden,
+                                 table.astype(jnp.float32)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
 def test_quantized_embed_pad_rows_never_leak():
     """quantize_embed_int8 pads the vocab axis to the kernel tile; the
     engine must still emit exactly vocab_size logits and gather only
