@@ -361,8 +361,15 @@ def main() -> None:
         fused = encoder_mfu("ahmed-masry/ColFlor", batch=16, fused=True)
         log(f"[validate] fused speedup: {fused / base:.2f}x")
     # ColSmol: the small retriever closest to the 1k pages/s target
-    # (round-3 record: 480.8 pages/s at 46.8% MFU)
+    # (round-3 record: 480.8 pages/s at 46.8% MFU). Its vision attention
+    # runs at seq 1024 (512px / 16px patches) where the fused kernel is
+    # in its regime, and pages/s/chip is free to pick the batch - A/B
+    # fused and sweep the batch.
     encoder_mfu("vidore/colSmol-256M", batch=16, fused=False)
+    if fused_ok:
+        encoder_mfu("vidore/colSmol-256M", batch=16, fused=True)
+        encoder_mfu("vidore/colSmol-256M", batch=32, fused=True)
+        encoder_mfu("vidore/colSmol-256M", batch=64, fused=True)
     if args.flagship:
         encoder_mfu("vidore/colpali-v1.3", batch=8, fused=False)
         if fused_ok:
