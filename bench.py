@@ -272,9 +272,13 @@ def bench_retrieval(jax, jnp, backend: str) -> dict:
 
 
 def _bench_one_embed(jax, jnp, backend: str, name: str, batch: int,
-                     n_iters: int, device_init: bool = False) -> dict:
+                     n_iters: int, device_init: bool = False,
+                     quantize=None) -> dict:
     """Pages/sec/chip + MFU for one retriever. Returns
-    {pages_per_sec, mfu?, gflop_per_page?}; raises on failure."""
+    {pages_per_sec, mfu?, gflop_per_page?}; raises on failure.
+    ``quantize="int8"`` measures the W8A8 path (ops/quant.py): the int8
+    MXU runs at 2x the bf16 rate, so its "mfu" (still normalized to the
+    bf16 peak) can legitimately exceed 100%."""
     import gc
     import warnings
 
@@ -282,7 +286,8 @@ def _bench_one_embed(jax, jnp, backend: str, name: str, batch: int,
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # random-init warning is expected
-        ret = load_retriever(name, device_init=device_init or None)
+        ret = load_retriever(name, device_init=device_init or None,
+                             quantize=quantize)
     from PIL import Image
     rng = np.random.default_rng(0)
     imgs = [Image.fromarray(rng.integers(0, 255, (448, 448, 3), np.uint8))
@@ -368,26 +373,30 @@ def bench_embed_throughput(jax, jnp, backend: str) -> dict:
     """
     if backend == "tpu":
         targets = [
-            ("ahmed-masry/ColFlor", "colflor", 16, 8, False),
-            ("vidore/colSmol-256M", "colsmol", 16, 8, False),
-            ("vidore/colpali-v1.3", "colpali3b", 8, 4, True),
+            ("ahmed-masry/ColFlor", "colflor", 16, 8, False, None),
+            ("vidore/colSmol-256M", "colsmol", 16, 8, False, None),
+            ("vidore/colpali-v1.3", "colpali3b", 8, 4, True, None),
+            # W8A8: int8 x int8 MXU at 2x the bf16 rate - the flagship
+            # embeds ABOVE the chip's bf16 compute ceiling (opt-in path,
+            # load_retriever(quantize="int8"))
+            ("vidore/colpali-v1.3", "colpali3b_int8", 8, 4, True, "int8"),
         ]
     else:
-        targets = [("tiny-colpali", "tiny", 4, 4, False)]
+        targets = [("tiny-colpali", "tiny", 4, 4, False, None)]
 
     out: dict = {}
     best = None
-    for name, short, batch, n_iters, dev_init in targets:
+    for name, short, batch, n_iters, dev_init, quant in targets:
         try:
             rec = _bench_one_embed(jax, jnp, backend, name, batch, n_iters,
-                                   device_init=dev_init)
+                                   device_init=dev_init, quantize=quant)
         except Exception as e:  # noqa: BLE001 - per-model isolation
             log(f"[bench] embed {name} skipped: {type(e).__name__}: {e}")
             continue
         for k, v in rec.items():
             out[f"embed_{short}_{k}"] = v
-        if short != "colpali3b" and (best is None
-                                     or rec["pages_per_sec"] > best[1]):
+        if not short.startswith("colpali3b") and (
+                best is None or rec["pages_per_sec"] > best[1]):
             best = (name, rec["pages_per_sec"], rec.get("mfu"))
     if best:
         out["embed_model"] = best[0]

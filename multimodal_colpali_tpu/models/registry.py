@@ -45,6 +45,7 @@ class Retriever:
     dtype: Any = jnp.bfloat16
     mesh: Optional[Mesh] = None
     family: str = "colpali"
+    quantize: Optional[str] = None   # "int8" -> W8A8 projection matmuls
 
     def __post_init__(self):
         self._jit_cache: Dict[Any, Callable] = {}
@@ -66,6 +67,16 @@ class Retriever:
             return jnp.asarray(host)
 
         self.params = jax.tree.map(cast_and_put, self.params)
+        if self.quantize is not None:
+            if self.quantize != "int8":
+                raise ValueError(
+                    f"unknown quantize mode {self.quantize!r}; only 'int8'")
+            from multimodal_colpali_tpu.ops.quant import quantize_encoder_params
+
+            # One on-device program: the bf16 tree never bounces to host
+            # and is freed once the int8 tree replaces it (transiently both
+            # trees are resident - bf16 + int8 of the 3B fits a v5e chip).
+            self.params = jax.jit(quantize_encoder_params)(self.params)
 
     def _apply(self, with_image: bool, grid=None) -> Callable:
         key = (with_image, grid)
@@ -398,6 +409,7 @@ def load_retriever(
     seed: int = 0,
     dynamic_resolution: bool = False,
     device_init: Optional[bool] = None,
+    quantize: Optional[str] = None,
 ) -> Retriever:
     """Load a late-interaction retriever by name (reference surface).
 
@@ -409,7 +421,14 @@ def load_retriever(
     ``dynamic_resolution=True`` enables the family's faithful resolution
     layout (ColQwen smart-resize grids, granite anyres tiles, idefics3
     image splitting); batches are then grouped per layout by the embed
-    paths. Families with one fixed layout (ColPali) ignore the flag."""
+    paths. Families with one fixed layout (ColPali) ignore the flag.
+
+    ``quantize="int8"`` (or env MMCP_QUANTIZE=int8) runs every projection
+    /MLP matmul as int8 x int8 -> int32 on the MXU (2x the bf16 compute
+    rate on v5e) with dynamic per-token activation scales - the embed
+    -throughput analog of vLLM's W8A8 serving quantization. Opt-in:
+    embeddings deviate from the bf16 forward by quantization noise
+    (ranking stability is tested, exact parity is not preserved)."""
     if name not in RETRIEVER_CONFIGS:
         raise KeyError(
             f"unknown retriever {name!r}; known: {sorted(RETRIEVER_CONFIGS)}"
@@ -472,9 +491,11 @@ def load_retriever(
                                           dtype=dtype)
         else:
             params = fast_random_params(model, cfg, seed, family=family)
+    if quantize is None:
+        quantize = os.environ.get("MMCP_QUANTIZE") or None
     return Retriever(
         name=name, model=model, params=params, processor=processor,
-        dtype=dtype, mesh=mesh, family=family,
+        dtype=dtype, mesh=mesh, family=family, quantize=quantize,
     )
 
 

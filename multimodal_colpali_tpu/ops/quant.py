@@ -136,6 +136,75 @@ def q_logits(hidden_f32: jax.Array, table: Any,
     return logits
 
 
+# -- W8A8 (weights AND activations int8): the ENCODER throughput path -------
+#
+# Embedding pages is compute-bound on the MXU (ColPali-3B measured at ~80%
+# MFU in bf16, BASELINE.md), so the weight-only trick above buys nothing
+# there. The v5e MXU runs int8 x int8 -> int32 at 2x the bf16 rate
+# (394 vs 197 TOPS peak; measured 277 vs 149 TOP/s through XLA at 8192^3),
+# so quantizing BOTH operands raises the compute ceiling itself - the role
+# vLLM's W8A8 quantization plays for GPU serving, applied to the
+# reference's corpus-embedding hot loop (/root/reference/functions.py:765-809).
+#
+# Recipe (the standard dynamic per-token scheme):
+#   - weights:     symmetric per-output-channel absmax int8 (quantize_int8)
+#   - activations: symmetric per-token (last-dim row) absmax int8, computed
+#                  in-jit per call - a cheap VPU pass XLA fuses
+#   - dot:         int8 x int8 with int32 accumulation (EXACT - no rounding
+#                  inside the contraction), scales applied as a f32 epilogue
+# Attention logits/AV products, norms, and embedding gathers stay bf16/f32;
+# only the projection/MLP matmuls (where the FLOPs are) run int8.
+
+
+def quantize_act_int8(x: jax.Array):
+    """Per-row (last-dim) symmetric absmax int8 quantization of an
+    activation tensor. Returns ``(codes int8, scale f32 [..., 1])``."""
+    xf = jnp.asarray(x, jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax, 1.0) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def w8a8_dense(x: jax.Array, qkernel: dict,
+               bias: Optional[jax.Array] = None) -> jax.Array:
+    """``x @ W (+ bias)`` where ``W`` is a ``quantize_int8(w, axis=0)`` dict:
+    dynamic per-token activation int8, int8 x int8 -> int32 MXU dot, f32
+    scale epilogue. Output in ``x.dtype``."""
+    xq, sx = quantize_act_int8(x)
+    y = jax.lax.dot_general(
+        xq, qkernel["q8"],
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * sx * qkernel["scale"]
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def quantize_encoder_params(params: Any) -> Any:
+    """Rewrite every 2-D ``kernel`` leaf of an encoder param tree into a
+    per-output-channel int8 dict consumed by ``models.layers.dense`` (the
+    W8A8 path above). Conv kernels (4-D), norms, biases, and embedding
+    tables are left in the compute dtype. Runs fine under jit, so a
+    device-resident bf16 tree quantizes on-device without a host bounce."""
+    import collections.abc
+
+    def walk(t):
+        if isinstance(t, collections.abc.Mapping):
+            out = {}
+            for k, v in t.items():
+                if k == "kernel" and getattr(v, "ndim", 0) == 2 \
+                        and not isinstance(v, dict):
+                    out[k] = quantize_int8(v, axis=0)
+                else:
+                    out[k] = walk(v)
+            return out
+        return t
+
+    return walk(params)
+
+
 EMBED_PAD = 512   # pad quantized embed rows so vocab % kernel tile == 0
 
 
