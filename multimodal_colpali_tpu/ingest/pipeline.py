@@ -87,10 +87,17 @@ class PipelinedEmbedder:
     def _iter_batches(self, pages: Iterator) -> Iterator[Tuple[List[Tuple], Dict]]:
         proc = self.retriever.processor
         dynamic = getattr(proc, "dynamic_resolution", False)
+        dev_pre = getattr(self.retriever, "device_preprocess", False)
 
         def emit(buf):
             if not dynamic:
-                yield buf, proc.process_images([r[3] for r in buf])
+                if dev_pre:
+                    # resize-only host stage; normalize runs on device
+                    # inside the forward jit (ops/preprocess.py)
+                    yield buf, proc.process_images([r[3] for r in buf],
+                                                   device_preprocess=True)
+                else:
+                    yield buf, proc.process_images([r[3] for r in buf])
                 return
             # dynamic layouts: one sub-batch per grid/tiling group
             for grid, idxs in proc.group_by_grid([r[3] for r in buf]):

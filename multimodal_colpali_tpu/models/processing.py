@@ -87,6 +87,31 @@ class ImagePreprocessor:
             arrs.append(a)
         return np.stack(arrs, axis=0)
 
+    def u8(self, images: Sequence[Any]) -> np.ndarray:
+        """PIL -> resized uint8 NHWC, normalization deferred to the device
+        (ops/preprocess.normalize_images: fused rescale+normalize on the
+        VPU). 4x less host->device traffic than fp32 and no host fp32
+        pass - the host stage is resize-only."""
+        arrs = []
+        for img in images:
+            if Image is not None and isinstance(img, Image.Image):
+                im = img.convert("RGB").resize(
+                    (self.image_size, self.image_size), Image.BICUBIC
+                )
+                a = np.asarray(im, dtype=np.uint8)
+            else:
+                a = np.asarray(img)
+                if a.shape[:2] != (self.image_size, self.image_size):
+                    if Image is None:
+                        raise ValueError("non-PIL input must be pre-resized")
+                    im = Image.fromarray(a.astype(np.uint8)).resize(
+                        (self.image_size, self.image_size), Image.BICUBIC
+                    )
+                    a = np.asarray(im, dtype=np.uint8)
+                a = a.astype(np.uint8)
+            arrs.append(a)
+        return np.stack(arrs, axis=0)
+
 
 class ColPaliProcessor:
     """Builds model inputs; shape-compatible with the HF processor surface."""
@@ -121,9 +146,17 @@ class ColPaliProcessor:
 
     # -- public API -----------------------------------------------------------
 
-    def process_images(self, images: Sequence[Any]) -> dict:
-        """-> {input_ids, attention_mask [B,S], pixel_values [B,H,W,3]}."""
-        pix = self.image_preprocessor(images)
+    def process_images(self, images: Sequence[Any],
+                       device_preprocess: bool = False) -> dict:
+        """-> {input_ids, attention_mask [B,S], pixel_values [B,H,W,3]}.
+
+        ``device_preprocess=True`` emits uint8 pixels (resize-only host
+        stage); the Retriever normalizes them on device inside the same
+        jit as the forward (ops/preprocess.py)."""
+        if device_preprocess:
+            pix: Any = self.image_preprocessor.u8(images)
+        else:
+            pix = self.image_preprocessor(images)
         prompt_ids = self._ids(IMAGE_PROMPT + "\n")
         bos = self._special("bos_id", 2)
         seq = (

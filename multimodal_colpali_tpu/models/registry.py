@@ -46,8 +46,18 @@ class Retriever:
     mesh: Optional[Mesh] = None
     family: str = "colpali"
     quantize: Optional[str] = None   # "int8" -> W8A8 projection matmuls
+    device_preprocess: bool = False  # uint8 upload + on-device normalize
 
     def __post_init__(self):
+        if self.device_preprocess:
+            import inspect
+
+            sig = inspect.signature(self.processor.process_images)
+            if "device_preprocess" not in sig.parameters:
+                raise ValueError(
+                    f"device_preprocess is not supported by "
+                    f"{type(self.processor).__name__} (fixed-resolution "
+                    f"ColPali-family processors only)")
         self._jit_cache: Dict[Any, Callable] = {}
         import ml_dtypes
 
@@ -100,6 +110,7 @@ class Retriever:
                 mrope = False
             else:
                 def fn(params, input_ids, attention_mask, pixel_values=None):
+                    pixel_values = self._maybe_device_norm(pixel_values)
                     return self.model.apply(
                         {"params": params}, input_ids, attention_mask, pixel_values
                     )
@@ -119,12 +130,32 @@ class Retriever:
             ) if in_shardings else jax.jit(fn)
         return self._jit_cache[key]
 
+    def _maybe_device_norm(self, pixel_values):
+        """uint8 pixels -> normalized compute-dtype pixels, inside the
+        forward jit (ops/preprocess.normalize_images: fused Pallas
+        rescale+normalize on TPU). Non-uint8 inputs pass through - the
+        host-preprocessed path is unchanged."""
+        if pixel_values is None or pixel_values.dtype != jnp.uint8:
+            return pixel_values
+        from multimodal_colpali_tpu.ops.preprocess import (
+            normalize_images, normalize_images_reference)
+
+        pre = self.processor.image_preprocessor
+        mean, std = (float(pre.mean),) * 3, (float(pre.std),) * 3
+        if jax.default_backend() == "tpu":
+            pix = normalize_images(pixel_values, mean, std)
+        else:
+            pix = normalize_images_reference(pixel_values, mean, std)
+        return pix.astype(self.dtype)
+
     def _batch_args(self, batch: Dict[str, Any], with_image: bool):
         args = [jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"])]
         if self.family == "colqwen2":
             args.append(jnp.asarray(batch["position_ids"]))
         if with_image:
-            args.append(jnp.asarray(batch["pixel_values"], self.dtype))
+            pv = np.asarray(batch["pixel_values"])
+            args.append(jnp.asarray(pv) if pv.dtype == np.uint8
+                        else jnp.asarray(pv, self.dtype))
         return args
 
     def _pad_batch(self, n: int) -> int:
@@ -149,7 +180,9 @@ class Retriever:
             n_pad = self._pad_batch(max(n, 1))
             while len(chunk) < n_pad:
                 chunk.append(chunk[-1])
-            batch = self.processor.process_images(chunk)
+            batch = (self.processor.process_images(chunk, device_preprocess=True)
+                     if self.device_preprocess
+                     else self.processor.process_images(chunk))
             emb = self._apply(True)(self.params, *self._batch_args(batch, True))
             emb = np.asarray(emb, np.float32)
             mask = batch["attention_mask"]
@@ -410,6 +443,7 @@ def load_retriever(
     dynamic_resolution: bool = False,
     device_init: Optional[bool] = None,
     quantize: Optional[str] = None,
+    device_preprocess: Optional[bool] = None,
 ) -> Retriever:
     """Load a late-interaction retriever by name (reference surface).
 
@@ -493,9 +527,12 @@ def load_retriever(
             params = fast_random_params(model, cfg, seed, family=family)
     if quantize is None:
         quantize = os.environ.get("MMCP_QUANTIZE") or None
+    if device_preprocess is None:
+        device_preprocess = os.environ.get("MMCP_DEVICE_PREPROCESS") == "1"
     return Retriever(
         name=name, model=model, params=params, processor=processor,
         dtype=dtype, mesh=mesh, family=family, quantize=quantize,
+        device_preprocess=bool(device_preprocess),
     )
 
 

@@ -20,8 +20,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _normalize_kernel(x_ref, scale_ref, bias_ref, o_ref):
-    """o = x * scale + bias, channelwise; x uint8 -> bf16."""
-    x = x_ref[:].astype(jnp.float32)
+    """o = x * scale + bias, channelwise; x uint8 -> bf16.
+
+    Mosaic has no direct uint8 -> f32 cast; widen through int32 (exact
+    for 0..255)."""
+    x = x_ref[:].astype(jnp.int32).astype(jnp.float32)
     o_ref[:] = (x * scale_ref[:] + bias_ref[:]).astype(o_ref.dtype)
 
 
