@@ -156,13 +156,19 @@ class ColIdefics3Processor:
         return seq
 
     def process_images(self, images: Sequence[Any],
-                       grid: Optional[tuple] = None) -> dict:
+                       grid: Optional[tuple] = None,
+                       device_preprocess: bool = False) -> dict:
         prompt_ids = self._ids(IMAGE_PROMPT + "\n")
         if grid is not None:
+            if device_preprocess:
+                raise ValueError(
+                    "device_preprocess supports the fixed square layout "
+                    "only, not image splitting")
             pix = np.stack([self._split_tiles(im, grid) for im in images])
             seq = self._split_prompt_ids(grid) + prompt_ids
         else:
-            pix = self.image_preprocessor(images)
+            pix = (self.image_preprocessor.u8(images) if device_preprocess
+                   else self.image_preprocessor(images))
             seq = [self.cfg.image_token_id] * self.n_image_tokens + prompt_ids
         b = len(images)
         input_ids = np.tile(np.asarray(seq, np.int32), (b, 1))

@@ -58,6 +58,10 @@ class Retriever:
                     f"device_preprocess is not supported by "
                     f"{type(self.processor).__name__} (fixed-resolution "
                     f"ColPali-family processors only)")
+            if getattr(self.processor, "dynamic_resolution", False):
+                raise ValueError(
+                    "device_preprocess requires the fixed square layout; "
+                    "disable dynamic_resolution/image splitting")
         self._jit_cache: Dict[Any, Callable] = {}
         import ml_dtypes
 

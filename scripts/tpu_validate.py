@@ -337,6 +337,49 @@ def gemma3_decode_throughput(name: str = "gemma-3-4b", slots: int = 4,
     return n_tok / dt
 
 
+def e2e_ingest_throughput(name: str = "vidore/colSmol-256M",
+                          n_pdfs: int = 6, pages_per_pdf: int = 8,
+                          batch: int = 16) -> None:
+    """End-to-end ingest rate: PDFs -> native rasterize -> (resize-only)
+    host stage -> uint8 upload -> in-jit normalize -> encoder forward
+    (ingest/pipeline.PipelinedEmbedder). Unlike encoder_mfu this includes
+    every host stage, so it reports what a user actually sustains; with
+    ONE host core the host stages, not the chip, are the bound (the
+    architecture overlaps them with device work via bounded queues and
+    scales with host cores on real TPU VMs)."""
+    import shutil
+    import tempfile
+    import warnings
+
+    from multimodal_colpali_tpu.ingest.pdfwrite import make_sample_pdf
+    from multimodal_colpali_tpu.ingest.pipeline import PipelinedEmbedder
+    from multimodal_colpali_tpu.models.registry import load_retriever
+
+    tmp = tempfile.mkdtemp(prefix="mmcp_ingest_")
+    try:
+        for i in range(n_pdfs):
+            make_sample_pdf(f"{tmp}/paper_{i}.pdf", n_pages=pages_per_pdf,
+                            lines_per_page=12, seed=i)
+        n_pages = n_pdfs * pages_per_pdf
+        for dev_pre, raster in ((False, None), (True, None), (True, "auto")):
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                ret = load_retriever(name, device_preprocess=dev_pre)
+            pipe = PipelinedEmbedder(ret, batch_size=batch,
+                                     raster_dpi=raster)
+            pipe.embed_pdf_dir(tmp)  # warm compiles
+            t0 = time.time()
+            out = pipe.embed_pdf_dir(tmp)
+            dt = time.time() - t0
+            assert len(out) == n_pages
+            log(f"[ingest-e2e] {name} device_preprocess={dev_pre} "
+                f"raster={raster or '144dpi'}: "
+                f"{n_pages} pages in {dt:.2f}s = {n_pages/dt:.1f} pages/s "
+                f"end-to-end (rasterize+preprocess+embed, 1 host core)")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--flagship", action="store_true",
@@ -346,6 +389,12 @@ def main() -> None:
     p.add_argument("--gemma3", action="store_true",
                    help="measure first-party Gemma-3-4b decode tokens/s "
                         "(the reference's generator class on one chip)")
+    p.add_argument("--skip-encoders", action="store_true",
+                   help="skip the fused-attention parity + encoder MFU "
+                        "stages (focused runs of later stages)")
+    p.add_argument("--ingest", action="store_true",
+                   help="measure end-to-end ingest pages/s (PDF -> "
+                        "rasterize -> preprocess -> embed, pipelined)")
     p.add_argument("--skip-bench", action="store_true")
     args = p.parse_args()
 
@@ -356,24 +405,28 @@ def main() -> None:
     import jax
     log(f"[validate] backend={jax.default_backend()} devices={jax.devices()}")
 
-    fused_ok = validate_fused_attention()
-    log(f"[validate] fused attention parity on TPU: "
-        f"{'PASS - safe to enable' if fused_ok else 'FAIL - keep opt-in'}")
+    if args.skip_encoders:
+        fused_ok = True
+    else:
+        fused_ok = validate_fused_attention()
+        log(f"[validate] fused attention parity on TPU: "
+            f"{'PASS - safe to enable' if fused_ok else 'FAIL - keep opt-in'}")
 
-    base = encoder_mfu("ahmed-masry/ColFlor", batch=16, fused=False)
-    if fused_ok:
-        fused = encoder_mfu("ahmed-masry/ColFlor", batch=16, fused=True)
-        log(f"[validate] fused speedup: {fused / base:.2f}x")
-    # ColSmol: the small retriever closest to the 1k pages/s target
-    # (round-3 record: 480.8 pages/s at 46.8% MFU). Its vision attention
-    # runs at seq 1024 (512px / 16px patches) where the fused kernel is
-    # in its regime, and pages/s/chip is free to pick the batch - A/B
-    # fused and sweep the batch.
-    encoder_mfu("vidore/colSmol-256M", batch=16, fused=False)
-    if fused_ok:
-        encoder_mfu("vidore/colSmol-256M", batch=16, fused=True)
-        encoder_mfu("vidore/colSmol-256M", batch=32, fused=True)
-        encoder_mfu("vidore/colSmol-256M", batch=64, fused=True)
+    if not args.skip_encoders:
+        base = encoder_mfu("ahmed-masry/ColFlor", batch=16, fused=False)
+        if fused_ok:
+            fused = encoder_mfu("ahmed-masry/ColFlor", batch=16, fused=True)
+            log(f"[validate] fused speedup: {fused / base:.2f}x")
+        # ColSmol: the small retriever closest to the 1k pages/s target
+        # (round-3 record: 480.8 pages/s at 46.8% MFU). Its vision
+        # attention runs at seq 1024 (512px / 16px patches) where the
+        # fused kernel is in its regime, and pages/s/chip is free to pick
+        # the batch - A/B fused and sweep the batch.
+        encoder_mfu("vidore/colSmol-256M", batch=16, fused=False)
+        if fused_ok:
+            encoder_mfu("vidore/colSmol-256M", batch=16, fused=True)
+            encoder_mfu("vidore/colSmol-256M", batch=32, fused=True)
+            encoder_mfu("vidore/colSmol-256M", batch=64, fused=True)
     if args.flagship:
         encoder_mfu("vidore/colpali-v1.3", batch=8, fused=False)
         if fused_ok:
@@ -392,6 +445,8 @@ def main() -> None:
         if i8:
             gemma3_decode_throughput(paged=True, kv_dtype="int8",
                                      weight_dtype="int8")
+    if args.ingest:
+        e2e_ingest_throughput()
     if args.decode:
         decode_throughput(paged=False)
         decode_throughput(paged=True)

@@ -69,6 +69,52 @@ def test_device_preprocess_query_path_unaffected(pair):
     np.testing.assert_array_equal(a, b)
 
 
+def test_colsmol_device_preprocess_matches_host(rng):
+    """ColIdefics3's fixed square layout (ColSmol) also supports the
+    uint8 path - the family whose 500 pages/s device rate makes the host
+    stage the bottleneck."""
+    with pytest.warns(UserWarning, match="random init"):
+        host = load_retriever("tiny-colidefics3", seed=0)
+    with pytest.warns(UserWarning, match="random init"):
+        dev = load_retriever("tiny-colidefics3", seed=0,
+                             device_preprocess=True)
+    imgs = _imgs(rng, 2)
+    for a, b in zip(host.embed_images(imgs), dev.embed_images(imgs)):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_device_preprocess_rejects_splitting():
+    with pytest.raises(ValueError, match="fixed square layout"):
+        with pytest.warns(UserWarning, match="random init"):
+            load_retriever("tiny-colidefics3", dynamic_resolution=True,
+                           device_preprocess=True)
+
+
+def test_pipelined_embedder_fast_raster(tmp_path, rng):
+    """raster_dpi="auto" renders pages at the model's input size (6x less
+    host raster/resize work). Pixels differ from the 144-DPI chain by
+    design; the entry schema, ordering, and embedding geometry must not."""
+    from multimodal_colpali_tpu.ingest.pipeline import PipelinedEmbedder
+    from tests.test_ingest import make_sample_pdf
+
+    pdf_dir = tmp_path / "papers"
+    pdf_dir.mkdir()
+    make_sample_pdf(str(pdf_dir / "a.pdf"), n_pages=2, lines_per_page=3,
+                    seed=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        dev = load_retriever("tiny-colpali", seed=0, device_preprocess=True)
+    got = PipelinedEmbedder(dev, batch_size=2,
+                            raster_dpi="auto").embed_pdf_dir(str(pdf_dir))
+    assert [(g["doc_id"], g["page_id"], g["file_name"]) for g in got] == [
+        (0, 0, "a.pdf"), (0, 1, "a.pdf")]
+    for g in got:
+        e = g["embedding"]
+        assert np.isfinite(e).all()
+        np.testing.assert_allclose(np.linalg.norm(e, axis=-1), 1.0,
+                                   atol=1e-2)
+
+
 def test_unsupported_processor_raises():
     with pytest.raises(ValueError, match="device_preprocess is not"):
         with pytest.warns(UserWarning, match="random init"):
