@@ -97,8 +97,8 @@ def validate_fused_attention() -> bool:
     return ok
 
 
-def encoder_mfu(name: str, batch: int, fused: bool,
-                quantize=None) -> float:
+def encoder_mfu(name: str, batch: int, fused=None,
+                quantize=None, device_init: bool = False) -> float:
     import warnings
 
     import jax
@@ -108,11 +108,12 @@ def encoder_mfu(name: str, batch: int, fused: bool,
     from multimodal_colpali_tpu.models import layers as L
     from multimodal_colpali_tpu.models.registry import load_retriever
 
-    L.set_fused_attention(fused)
+    L.set_fused_attention(fused)   # None = production auto-gating
     try:
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            ret = load_retriever(name, quantize=quantize)
+            ret = load_retriever(name, quantize=quantize,
+                                 device_init=device_init or None)
         rng = np.random.default_rng(0)
         imgs = [Image.fromarray(rng.integers(0, 255, (448, 448, 3), np.uint8))
                 for _ in range(batch)]
@@ -392,6 +393,10 @@ def main() -> None:
     p.add_argument("--skip-encoders", action="store_true",
                    help="skip the fused-attention parity + encoder MFU "
                         "stages (focused runs of later stages)")
+    p.add_argument("--families", action="store_true",
+                   help="TPU-measure the remaining retriever families "
+                        "(ColQwen2.5, granite) so every family has a "
+                        "driver-verifiable pages/s number")
     p.add_argument("--ingest", action="store_true",
                    help="measure end-to-end ingest pages/s (PDF -> "
                         "rasterize -> preprocess -> embed, pipelined)")
@@ -445,6 +450,12 @@ def main() -> None:
         if i8:
             gemma3_decode_throughput(paged=True, kv_dtype="int8",
                                      weight_dtype="int8")
+    if args.families:
+        # production auto attention gating; device-side random init (a 3B
+        # host init + transfer through the tunnel takes ~10 min)
+        encoder_mfu("vidore/colqwen2.5-v0.2", batch=8, device_init=True)
+        encoder_mfu("ibm-granite/granite-vision-3.3-2b-embedding", batch=8,
+                    device_init=True)
     if args.ingest:
         e2e_ingest_throughput()
     if args.decode:
