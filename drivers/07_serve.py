@@ -48,10 +48,13 @@ def parse_args() -> argparse.Namespace:
                    help="Total pages in the shared pool (with --paged); "
                         "default sizes every slot to max-seq-len.")
     p.add_argument("--weight-dtype", default="native",
-                   choices=["native", "int8"],
-                   help="Weight-only int8 quantization for the LM "
-                        "(vLLM's --quantization role): ~2x decode "
-                        "bandwidth; gemma-3-12b fits one v5e chip.")
+                   choices=["native", "int8", "int4"],
+                   help="Weight-only quantization for the LM (vLLM's "
+                        "--quantization role): int8 ~2x decode bandwidth, "
+                        "gemma-3-12b fits one v5e chip; int4 (group-wise, "
+                        "AWQ/GPTQ-style storage) halves it again - "
+                        "gemma-3-27b, the reference's actual generator, "
+                        "fits one chip.")
     p.add_argument("--kv-dtype", default="native", choices=["native", "int8"],
                    help="KV pool storage (with --paged): int8 stores "
                         "absmax-quantized codes + per-token scales, ~halving "
@@ -100,7 +103,7 @@ def main() -> None:
             cfg_mm, params, tok = load_gemma3_mm(args.model, dtype=dtype)
         engine = GemmaDecodeEngine(cfg_mm.text, params, dtype=dtype,
                                    weight_dtype=args.weight_dtype)
-        if args.weight_dtype == "int8":
+        if args.weight_dtype in ("int8", "int4"):
             # share the quantized embed/LM buffers with the mm engine
             # (its GemmaDecodeEngine detects the pre-quantized subtrees)
             params = {**params, "embed": engine.params["embed"],
@@ -135,7 +138,7 @@ def main() -> None:
             from multimodal_colpali_tpu.generation.engine import PaliGemmaEngine
 
             rp = retriever.params
-            if args.weight_dtype == "int8":
+            if args.weight_dtype in ("int8", "int4"):
                 rp = {**rp, "embed": engine.params["embed"],
                       "language_model": engine.params["language_model"]}
             mm_engine = PaliGemmaEngine(cfg, rp, dtype=dtype)

@@ -41,7 +41,29 @@ import jax.numpy as jnp
 from multimodal_colpali_tpu.models import layers as L
 from multimodal_colpali_tpu.models.configs import GemmaTextConfig
 from multimodal_colpali_tpu.ops.quant import (
-    q_dense, q_logits, q_take, quantize_lm_params)
+    q_dense, q_logits, q_take, quantize_lm_params, quantize_lm_params_int4)
+
+
+def _detect_quantized_dtype(lm_tree: Any) -> str:
+    """\"int4\" / \"int8\" / \"native\" by probing the first kernel dict in a
+    language_model subtree (pre-quantized trees carry their format in the
+    leaves; the embed table is int8 in BOTH quantized formats)."""
+    found: list = []
+
+    def walk(t):
+        if found or not isinstance(t, dict):
+            return
+        if "q4" in t:
+            found.append("int4")
+            return
+        if "q8" in t:
+            found.append("int8")
+            return
+        for v in t.values():
+            walk(v)
+
+    walk(lm_tree)
+    return found[0] if found else "native"
 
 
 def _rms(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -250,21 +272,23 @@ class GemmaDecodeEngine:
     params: Any                      # {"embed": {...}, "language_model": {...}}
     dtype: Any = jnp.float32
     mesh: Any = None                 # Optional[jax.sharding.Mesh]
-    weight_dtype: str = "native"     # "native" | "int8" (weight-only quant)
+    weight_dtype: str = "native"     # "native" | "int8" | "int4" (weight-only)
 
     def __post_init__(self):
-        if self.weight_dtype not in ("native", "int8"):
+        if self.weight_dtype not in ("native", "int8", "int4"):
             raise ValueError(
-                f"weight_dtype must be 'native' or 'int8', "
+                f"weight_dtype must be 'native', 'int8' or 'int4', "
                 f"got {self.weight_dtype!r}")
         keep = {"embed": self.params["embed"],
                 "language_model": self.params["language_model"]}
         from multimodal_colpali_tpu.ops.quant import is_quantized
         if is_quantized(keep["embed"].get("embed_tokens")):
             # already cast + quantized by a sibling engine (07_serve
-            # shares one int8 tree between the text and mm engines) -
-            # must NOT re-cast: the f32 scales would degrade to bf16
-            self.weight_dtype = "int8"
+            # shares one quantized tree between the text and mm engines) -
+            # must NOT re-cast: the f32 scales would degrade to bf16.
+            # The kernel format (int8 vs int4) lives in the leaves.
+            self.weight_dtype = _detect_quantized_dtype(
+                keep["language_model"])
             params = keep
         else:
             params = jax.tree.map(
@@ -276,7 +300,15 @@ class GemmaDecodeEngine:
                 # on-device (12B/27B must never bounce through the
                 # single host core)
                 params = jax.jit(quantize_lm_params)(params)
+            elif self.weight_dtype == "int4":
+                params = jax.jit(quantize_lm_params_int4)(params)
         if self.mesh is not None:
+            if self.weight_dtype == "int4":
+                # group packing does not split on arbitrary K boundaries;
+                # int4 exists to make ONE chip enough (quant.py docstring)
+                raise ValueError(
+                    "weight_dtype='int4' does not support TP meshes; "
+                    "use 'int8' or 'native' when sharding")
             from multimodal_colpali_tpu.parallel.mesh import shard_params_for_tp
 
             params = shard_params_for_tp(params, self.mesh, axis="model")

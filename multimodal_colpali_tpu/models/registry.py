@@ -641,7 +641,8 @@ def gemma3_random_params(cfg, seed: int = 0, dtype: Any = jnp.float32,
 
 
 def gemma3_random_params_int8(cfg, seed: int = 0,
-                              dtype: Any = jnp.bfloat16):
+                              dtype: Any = jnp.bfloat16,
+                              fmt: str = "int8"):
     """Random Gemma-3 params materialized DIRECTLY as weight-only int8
     on the device, one leaf-sized jit at a time, so the bf16 tree never
     exists anywhere: gemma-3-12b is ~23.5 GB in bf16 (cannot live on a
@@ -649,9 +650,15 @@ def gemma3_random_params_int8(cfg, seed: int = 0,
     resident int8 tree plus ONE leaf's f32 transient (the embed table,
     ~4 GB for 12B, is generated first while the tree is empty).
 
+    ``fmt="int4"`` packs the projection kernels group-wise int4 instead
+    (~half the codes again; the embed table stays int8) - the only way
+    gemma-3-27b (~25.6 GB of int8 codes) fits one chip.
+
     Returns the ``ops/quant.py`` representation the decode engine
     detects as pre-quantized (norm weights stay ``dtype``)."""
-    from multimodal_colpali_tpu.ops.quant import (quantize_embed_int8,
+    from multimodal_colpali_tpu.ops.quant import (_int4_group_for,
+                                                  quantize_embed_int8,
+                                                  quantize_int4,
                                                   quantize_int8)
 
     shapes = gemma3_param_shapes(cfg)
@@ -666,8 +673,13 @@ def gemma3_random_params_int8(cfg, seed: int = 0,
                 fan_in = shape[0] if len(shape) >= 2 else shape[-1]
                 w = (jax.random.normal(k, shape, jnp.float32)
                      * float(fan_in) ** -0.5)
-                return (quantize_embed_int8(w) if axis == 1
-                        else quantize_int8(w, axis=axis))
+                if axis == 1:
+                    return quantize_embed_int8(w)
+                if fmt == "int4":
+                    g = _int4_group_for(shape[0], 256)
+                    if g:
+                        return quantize_int4(w, group=g)
+                return quantize_int8(w, axis=axis)
             jits[sig] = jax.jit(f)
         return jits[sig](jax.random.fold_in(key, i))
 
@@ -716,10 +728,11 @@ def load_gemma3_lm(name: str, checkpoint_dir: Optional[str] = None,
             f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
             stacklevel=2,
         )
-        if weight_dtype == "int8":
+        if weight_dtype in ("int8", "int4"):
             # leaf-streamed on-device init: the bf16 tree never exists
-            # (the only way a 12B fits a 16 GB chip)
-            params = gemma3_random_params_int8(cfg, seed, dtype=dtype)
+            # (the only way a 12B/int8 or 27B/int4 fits a 16 GB chip)
+            params = gemma3_random_params_int8(cfg, seed, dtype=dtype,
+                                               fmt=weight_dtype)
         else:
             dev = device_init or (device_init is None
                                   and os.environ.get("MMCP_DEVICE_INIT") == "1")

@@ -67,6 +67,18 @@ def q_dense(x: jax.Array, kernel: Any, bias: Optional[jax.Array] = None,
     product (see module docstring); on TPU it dispatches to the Pallas
     kernel (ops/int8_matmul.py) so the codes stream from HBM as int8
     with no materialized upcast."""
+    if is_quantized_int4(kernel):
+        from multimodal_colpali_tpu.ops.int4_matmul import (
+            int4_matmul_enabled, int4_matmul_kn, int4_matmul_xla)
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if int4_matmul_enabled():
+            y = int4_matmul_kn(x2, kernel["q4"], kernel["scale"])
+        else:
+            y = int4_matmul_xla(x2, kernel["q4"], kernel["scale"])
+        y = y.reshape(*lead, y.shape[-1])
+        return y if bias is None else y + bias
     if not is_quantized(kernel):
         if dense_fn is not None:
             return dense_fn(x, kernel, bias)
@@ -134,6 +146,117 @@ def q_logits(hidden_f32: jax.Array, table: Any,
     if out_dim is not None and logits.shape[-1] != out_dim:
         logits = logits[:, :out_dim]
     return logits
+
+
+# -- int4 weight-only (group-wise): the 27B-on-one-chip path -----------------
+#
+# Weight-only int8 fits gemma-3-12b on a 16 GB v5e; the reference's ACTUAL
+# generator is gemma-3-27b (/root/reference/00_run_docker_containers.sh:28),
+# whose int8 codes (~25.6 GB) still do not fit. Group-wise int4 (the
+# AWQ/GPTQ storage format vLLM serves) halves it again: ~12.8 GB of codes
+# + ~0.4 GB of scales, single-chip servable - and decode is bound by the
+# weight stream, so halving the bytes also speeds it up.
+#
+# Representation: a 2-D kernel [K, N] becomes
+#   {"q4": uint8 [K/2, N], "scale": f32 [K/G, N]}
+# Symmetric absmax per (group g, column n): codes in [-7, 7] stored as
+# code+8 in a nibble. PACKING is group-split, not interleaved: within
+# group g (rows g*G .. g*G+G-1), packed byte row r holds
+#   lo nibble = code[g*G + r],  hi nibble = code[g*G + G/2 + r]
+# for r in [0, G/2). The Pallas kernel (ops/int4_matmul.py) then needs NO
+# in-kernel interleave: with block_k == G it computes
+#   acc += (x[:, :G/2] @ lo + x[:, G/2:] @ hi) * scale[g]
+# i.e. two MXU dots per group and a per-group scale epilogue - the exact
+# GPTQ dequant math y = sum_g (x_g @ codes_g) * s_g.
+#
+# The embed table stays per-row int8 (1.4B of 27B params; logits are
+# scale-sensitive). TP sharding is NOT supported for int4 (group packing
+# does not split on arbitrary K boundaries); int4 exists to make ONE chip
+# enough - use int8/bf16 for TP meshes.
+
+
+def quantize_int4(w: jax.Array, group: int = 256) -> dict:
+    """Group-wise symmetric absmax int4 quantization of ``w`` [K, N]
+    along the reduction axis. K must divide by ``group`` (Gemma hidden /
+    intermediate dims do for group<=256; callers pad otherwise)."""
+    wf = jnp.asarray(w, jnp.float32)
+    k, n = wf.shape
+    if k % group != 0:
+        raise ValueError(f"K={k} not divisible by group={group}")
+    g = k // group
+    wg = wf.reshape(g, group, n)
+    amax = jnp.max(jnp.abs(wg), axis=1)                      # [g, n]
+    scale = jnp.where(amax > 0, amax, 1.0) / 7.0
+    codes = jnp.clip(jnp.round(wg / scale[:, None, :]), -7, 7)
+    codes = (codes + 8.0).astype(jnp.uint8)                  # 1..15
+    half = group // 2
+    lo = codes[:, :half, :]
+    hi = codes[:, half:, :]
+    packed = (lo | (hi << 4)).reshape(k // 2, n)
+    # no "group" key: a Python int leaf would become a traced array under
+    # jit tree ops; the group size is recoverable as 2*K/2 / scale rows
+    return {"q4": packed, "scale": scale.astype(jnp.float32)}
+
+
+def is_quantized_int4(p: Any) -> bool:
+    return isinstance(p, dict) and "q4" in p
+
+
+def int4_group(qw: dict) -> int:
+    """Group size, from shapes: K / n_groups."""
+    return (qw["q4"].shape[0] * 2) // qw["scale"].shape[0]
+
+
+def dequantize_int4(qw: dict, dtype: Any = jnp.float32) -> jax.Array:
+    """Materialize the full-precision weight (tests / XLA fallback)."""
+    packed = qw["q4"]
+    group = int4_group(qw)
+    k2, n = packed.shape
+    g = (k2 * 2) // group
+    pg = packed.reshape(g, group // 2, n).astype(jnp.int32)
+    lo = (pg & 15) - 8
+    hi = (pg >> 4) - 8
+    full = jnp.concatenate([lo, hi], axis=1).astype(jnp.float32)  # [g, G, n]
+    full = full * qw["scale"][:, None, :]
+    return full.reshape(g * group, n).astype(dtype)
+
+
+def _int4_group_for(k_dim: int, group: int) -> int:
+    """Largest power-of-two-reduced group <= ``group`` dividing K (tiny
+    test configs have K < 256); 0 if no even group divides K."""
+    g = min(group, k_dim)
+    while g >= 2 and (k_dim % g or g % 2):
+        g //= 2
+    return g if g >= 2 and k_dim % g == 0 and g % 2 == 0 else 0
+
+
+def quantize_lm_params_int4(params: Any, group: int = 256) -> Any:
+    """Like ``quantize_lm_params`` but kernels go to group-wise int4 (the
+    embed table stays per-row int8; a kernel whose K admits no even group
+    falls back to int8 - q_dense dispatches per leaf). Runs under jit -
+    27B trees quantize on-device."""
+
+    def walk(t):
+        if isinstance(t, dict):
+            out = {}
+            for k, v in t.items():
+                if k == "kernel" and getattr(v, "ndim", 0) == 2 \
+                        and not isinstance(v, dict):
+                    g = _int4_group_for(v.shape[0], group)
+                    out[k] = (quantize_int4(v, group=g) if g
+                              else quantize_int8(v, axis=0))
+                else:
+                    out[k] = walk(v)
+            return out
+        return t
+
+    out = dict(params)
+    out["language_model"] = walk(params["language_model"])
+    emb = dict(params["embed"])
+    if not is_quantized(emb["embed_tokens"]):
+        emb["embed_tokens"] = quantize_embed_int8(emb["embed_tokens"])
+    out["embed"] = emb
+    return out
 
 
 # -- W8A8 (weights AND activations int8): the ENCODER throughput path -------

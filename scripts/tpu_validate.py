@@ -450,6 +450,12 @@ def main() -> None:
         if i8:
             gemma3_decode_throughput(paged=True, kv_dtype="int8",
                                      weight_dtype="int8")
+        # the reference's ACTUAL generator model, single chip: int4
+        # weight storage (~14.6 GB incl int8 embed + scales) is the only
+        # format a 27B fits in. Decode is VPU-bound on nibble unpack
+        # (~5.5 ops/weight/step) - measured 21.2 tok/s, 27.1 speculative.
+        gemma3_decode_throughput("gemma-3-27b", paged=True,
+                                 kv_dtype="int8", weight_dtype="int4")
     if args.families:
         # production auto attention gating; device-side random init (a 3B
         # host init + transfer through the tunnel takes ~10 min)

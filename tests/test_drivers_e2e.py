@@ -380,18 +380,20 @@ def test_sweep_driver_end_to_end(workspace):
 
 
 @pytest.mark.e2e
-def test_serve_cli_gemma3(workspace):
+@pytest.mark.parametrize("wdtype", ["int8", "int4"])
+def test_serve_cli_gemma3(workspace, wdtype):
     """Driver 07 serves a Gemma-3 LM (the reference's actual generator
     class) through the paged batcher with chunked prefill AND weight-only
-    int8 quantization enabled (the text and mm engines share one
-    quantized tree)."""
+    quantization enabled (the text and mm engines share one quantized
+    tree; int4 is the storage format that fits gemma-3-27b on one
+    chip)."""
     env = _env("http://unused")
     env.pop("OPENAI_BASE_URL")
     serve = subprocess.Popen(
         [sys.executable, str(DRIVERS / "07_serve.py"),
          "--model", "tiny-gemma3", "--port", "0", "--paged",
          "--prefill-chunk", "16", "--max-seq-len", "320",
-         "--dtype", "float32", "--weight-dtype", "int8"],
+         "--dtype", "float32", "--weight-dtype", wdtype],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
         base = _wait_for_serve(serve)
