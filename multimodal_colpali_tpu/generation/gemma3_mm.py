@@ -55,13 +55,21 @@ class Gemma3MMEngine:
         cast = lambda t: jax.tree.map(
             lambda p: jnp.asarray(p, dtype)
             if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p), t)
+        # Vision/projector params are passed INTO the jits as arguments
+        # (never closed over): a closure would capture them as lowering
+        # constants - 2+ GB of baked weights at 27B scale makes the
+        # compile itself take tens of minutes.
         self.vision_params = cast(params["vision_tower"])
         self.projector_params = cast(params["multi_modal_projector"])
         self._jit_cache: Dict[Tuple, Any] = {}
 
+    @property
+    def _vp(self):
+        return {"vision": self.vision_params, "proj": self.projector_params}
+
     # -- vision ----------------------------------------------------------------
 
-    def _image_features(self, pix: jax.Array) -> jax.Array:
+    def _image_features(self, vp, pix: jax.Array) -> jax.Array:
         """[B, N, H, W, 3] -> [B, N * mm_tokens, text_hidden] soft tokens
         (HF Gemma3MultiModalProjector: avg-pool grid -> RMSNorm ->
         bias-free projection)."""
@@ -72,7 +80,7 @@ class Gemma3MMEngine:
             pix = pix[:, None]
         b, n_img = pix.shape[:2]
         vis = SiglipVisionTower(c.vision).apply(
-            {"params": self.vision_params},
+            {"params": vp["vision"]},
             pix.reshape((b * n_img,) + pix.shape[2:]).astype(self.lm.dtype))
         side = c.vision.image_size // c.vision.patch_size
         tokens_side = int(c.mm_tokens_per_image ** 0.5)
@@ -86,26 +94,26 @@ class Gemma3MMEngine:
         pooled = pooled.reshape(b * n_img, c.mm_tokens_per_image, v_h
                                 ).astype(self.lm.dtype)
         normed = _rms_g(pooled,
-                        self.projector_params["mm_soft_emb_norm"]["weight"],
+                        vp["proj"]["mm_soft_emb_norm"]["weight"],
                         c.vision.layer_norm_eps)
         proj = jnp.einsum(
             "btv,vh->bth", normed.astype(jnp.float32),
-            self.projector_params["mm_input_projection"].astype(jnp.float32))
+            vp["proj"]["mm_input_projection"].astype(jnp.float32))
         return proj.reshape(b, n_img * c.mm_tokens_per_image, -1
                             ).astype(self.lm.dtype)
 
-    def _merged_embeds(self, ids: jax.Array, pix: jax.Array) -> jax.Array:
+    def _merged_embeds(self, p, vp, ids: jax.Array,
+                       pix: jax.Array) -> jax.Array:
         """Scaled text embeds with image soft tokens scattered into the
         <image> slots (HF: text embeds carry the sqrt(hidden) scale,
         image features do NOT get rescaled)."""
         c = self.cfg
-        p = self.lm.params
         embeds = q_take(p["embed"]["embed_tokens"],
                         jnp.where(ids == c.image_token_id, 0, ids),
                         jnp.float32)
         scale = jnp.asarray(c.text.hidden_size ** 0.5, jnp.float32)
         embeds = (embeds * scale).astype(self.lm.dtype)
-        img = self._image_features(pix)
+        img = self._image_features(vp, pix)
         is_img = ids == c.image_token_id
         img_pos = jnp.clip(jnp.cumsum(is_img, axis=1) - 1, 0,
                            img.shape[1] - 1)
@@ -125,7 +133,7 @@ class Gemma3MMEngine:
         return (is_img[:, :, None] & is_img[:, None, :]
                 & (span[:, :, None] == span[:, None, :]))
 
-    def _prefill(self, p, ids, mask, pix):
+    def _prefill(self, p, vp, ids, mask, pix):
         """Whole-prompt prefill with the gemma3 layer masks + image-span
         bidirectional override. Returns (k, v, next-token logits,
         last position)."""
@@ -135,7 +143,7 @@ class Gemma3MMEngine:
         kc = tuple(jnp.zeros((b, s, c.num_key_value_heads, c.head_dim),
                              eng.dtype) for _ in range(c.num_hidden_layers))
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
-        x = self._merged_embeds(ids, pix)
+        x = self._merged_embeds(p, vp, ids, pix)
 
         cols = jnp.arange(s)
         kv_valid = mask.astype(bool)[:, None, None, :]
@@ -178,9 +186,9 @@ class Gemma3MMEngine:
             return jax.random.categorical(
                 key, scaled, axis=-1).astype(jnp.int32)
 
-        def run(p, ids, mask, pix, rng):
+        def run(p, vp, ids, mask, pix, rng):
             b = ids.shape[0]
-            k, v, logits, last_pos = self._prefill(p, ids, mask, pix)
+            k, v, logits, last_pos = self._prefill(p, vp, ids, mask, pix)
             # widen the caches to the decode length
             kcaches = tuple(
                 jnp.zeros((b, t, c.num_key_value_heads, c.head_dim),
@@ -234,7 +242,7 @@ class Gemma3MMEngine:
                 s, max_new_tokens, float(temperature), eos_id, pad_id,
                 top_p=float(top_p), top_k=int(top_k))
         out = np.asarray(self._jit_cache[key](
-            self.lm.params, jnp.asarray(ids), jnp.asarray(mask),
+            self.lm.params, self._vp, jnp.asarray(ids), jnp.asarray(mask),
             jnp.asarray(pixel_values), jax.random.PRNGKey(seed)))
         results = []
         for row in out:
@@ -259,13 +267,13 @@ class Gemma3MMEngine:
             mask[n, -len(pr):] = 1
         key = ("prefill", s)
         if key not in self._jit_cache:
-            def run(p, ids, mask, pix):
-                _, _, logits, _ = self._prefill(p, ids, mask, pix)
+            def run(p, vp, ids, mask, pix):
+                _, _, logits, _ = self._prefill(p, vp, ids, mask, pix)
                 return logits
 
             self._jit_cache[key] = jax.jit(run)
         return np.asarray(self._jit_cache[key](
-            self.lm.params, jnp.asarray(ids), jnp.asarray(mask),
+            self.lm.params, self._vp, jnp.asarray(ids), jnp.asarray(mask),
             jnp.asarray(pixel_values)))
 
     def build_mm_prompt(self, text_ids: Sequence[int], bos_id: int = 2,

@@ -199,8 +199,11 @@ class ContinuousBatcher:
           logic, the scheduler just jits its prefill."""
         mm, c = self.mm_engine, self.cfg
         if hasattr(mm, "_prefill"):
-            def run3(p, ids, mask, pix):
-                k, v, logits, last_pos = mm._prefill(p, ids, mask, pix)
+            # vision/projector params ride in as a jit ARGUMENT (mm._vp);
+            # closing over them would bake multi-GB constants into the
+            # lowering at 27B scale.
+            def run3(p, vp, ids, mask, pix):
+                k, v, logits, last_pos = mm._prefill(p, vp, ids, mask, pix)
                 return k, v, logits[0], last_pos[0]
 
             return jax.jit(run3)
@@ -388,9 +391,12 @@ class ContinuousBatcher:
             mask[0, -len(tokens):] = 1
         if mm:
             # pixel_values is the request's [N, H, W, 3] image stack; the
-            # prefill batch axis is the single slot -> [1, N, H, W, 3]
+            # prefill batch axis is the single slot -> [1, N, H, W, 3].
+            # Gemma-3 MM engines take vision params as an argument (_vp).
+            extra = ((self.mm_engine._vp,)
+                     if hasattr(self.mm_engine, "_vp") else ())
             out = self._jit[(kind, s)](
-                self.mm_engine.lm.params, jnp.asarray(ids),
+                self.mm_engine.lm.params, *extra, jnp.asarray(ids),
                 jnp.asarray(mask), jnp.asarray(pixel_values)[None])
         else:
             out = self._jit[(kind, s)](

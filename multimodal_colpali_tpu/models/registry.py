@@ -761,12 +761,19 @@ def _register_gemma3_mm():
 _register_gemma3_mm()
 
 
-def gemma3_mm_random_params(cfg, seed: int = 0, dtype: Any = jnp.float32):
-    """Random Gemma-3 MM params: language via ``gemma3_random_params``,
-    vision via the flax tower's eval_shape, plus the projector."""
+def gemma3_mm_random_params(cfg, seed: int = 0, dtype: Any = jnp.float32,
+                            weight_dtype: str = "native"):
+    """Random Gemma-3 MM params: language via ``gemma3_random_params``
+    (or the leaf-streamed quantized builder for ``weight_dtype`` int8 /
+    int4 - a 12B/27B LM must never exist in bf16), vision via the flax
+    tower's eval_shape, plus the projector."""
     from multimodal_colpali_tpu.models.siglip import SiglipVisionTower
 
-    lang = gemma3_random_params(cfg.text, seed, dtype=dtype)
+    if weight_dtype in ("int8", "int4"):
+        lang = gemma3_random_params_int8(cfg.text, seed, dtype=dtype,
+                                         fmt=weight_dtype)
+    else:
+        lang = gemma3_random_params(cfg.text, seed, dtype=dtype)
     tower = SiglipVisionTower(cfg.vision)
     shapes = jax.eval_shape(lambda: tower.init(
         jax.random.PRNGKey(0),
@@ -800,9 +807,14 @@ def gemma3_mm_random_params(cfg, seed: int = 0, dtype: Any = jnp.float32):
 
 
 def load_gemma3_mm(name: str, checkpoint_dir: Optional[str] = None,
-                   dtype: Any = jnp.float32, seed: int = 0):
+                   dtype: Any = jnp.float32, seed: int = 0,
+                   weight_dtype: str = "native"):
     """Load the FULL Gemma-3 generator (vision + LM) -> (cfg, params,
-    tokenizer). Checkpoint resolution mirrors ``load_retriever``."""
+    tokenizer). Checkpoint resolution mirrors ``load_retriever``.
+    ``weight_dtype`` int8/int4 makes the random-init fallback build the
+    LM directly in quantized form on the device (the 12B/27B sizes
+    cannot exist in bf16 on one chip; checkpoints quantize post-load in
+    the engine as before)."""
     if name not in GEMMA3_MM_CONFIGS:
         raise KeyError(
             f"unknown gemma3 mm model {name!r}; known: "
@@ -820,5 +832,6 @@ def load_gemma3_mm(name: str, checkpoint_dir: Optional[str] = None,
             f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
             stacklevel=2,
         )
-        params = gemma3_mm_random_params(cfg, seed, dtype=dtype)
+        params = gemma3_mm_random_params(cfg, seed, dtype=dtype,
+                                         weight_dtype=weight_dtype)
     return cfg, params, tok
