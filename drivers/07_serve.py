@@ -55,6 +55,11 @@ def parse_args() -> argparse.Namespace:
                         "AWQ/GPTQ-style storage) halves it again - "
                         "gemma-3-27b, the reference's actual generator, "
                         "fits one chip.")
+    p.add_argument("--vision-dtype", default="native",
+                   choices=["native", "int8"],
+                   help="SigLIP tower weights (gemma-3 multimodal only): "
+                        "int8 (W8A8) frees ~0.4 GB of HBM - the headroom "
+                        "a 27B int4 multimodal server needs on one v5e.")
     p.add_argument("--kv-dtype", default="native", choices=["native", "int8"],
                    help="KV pool storage (with --paged): int8 stores "
                         "absmax-quantized codes + per-token scales, ~halving "
@@ -109,7 +114,8 @@ def main() -> None:
             # (its GemmaDecodeEngine detects the pre-quantized subtrees)
             params = {**params, "embed": engine.params["embed"],
                       "language_model": engine.params["language_model"]}
-        mm_engine = Gemma3MMEngine(cfg_mm, params, dtype=dtype)
+        mm_engine = Gemma3MMEngine(cfg_mm, params, dtype=dtype,
+                                   vision_dtype=args.vision_dtype)
         image_pre = ImagePreprocessor(cfg_mm.vision.image_size)
         if tok is None:
             vocab = cfg_mm.text.vocab_size

@@ -48,7 +48,7 @@ class Gemma3MMEngine:
     """Image-conditioned Gemma-3 generation on a Gemma3MMConfig."""
 
     def __init__(self, cfg, params, dtype: Any = jnp.float32,
-                 weight_dtype: str = "native"):
+                 weight_dtype: str = "native", vision_dtype: str = "native"):
         self.cfg = cfg
         self.lm = GemmaDecodeEngine(cfg.text, params, dtype=dtype,
                                     weight_dtype=weight_dtype)
@@ -60,6 +60,22 @@ class Gemma3MMEngine:
         # constants - 2+ GB of baked weights at 27B scale makes the
         # compile itself take tens of minutes.
         self.vision_params = cast(params["vision_tower"])
+        if vision_dtype == "int8":
+            # W8A8 SigLIP: every 2-D projection kernel becomes int8 codes
+            # + per-channel scales (models/layers.dense consumes the dict,
+            # int8 x int8 on the MXU at 2x the bf16 rate). At 27B the LM
+            # in int4 (~14.6 GB) leaves <1 GB of a 16 GB v5e; halving the
+            # 0.8 GB bf16 tower is what makes the MULTIMODAL serving path
+            # (paged pool + prefill buffers) fit on one chip.
+            from multimodal_colpali_tpu.ops.quant import (
+                quantize_encoder_params)
+
+            self.vision_params = jax.jit(quantize_encoder_params)(
+                self.vision_params)
+        elif vision_dtype != "native":
+            raise ValueError(
+                f"vision_dtype must be 'native' or 'int8', "
+                f"got {vision_dtype!r}")
         self.projector_params = cast(params["multi_modal_projector"])
         self._jit_cache: Dict[Tuple, Any] = {}
 

@@ -338,6 +338,71 @@ def gemma3_decode_throughput(name: str = "gemma-3-4b", slots: int = 4,
     return n_tok / dt
 
 
+def gemma3_mm_serving_throughput(name: str = "gemma-3-27b", slots: int = 2,
+                                 chunk: int = 16, max_new: int = 32,
+                                 kv_dtype: str = "int8",
+                                 weight_dtype: str = "int4",
+                                 vision_dtype: str = "int8") -> float:
+    """IMAGE-conditioned serving through the paged batcher for the
+    reference's exact generator (vLLM serves google/gemma-3-27b-it over
+    image-context MCQ prompts, 00_run_docker_containers.sh:26-39 +
+    05_experiment02.py:155-166): SigLIP prefill via Gemma3MMEngine
+    (per-image bidirectional spans), paged int8-KV decode, int4 weights -
+    the full multimodal request path on ONE v5e chip, batcher included."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+    from multimodal_colpali_tpu.generation.gemma3_mm import Gemma3MMEngine
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+    from multimodal_colpali_tpu.models.registry import load_gemma3_mm
+
+    t0 = time.time()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cfg_mm, params, _ = load_gemma3_mm(name, dtype=jnp.bfloat16,
+                                           weight_dtype=weight_dtype)
+    eng = GemmaDecodeEngine(cfg_mm.text, params, dtype=jnp.bfloat16,
+                            weight_dtype=weight_dtype)
+    if weight_dtype in ("int8", "int4"):
+        # share the quantized embed/LM buffers (07_serve.py wiring)
+        params = {**params, "embed": eng.params["embed"],
+                  "language_model": eng.params["language_model"]}
+    # int8 SigLIP (W8A8) halves the 0.8 GB bf16 tower: with the 27B LM at
+    # int4 (~14.6 GB of 16 GB HBM) that margin is what lets the paged
+    # pool + prefill buffers fit on one chip.
+    mm = Gemma3MMEngine(cfg_mm, params, dtype=jnp.bfloat16,
+                        vision_dtype=vision_dtype)
+    log(f"[g3mm] {name} (LM + SigLIP tower) on device in "
+        f"{time.time()-t0:.0f}s (weights {weight_dtype}, "
+        f"vision {vision_dtype})")
+
+    n_img_tok = cfg_mm.mm_tokens_per_image
+    max_seq = ((n_img_tok + 32 + max_new + chunk) // 32 + 2) * 32
+    bat = PagedContinuousBatcher(eng, mm_engine=mm, batch_slots=slots,
+                                 max_seq_len=max_seq, chunk=chunk,
+                                 page_size=32, kv_dtype=kv_dtype)
+    rng = np.random.default_rng(0)
+    side = cfg_mm.vision.image_size
+    pix = [(rng.random((1, side, side, 3), np.float32) * 2 - 1
+            ).astype(np.float32) for _ in range(slots)]
+    prompts = [mm.build_mm_prompt(rng.integers(3, 200, (16,)).tolist())
+               for _ in range(slots)]
+    t0 = time.time()
+    bat.generate(prompts, max_new_tokens=2, pixel_values=pix)
+    log(f"[g3mm] vision+prefill+decode compiles warm in {time.time()-t0:.0f}s")
+    t0 = time.time()
+    outs = bat.generate(prompts, max_new_tokens=max_new, pixel_values=pix)
+    dt = time.time() - t0
+    n_tok = sum(len(o) for o in outs)
+    log(f"[g3mm] {name} paged({kv_dtype})+w{weight_dtype} slots={slots} "
+        f"chunk={chunk}, 1 image/prompt ({n_img_tok} soft tokens): "
+        f"{n_tok} tokens in {dt:.2f}s = {n_tok/dt:.1f} tok/s "
+        f"(SigLIP prefill included in the serving loop)")
+    return n_tok / dt
+
+
 def e2e_ingest_throughput(name: str = "vidore/colSmol-256M",
                           n_pdfs: int = 6, pages_per_pdf: int = 8,
                           batch: int = 16) -> None:
@@ -397,6 +462,21 @@ def main() -> None:
                    help="TPU-measure the remaining retriever families "
                         "(ColQwen2.5, granite) so every family has a "
                         "driver-verifiable pages/s number")
+    p.add_argument("--mm", action="store_true",
+                   help="serve IMAGE requests through the paged batcher "
+                        "on the reference's exact generator "
+                        "(gemma-3-27b int4, one chip)")
+    p.add_argument("--mm-model", default="gemma-3-27b")
+    p.add_argument("--mm-weights", default="int4",
+                   choices=["native", "int8", "int4"])
+    p.add_argument("--mm-slots", type=int, default=2,
+                   help="batcher slots for --mm (27B int4 + int8 SigLIP "
+                        "leaves ~1 GB of a 16 GB v5e: 2 slots fit, 3 OOM; "
+                        "TPU-measured 10.8 tok/s at 2, near-linear vs 1)")
+    p.add_argument("--mm-vision", default="int8",
+                   choices=["native", "int8"],
+                   help="SigLIP tower weights (int8 W8A8 frees ~0.4 GB "
+                        "of HBM - required headroom at 27B int4)")
     p.add_argument("--ingest", action="store_true",
                    help="measure end-to-end ingest pages/s (PDF -> "
                         "rasterize -> preprocess -> embed, pipelined)")
@@ -462,6 +542,10 @@ def main() -> None:
         encoder_mfu("vidore/colqwen2.5-v0.2", batch=8, device_init=True)
         encoder_mfu("ibm-granite/granite-vision-3.3-2b-embedding", batch=8,
                     device_init=True)
+    if args.mm:
+        gemma3_mm_serving_throughput(args.mm_model, slots=args.mm_slots,
+                                     weight_dtype=args.mm_weights,
+                                     vision_dtype=args.mm_vision)
     if args.ingest:
         e2e_ingest_throughput()
     if args.decode:

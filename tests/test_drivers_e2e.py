@@ -386,14 +386,17 @@ def test_serve_cli_gemma3(workspace, wdtype):
     class) through the paged batcher with chunked prefill AND weight-only
     quantization enabled (the text and mm engines share one quantized
     tree; int4 is the storage format that fits gemma-3-27b on one
-    chip)."""
+    chip). The int4 leg also quantizes the SigLIP tower (--vision-dtype
+    int8, the HBM headroom the 27B multimodal server needs) and sends an
+    IMAGE request through the same server."""
     env = _env("http://unused")
     env.pop("OPENAI_BASE_URL")
     serve = subprocess.Popen(
         [sys.executable, str(DRIVERS / "07_serve.py"),
          "--model", "tiny-gemma3", "--port", "0", "--paged",
          "--prefill-chunk", "16", "--max-seq-len", "320",
-         "--dtype", "float32", "--weight-dtype", wdtype],
+         "--dtype", "float32", "--weight-dtype", wdtype]
+        + (["--vision-dtype", "int8"] if wdtype == "int4" else []),
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
     try:
         base = _wait_for_serve(serve)
@@ -415,6 +418,30 @@ def test_serve_cli_gemma3(workspace, wdtype):
         with urllib.request.urlopen(req, timeout=240) as r:
             out2 = json.load(r)
         assert out2["choices"][0]["message"]["content"] == text
+        if wdtype == "int4":
+            # image request through the int8-vision tower
+            import base64
+            import io
+
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.new("RGB", (28, 28), (200, 30, 90)).save(buf, "PNG")
+            url = ("data:image/png;base64,"
+                   + base64.b64encode(buf.getvalue()).decode())
+            mreq = urllib.request.Request(
+                base.rstrip("/") + "/chat/completions",
+                data=json.dumps({
+                    "model": "g3", "max_tokens": 6,
+                    "messages": [{"role": "user", "content": [
+                        {"type": "image_url", "image_url": {"url": url}},
+                        {"type": "text", "text": "describe"},
+                    ]}],
+                }).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(mreq, timeout=240) as r:
+                mout = json.load(r)
+            assert mout["choices"][0]["message"]["content"]
     finally:
         serve.terminate()
         serve.wait(timeout=10)

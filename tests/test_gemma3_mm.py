@@ -351,3 +351,46 @@ def test_paligemma_mm_prompts_still_never_share():
     for f in futs:
         f.result(60)
     assert bat.prefix_cache_hits == 0
+
+
+def test_gemma3_mm_vision_int8_close_and_serves():
+    """``vision_dtype="int8"`` (the HBM headroom the 27B int4 multimodal
+    server needs on one 16 GB v5e) quantizes every SigLIP projection to
+    W8A8 without touching the LM: soft image tokens stay within int8
+    rounding of the bf16 tower, and an image request still serves through
+    the paged batcher end to end."""
+    from multimodal_colpali_tpu.generation.gemma3_mm import Gemma3MMEngine
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+    from multimodal_colpali_tpu.models.registry import (
+        GEMMA3_MM_CONFIGS, gemma3_mm_random_params)
+    from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+
+    cfg = GEMMA3_MM_CONFIGS["tiny-gemma3"]()
+    params = gemma3_mm_random_params(cfg, seed=4)
+    eng = GemmaDecodeEngine(cfg.text, params, dtype=jnp.float32)
+    mm = Gemma3MMEngine(cfg, params, dtype=jnp.float32)
+    mm8 = Gemma3MMEngine(cfg, params, dtype=jnp.float32,
+                         vision_dtype="int8")
+    # every projection kernel was rewritten to codes+scales
+    q = mm8.vision_params["layers_0"]["self_attn"]["q_proj"]["kernel"]
+    assert set(q) == {"q8", "scale"} and q["q8"].dtype == jnp.int8
+
+    rng = np.random.default_rng(11)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    a = np.asarray(mm._image_features(mm._vp, jnp.asarray(pix)))
+    b = np.asarray(mm8._image_features(mm8._vp, jnp.asarray(pix)))
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 0.05, rel
+
+    prompt = mm8.build_mm_prompt([5, 9, 11], bos_id=2)
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=8, mm_engine=mm8)
+    fut = bat.submit(prompt, max_new_tokens=6, pixel_values=pix)
+    bat.drain()
+    toks = fut.result(60)
+    assert len(toks) == 6
+
+    with pytest.raises(ValueError):
+        Gemma3MMEngine(cfg, params, vision_dtype="fp8")
