@@ -217,6 +217,92 @@ def test_colqwen25_image_parity(tiny_colqwen25):
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
 
 
+def test_colqwen25_window_fold_equals_mask(tiny_colqwen25):
+    """The folded (windows-into-batch) attention fast path must compute the
+    same function as the block-diagonal-mask formulation it replaces."""
+    from multimodal_colpali_tpu.models import qwen2vl as Q
+
+    cfg, _, _, params = tiny_colqwen25
+    rng = np.random.default_rng(11)
+    gh, gw = cfg.grid_h, cfg.grid_w
+    m = cfg.vision.spatial_merge_size
+    n_img_tok = (gh // m) * (gw // m)
+    seq = ([cfg.vision_start_token_id] + [cfg.image_token_id] * n_img_tok
+           + [cfg.vision_end_token_id] + [5, 9])
+    ids = np.asarray([seq], np.int32)
+    mask = np.ones_like(ids)
+
+    from multimodal_colpali_tpu.models.processing_qwen2vl import (
+        ColQwen2Processor, flatten_patches)
+    h_px, w_px = gh * cfg.vision.patch_size, gw * cfg.vision.patch_size
+    img = rng.standard_normal((h_px, w_px, 3)).astype(np.float32)
+    patches = flatten_patches(img, cfg)[None]
+    proc = ColQwen2Processor(cfg)
+    pos = proc.mrope_position_ids(ids, mask)
+    model = ColQwen2Model(cfg)
+    args = ({"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(pos), jnp.asarray(patches))
+
+    fast = np.asarray(model.apply(*args))
+    assert not Q._FORCE_WINDOW_MASK
+    Q._FORCE_WINDOW_MASK = True
+    try:
+        slow = np.asarray(model.apply(*args))
+    finally:
+        Q._FORCE_WINDOW_MASK = False
+    np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
+
+
+def test_colqwen25_ragged_window_parity(tiny_colqwen25):
+    """A grid whose unit dims don't divide the window size produces ragged
+    edge windows; that layout must take the mask path and still match
+    torch."""
+    from multimodal_colpali_tpu.models import qwen2vl as Q
+
+    cfg, hf_model, proj, params = tiny_colqwen25
+    rng = np.random.default_rng(13)
+    gh, gw = 10, 8  # llm grid 5x4, vmws 2 -> ragged bottom window row
+    m = cfg.vision.spatial_merge_size
+    _, unit_wid = Q.window_partition(cfg.vision, gh, gw)
+    counts = np.bincount(unit_wid)
+    assert counts.min() != counts.max(), "grid must be ragged for this test"
+    n_img_tok = (gh // m) * (gw // m)
+
+    from multimodal_colpali_tpu.models.processing_qwen2vl import (
+        ColQwen2Processor, flatten_patches)
+    h_px, w_px = gh * cfg.vision.patch_size, gw * cfg.vision.patch_size
+    img = rng.standard_normal((h_px, w_px, 3)).astype(np.float32)
+    patches = flatten_patches(img, cfg, (gh, gw))[None]
+
+    seq = ([cfg.vision_start_token_id] + [cfg.image_token_id] * n_img_tok
+           + [cfg.vision_end_token_id] + [5, 9])
+    ids = np.asarray([seq], np.int64)
+    mask = np.ones_like(ids)
+
+    with torch.no_grad():
+        hidden = hf_model(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+            pixel_values=torch.from_numpy(
+                patches.reshape(-1, patches.shape[-1])),
+            image_grid_thw=torch.tensor([[1, gh, gw]]),
+        ).last_hidden_state
+        want = proj(hidden)
+        want = want / want.norm(dim=-1, keepdim=True)
+        want = want.numpy()
+
+    proc = ColQwen2Processor(cfg, dynamic_resolution=True)
+    pos = proc.mrope_position_ids(ids.astype(np.int32),
+                                  mask.astype(np.int32), grid=(gh, gw))
+    model = ColQwen2Model(cfg)
+    got = np.asarray(model.apply(
+        {"params": params}, jnp.asarray(ids, jnp.int32),
+        jnp.asarray(mask, jnp.int32), jnp.asarray(pos, jnp.int32),
+        jnp.asarray(patches), grid=(gh, gw),
+    ))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+
 def test_colqwen_dynamic_grid_parity(tiny_colqwen):
     """A non-default (rectangular) grid through the dynamic-resolution path
     must match torch with the matching image_grid_thw."""
