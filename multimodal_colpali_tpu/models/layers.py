@@ -134,31 +134,41 @@ def attention(
     scale: float,
     kv_lens: Optional[jax.Array] = None,
     causal: bool = False,
+    kv_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Multi-head attention core with fp32 softmax.
 
     q: [B, S, Hq, D]; k/v: [B, T, Hkv, D] (Hkv may be 1 for MQA, or divide Hq
-    for GQA); mask: broadcastable to [B, 1, S, T] with True = attend.
+    for GQA); mask: broadcastable to [B, 1, S, T] with True = attend;
+    kv_valid: [B, T] (or [T], broadcast) True = attendable key, for
+    interspersed key padding that a suffix ``kv_lens`` cannot express.
     Returns [B, S, Hq, D].
 
     When the fused kernel is enabled and the mask is expressible as
-    (kv_lens, causal), the Pallas kernel runs instead of the einsum chain
-    (callers that pass an explicit ``mask`` keep the einsum path).
+    (kv_lens, kv_valid, causal), the Pallas kernel runs instead of the
+    einsum chain (callers that pass an explicit ``mask`` keep the einsum
+    path).
     """
     hq, hkv = q.shape[2], k.shape[2]
     if hkv != hq:
         k = jnp.repeat(k, hq // hkv, axis=2)
         v = jnp.repeat(v, hq // hkv, axis=2)
+    if kv_valid is not None and kv_valid.ndim == 1:
+        kv_valid = jnp.broadcast_to(kv_valid[None], (q.shape[0], k.shape[1]))
     if (mask is None and q.shape[1] == k.shape[1]
             and _fused_attention_enabled(q.shape[1])):
         from multimodal_colpali_tpu.ops.attention import fused_attention
 
-        return fused_attention(q, k, v, kv_lens, scale=scale, causal=causal)
+        return fused_attention(q, k, v, kv_lens, kv_valid, scale=scale,
+                               causal=causal)
     logits = jnp.einsum(
         "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
     ) * scale
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.float32(-1e30))
+    if kv_valid is not None:
+        logits = jnp.where(kv_valid[:, None, None, :], logits,
+                           jnp.float32(-1e30))
     if kv_lens is not None:
         t = k.shape[1]
         valid = jnp.arange(t)[None, None, None, :] < kv_lens[:, None, None, None]

@@ -231,7 +231,8 @@ class Qwen2VisionBlock(nn.Module):
     cfg: Qwen2VisionConfig
 
     @nn.compact
-    def __call__(self, x, cos, sin, mask=None, win=None):
+    def __call__(self, x, cos, sin, mask=None, win=None, win_lens=None,
+                 kv_valid=None):
         c = self.cfg
         b, s, _ = x.shape
         is_25 = c.variant == "qwen2_5"
@@ -249,19 +250,24 @@ class Qwen2VisionBlock(nn.Module):
         q = ((qf * cosb) + (_rotate_half(qf) * sinb)).astype(x.dtype)
         k = ((kf * cosb) + (_rotate_half(kf) * sinb)).astype(x.dtype)
         if win is not None:
-            # Equal-size windows in window order: attention factors into
-            # independent w-token windows, so fold them into the batch axis
-            # instead of masking the full S x S score matrix (16x fewer
-            # attention FLOPs and fp32-softmax bytes at 448px: 16 windows
-            # of 64 patches). Same math as the block-diagonal mask.
+            # Windows in window order: attention factors into independent
+            # w-token windows, so fold them into the batch axis instead of
+            # masking the full S x S score matrix (42x fewer attention
+            # logits at the production 54x54 grid: 49 windows of <=64
+            # patches vs 2916^2). Ragged grids arrive pre-padded to equal
+            # window size by the tower; ``win_lens`` then carries the
+            # valid-key count per window (padding is a per-window suffix).
+            # Same math as the block-diagonal mask.
             n_win, w = win
             fold = lambda t: t.reshape(
                 b * n_win, w, c.num_heads, c.head_dim)
+            kv = None if win_lens is None else jnp.tile(win_lens, b)
             attn = L.attention(fold(q), fold(k), fold(v), mask=None,
-                               scale=c.head_dim ** -0.5)
+                               scale=c.head_dim ** -0.5, kv_lens=kv)
             attn = attn.reshape(b, s, c.embed_dim)
         else:
-            attn = L.attention(q, k, v, mask=mask, scale=c.head_dim ** -0.5)
+            attn = L.attention(q, k, v, mask=mask, scale=c.head_dim ** -0.5,
+                               kv_valid=kv_valid)
             attn = attn.reshape(b, s, c.embed_dim)
         x = x + L.DenseGeneral(c.embed_dim, name="attn_proj")(attn)
         y = norm("norm2")(x)
@@ -300,6 +306,8 @@ class Qwen2VisionTower(nn.Module):
         is_25 = c.variant == "qwen2_5"
         win_mask = None
         win_fold = None
+        win_lens = None
+        full_valid = None
         reverse = None
         if is_25:
             win_idx, unit_wid = window_partition(c, self.grid_h, self.grid_w)
@@ -308,29 +316,74 @@ class Qwen2VisionTower(nn.Module):
             cos_np = cos_np.reshape(s // m2, m2, -1)[win_idx].reshape(s, -1)
             sin_np = sin_np.reshape(s // m2, m2, -1)[win_idx].reshape(s, -1)
             counts = np.bincount(unit_wid)
-            if counts.min() == counts.max() and not _FORCE_WINDOW_MASK:
-                # every window holds the same patch count: fold windows
-                # into the batch axis inside the blocks (no mask at all)
-                win_fold = (int(len(counts)), int(counts[0]) * m2)
-            else:
-                # ragged edge windows (grid not divisible): block-diagonal
-                # mask over the full sequence
+            if _FORCE_WINDOW_MASK:
+                # test/debug formulation: block-diagonal mask over the full
+                # sequence (the folded paths must compute the same function)
                 patch_wid = np.repeat(unit_wid, m2)
                 win_mask = jnp.asarray(
                     patch_wid[:, None] == patch_wid[None, :]
                 )[None, None]  # [1, 1, S, S]
-            reverse = np.argsort(win_idx)
+                reverse = np.argsort(win_idx)
+            elif counts.min() == counts.max():
+                # every window holds the same patch count: fold windows
+                # into the batch axis inside the blocks (no mask at all)
+                win_fold = (int(len(counts)), int(counts[0]) * m2)
+                reverse = np.argsort(win_idx)
+            else:
+                # Ragged edge windows (grid not divisible by the window
+                # size, e.g. the default bucket's 54x54 grid -> 27 units
+                # per side vs 4-unit windows): pad every window to the full
+                # vmws^2 units ONCE here, so the blocks still fold windows
+                # into the batch axis. Padding costs ~(n_win*u_max/n_units)
+                # extra matmul rows (~7.5% at 54x54) and buys the fold's
+                # ~42x attention-logit reduction over the mask formulation;
+                # padded keys are suffix-masked per window via win_lens and
+                # padded rows are dropped again after the merger.
+                vmws = c.window_size // c.spatial_merge_size // c.patch_size
+                u_max = vmws * vmws
+                n_win = int(len(counts))
+                offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+                slot_src = np.full(n_win * u_max, -1, np.int64)
+                for w in range(n_win):
+                    slot_src[w * u_max: w * u_max + counts[w]] = (
+                        offs[w] + np.arange(counts[w]))
+                unit_gather = np.where(slot_src >= 0, slot_src, 0)
+                patch_gather = (unit_gather[:, None] * m2
+                                + np.arange(m2)[None]).reshape(-1)
+                x = x[:, patch_gather]
+                cos_np = cos_np[patch_gather]
+                sin_np = sin_np[patch_gather]
+                win_fold = (n_win, u_max * m2)
+                win_lens = jnp.asarray(counts * m2, jnp.int32)
+                # full-attention blocks see interspersed padding: mask the
+                # padded KEY columns (padded query rows compute garbage
+                # that never reaches the output). kv_valid (not a [S, S]
+                # mask) keeps those blocks on the fused kernel - the einsum
+                # formulation's f32 logits are 4.8 GB/block at batch 8 on
+                # the 54x54 production grid.
+                full_valid = jnp.asarray((slot_src >= 0).repeat(m2))
+                # original unit o sits at window-order position
+                # argsort(win_idx)[o], which lives in padded slot
+                # slot_of_pos[...]
+                slot_of_pos = np.empty(s // m2, np.int64)
+                slot_of_pos[slot_src[slot_src >= 0]] = (
+                    np.nonzero(slot_src >= 0)[0])
+                reverse = slot_of_pos[np.argsort(win_idx)]
 
         cos = jnp.asarray(cos_np)
         sin = jnp.asarray(sin_np)
         for i in range(c.depth):
             mask = None
             win = None
-            if is_25 and i not in c.fullatt_block_indexes:
-                mask = win_mask
-                win = win_fold
+            lens = None
+            valid = None
+            if is_25:
+                if i not in c.fullatt_block_indexes:
+                    mask, win, lens = win_mask, win_fold, win_lens
+                else:
+                    valid = full_valid
             x = Qwen2VisionBlock(c, name=f"blocks_{i}")(x, cos, sin, mask,
-                                                        win)
+                                                        win, lens, valid)
 
         # Merger: norm over embed_dim, group m^2 neighbors, 2-layer MLP.
         x = (Qwen2RMSNorm(name="ln_q") if is_25 else L.LayerNorm(name="ln_q"))(x)

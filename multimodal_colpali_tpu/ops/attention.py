@@ -30,11 +30,17 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _attn_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, causal, bq):
-    """Grid: (B*H, S/BQ). Blocks: q [1, BQ, D]; k/v [1, S, D]; o [1, BQ, D]."""
+def _attn_kernel(kv_lens_ref, *refs, scale, causal, bq, use_valid):
+    """Grid: (B*H, S/BQ). Blocks: q [1, BQ, D]; k/v [1, S, D]; o [1, BQ, D];
+    optional kv_valid [1, 1, S] int32 (1 = attendable key) for interspersed
+    key padding that a suffix ``kv_lens`` cannot express."""
+    if use_valid:
+        q_ref, k_ref, v_ref, valid_ref, o_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+        valid_ref = None
     bh = pl.program_id(0)
     qb = pl.program_id(1)
-    nh = None  # batch index comes via kv_lens indexing below
 
     q = q_ref[0]                      # [BQ, D]
     k = k_ref[0]                      # [S, D]
@@ -49,6 +55,8 @@ def _attn_kernel(kv_lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, causal, bq):
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 1)
     kv_len = kv_lens_ref[bh]
     logits = jnp.where(col < kv_len, logits, NEG)
+    if use_valid:
+        logits = jnp.where(valid_ref[0, 0][None, :] != 0, logits, NEG)
     if causal:
         row = jax.lax.broadcasted_iota(jnp.int32, (bq, s), 0) + qb * bq
         logits = jnp.where(col <= row, logits, NEG)
@@ -70,6 +78,7 @@ def fused_attention(
     k: jax.Array,                     # [B, S, H, D] (repeat KV heads first for GQA)
     v: jax.Array,
     kv_lens: Optional[jax.Array] = None,   # [B] valid key lengths
+    kv_valid: Optional[jax.Array] = None,  # [B, S] 1 = attendable key
     *,
     scale: float,
     causal: bool = False,
@@ -100,22 +109,35 @@ def fused_attention(
 
     kv_lens_bh = jnp.repeat(kv_lens.astype(jnp.int32), h)
 
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, s, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [kv_lens_bh, qt, kt, vt]
+    if kv_valid is not None:
+        # NB: index maps must stay Mosaic-trivial - Python // lowers to
+        # floor_divide's sign-corrected select chain, which Pallas rejects;
+        # lax.div is the plain truncating divide (program ids are >= 0).
+        # The [B, 1, S] layout keeps the block's last two dims equal to the
+        # array dims (Mosaic's tiling rule for non-8x128-divisible blocks).
+        in_specs.append(pl.BlockSpec(
+            (1, 1, s), lambda i, j, *_: (jax.lax.div(i, h), 0, 0),
+            memory_space=pltpu.VMEM))
+        operands.append(kv_valid.astype(jnp.int32)[:, None, :])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b * h, s_pad // bq),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, d), lambda i, j, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j, *_: (i, j, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, causal=causal, bq=bq),
+        functools.partial(_attn_kernel, scale=scale, causal=causal, bq=bq,
+                          use_valid=kv_valid is not None),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * h, s_pad, d), q.dtype),
         interpret=interpret,
-    )(kv_lens_bh, qt, kt, vt)
+    )(*operands)
     out = out[:, :s].reshape(b, h, s, d)
     return jnp.swapaxes(out, 1, 2)

@@ -63,36 +63,43 @@ def validate_fused_attention() -> bool:
 
     rng = np.random.default_rng(0)
     ok = True
-    for (b, s, hq, hkv, d), causal, ragged in [
-        ((2, 256, 8, 8, 64), False, False),
-        ((1, 128, 8, 2, 64), False, False),   # GQA, batch 1
-        ((2, 256, 8, 8, 64), True, False),
-        ((2, 256, 8, 8, 64), False, True),
+    for (b, s, hq, hkv, d), causal, ragged, valid in [
+        ((2, 256, 8, 8, 64), False, False, False),
+        ((1, 128, 8, 2, 64), False, False, False),   # GQA, batch 1
+        ((2, 256, 8, 8, 64), True, False, False),
+        ((2, 256, 8, 8, 64), False, True, False),
+        ((2, 256, 8, 8, 64), False, False, True),    # interspersed kv_valid
     ]:
         q = jnp.asarray(rng.standard_normal((b, s, hq, d)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((b, s, hkv, d)), jnp.bfloat16)
         kv_lens = jnp.asarray(rng.integers(s // 2, s, (b,)), jnp.int32) \
             if ragged else None
+        kv_valid = None
+        if valid:
+            va = rng.integers(0, 2, (b, s)).astype(bool)
+            va[:, 0] = True
+            kv_valid = jnp.asarray(va)
         # Force the einsum reference path: fused now defaults ON for TPU, so
         # without this the comparison would be fused-vs-fused (vacuous).
         L.set_fused_attention(False)
         try:
             want = L.attention(q, k, v, mask=None, scale=d ** -0.5,
-                               kv_lens=kv_lens, causal=causal)
+                               kv_lens=kv_lens, causal=causal,
+                               kv_valid=kv_valid)
         finally:
             L.set_fused_attention(None)
         # the fused kernel takes pre-repeated KV heads for GQA
         kr = jnp.repeat(k, hq // hkv, 2)
         vr = jnp.repeat(v, hq // hkv, 2)
-        got = fused_attention(q, kr, vr, kv_lens, scale=d ** -0.5,
+        got = fused_attention(q, kr, vr, kv_lens, kv_valid, scale=d ** -0.5,
                               causal=causal)
         err = float(jnp.max(jnp.abs(
             got.astype(jnp.float32) - want.astype(jnp.float32))))
         this_ok = err < 2e-2
         ok &= this_ok
         log(f"[fused-attn] b={b} s={s} hq={hq} hkv={hkv} causal={causal} "
-            f"ragged={ragged}: max|diff|={err:.4f} "
+            f"ragged={ragged} valid={valid}: max|diff|={err:.4f} "
             f"{'OK' if this_ok else 'MISMATCH'}")
     return ok
 

@@ -253,9 +253,48 @@ def test_colqwen25_window_fold_equals_mask(tiny_colqwen25):
     np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
 
 
+def test_colqwen25_padded_fold_equals_mask(tiny_colqwen25):
+    """Ragged grids fold via per-window padding + kv_lens; that path must
+    compute the same function as the block-diagonal-mask formulation."""
+    from multimodal_colpali_tpu.models import qwen2vl as Q
+
+    cfg, _, _, params = tiny_colqwen25
+    rng = np.random.default_rng(17)
+    gh, gw = 10, 8  # llm grid 5x4, vmws 2 -> ragged bottom window row
+    counts = np.bincount(Q.window_partition(cfg.vision, gh, gw)[1])
+    assert counts.min() != counts.max(), "grid must be ragged for this test"
+    m = cfg.vision.spatial_merge_size
+    n_img_tok = (gh // m) * (gw // m)
+    seq = ([cfg.vision_start_token_id] + [cfg.image_token_id] * n_img_tok
+           + [cfg.vision_end_token_id] + [5, 9])
+    ids = np.asarray([seq], np.int32)
+    mask = np.ones_like(ids)
+
+    from multimodal_colpali_tpu.models.processing_qwen2vl import (
+        ColQwen2Processor, flatten_patches)
+    h_px, w_px = gh * cfg.vision.patch_size, gw * cfg.vision.patch_size
+    img = rng.standard_normal((h_px, w_px, 3)).astype(np.float32)
+    patches = flatten_patches(img, cfg, (gh, gw))[None]
+    proc = ColQwen2Processor(cfg, dynamic_resolution=True)
+    pos = proc.mrope_position_ids(ids, mask, grid=(gh, gw))
+    model = ColQwen2Model(cfg)
+    args = ({"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(pos), jnp.asarray(patches))
+
+    fast = np.asarray(model.apply(*args, grid=(gh, gw)))
+    assert not Q._FORCE_WINDOW_MASK
+    Q._FORCE_WINDOW_MASK = True
+    try:
+        slow = np.asarray(model.apply(*args, grid=(gh, gw)))
+    finally:
+        Q._FORCE_WINDOW_MASK = False
+    np.testing.assert_allclose(fast, slow, rtol=1e-5, atol=1e-6)
+
+
 def test_colqwen25_ragged_window_parity(tiny_colqwen25):
     """A grid whose unit dims don't divide the window size produces ragged
-    edge windows; that layout must take the mask path and still match
+    edge windows; that layout takes the padded window fold (per-window
+    suffix kv_lens + kv_valid full-attention blocks) and must still match
     torch."""
     from multimodal_colpali_tpu.models import qwen2vl as Q
 

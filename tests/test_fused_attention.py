@@ -34,6 +34,22 @@ def test_fused_padded_kv(rng):
                                    rtol=2e-4, atol=2e-5)
 
 
+def test_fused_kv_valid(rng):
+    """Interspersed key padding (kv_valid) vs an explicit einsum mask."""
+    q, k, v = _qkv(rng)
+    valid = rng.integers(0, 2, size=(2, 24)).astype(bool)
+    valid[:, 0] = True  # keep every row attendable to something
+    mask = jnp.asarray(valid)[:, None, None, :]
+    want = L.attention(q, k, v, mask=mask, scale=0.125)
+    got = fused_attention(q, k, v, None, jnp.asarray(valid), scale=0.125,
+                          block_q=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+    # and through the public surface's einsum fallback
+    got2 = L.attention(q, k, v, mask=None, scale=0.125,
+                       kv_valid=jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
 def test_fused_causal(rng):
     q, k, v = _qkv(rng)
     want = L.attention(q, k, v, mask=None, scale=0.125, causal=True)
@@ -53,10 +69,10 @@ def test_layers_toggle_routes_to_kernel(rng, monkeypatch):
     import multimodal_colpali_tpu.ops.attention as A
     orig = A.fused_attention
 
-    def interp(qq, kk, vv, kv_lens=None, **kw):
+    def interp(qq, kk, vv, kv_lens=None, kv_valid=None, **kw):
         kw["interpret"] = True
         kw["block_q"] = 8
-        return orig(qq, kk, vv, kv_lens, **kw)
+        return orig(qq, kk, vv, kv_lens, kv_valid, **kw)
 
     monkeypatch.setattr(A, "fused_attention", interp)
     L.set_fused_attention(True)
