@@ -364,12 +364,12 @@ def bench_embed_throughput(jax, jnp, backend: str) -> dict:
     >=1k pages/s/chip; the reference's corresponding loop is
     create_document_embeddings, functions.py:765-809).
 
-    On TPU three families are recorded (VERDICT r2 #1): the small
-    retrievers ColFlor-0.2B and ColSmol-256M (the families with a shot at
-    the 1k target) and the ColPali-3B flagship (so its MFU is
-    driver-verified, not self-reported). The headline embed_* keys carry
-    the fastest small retriever. Diagnostics only - failures here must
-    never kill the headline metric.
+    On TPU every retriever family is recorded (VERDICT r2 #1 wanted the
+    numbers driver-verified, not self-reported): the small retrievers
+    ColFlor-0.2B and ColSmol-256M (the families with a shot at the 1k
+    target), the ColPali-3B flagship, plus ColQwen2.5 and granite-vision.
+    The headline embed_* keys carry the fastest small retriever.
+    Diagnostics only - failures here must never kill the headline metric.
     """
     if backend == "tpu":
         targets = [
@@ -380,6 +380,11 @@ def bench_embed_throughput(jax, jnp, backend: str) -> dict:
             # embeds ABOVE the chip's bf16 compute ceiling (opt-in path,
             # load_retriever(quantize="int8"))
             ("vidore/colpali-v1.3", "colpali3b_int8", 8, 4, True, "int8"),
+            # the remaining two reference families (batch 8 is optimal
+            # for both; qwen's padded window fold is the round-3 1.8x)
+            ("vidore/colqwen2.5-v0.2", "colqwen25", 8, 4, True, None),
+            ("ibm-granite/granite-vision-3.3-2b-embedding", "granite",
+             8, 4, True, None),
         ]
     else:
         targets = [("tiny-colpali", "tiny", 4, 4, False, None)]
