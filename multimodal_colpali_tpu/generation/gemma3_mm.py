@@ -156,8 +156,6 @@ class Gemma3MMEngine:
         c = self.cfg.text
         eng = self.lm
         b, s = ids.shape
-        kc = tuple(jnp.zeros((b, s, c.num_key_value_heads, c.head_dim),
-                             eng.dtype) for _ in range(c.num_hidden_layers))
         positions = jnp.maximum(jnp.cumsum(mask, axis=1) - 1, 0)
         x = self._merged_embeds(p, vp, ids, pix)
 
@@ -174,8 +172,8 @@ class Gemma3MMEngine:
         sc = attn_scale(c)
 
         def kv_write(i, k, v):
-            return (jax.lax.dynamic_update_slice(kc[i], k, (0, 0, 0, 0)),
-                    jax.lax.dynamic_update_slice(kc[i], v, (0, 0, 0, 0)))
+            # the prefill covers every cache row, so the chunk IS the cache
+            return k, v
 
         def attend(i, q, kcc, vcc):
             m = sliding if types[i] == "sliding_attention" else base

@@ -375,7 +375,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
     # -- ContinuousBatcher hooks -------------------------------------------------
 
     def _can_admit(self, s: int, n_prompt: int, budget: int,
-                   tokens=None, mm: bool = False) -> bool:
+                   tokens=None, mm: bool = False, ctx=None) -> bool:
         """Admit only requests that (a) fit the free pool right now and
         (b) could finish with the pool to themselves. Without (b), a
         request whose prompt consumes the whole pool but still has decode
@@ -408,17 +408,22 @@ class PagedContinuousBatcher(ContinuousBatcher):
             return False
         n_reused = 0
         reused_in_lru = 0
-        if self.prefix_caching and tokens is not None and not mm:
-            # mirror _prefix_prefill's reuse depth exactly (incl. the
-            # keep-one-tail-token cap)
-            for key_i in self._chain_keys(tokens, None):
+        if self.prefix_caching and tokens is not None and (
+                not mm or ctx is None
+                or (self._mm_prefix_ok and self._mm_spans_ok(tokens))):
+            # mirror the install-time reuse depth (same eligibility as
+            # _install_slot: Gemma-3 MM prompts with well-formed spans
+            # participate, keyed by the pixel digest ctx), conservatively
+            # including _prefix_prefill's keep-one-tail-token cap
+            keys = self._chain_keys(tokens, ctx if mm else None)
+            for key_i in keys:
                 phys = self._key_page.get(key_i)
                 if phys is None:
                     break
                 n_reused += 1
             if n_reused * self.page >= n_prompt:
                 n_reused = max((n_prompt - 1) // self.page, 0)
-            for key_i in self._chain_keys(tokens, None)[:n_reused]:
+            for key_i in keys[:n_reused]:
                 if self._key_page[key_i] in self._cache_lru:
                     reused_in_lru += 1
         need_fresh = (-(-n_prompt // self.page)) - n_reused

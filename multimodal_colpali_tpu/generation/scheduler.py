@@ -414,7 +414,14 @@ class ContinuousBatcher:
         generated-so-far tokens extend it CAUSALLY at their decode
         positions, exactly as the uninterrupted decode computed them.
         Returns the standard (k, v, logits, last_pos) with k/v assembled
-        left-padded to ``s`` over the full prompt+generated sequence."""
+        left-padded to ``s`` over the full prompt+generated sequence.
+
+        The generated tokens are LEFT-aligned in their ``s2`` extension so
+        the [prompt | generated] cache region stays contiguous: Gemma-3
+        sliding layers measure the window in cache-slot distance
+        (engine._chunk), so interior bucket padding between the prompt
+        rows and the generated rows would shrink the effective window and
+        break the resumed-request bit-match guarantee."""
         prompt, gen = req.prompt, list(req.tokens)
         n_p, n_gen = len(prompt), len(gen)
         s1 = max(((n_p + self.bucket - 1) // self.bucket) * self.bucket,
@@ -451,19 +458,22 @@ class ContinuousBatcher:
                     base = jnp.zeros(
                         (1, s, c.num_key_value_heads, c.head_dim), lm.dtype)
                     bk = base.at[:, s - n_eff: s - n_gen].set(a1[:, s1 - n_p:])
-                    bk = bk.at[:, s - n_gen:].set(a2[:, n_p:][:, s2 - n_gen:])
+                    bk = bk.at[:, s - n_gen:].set(
+                        a2[:, n_p: n_p + n_gen])
                     bv = base.at[:, s - n_eff: s - n_gen].set(b1[:, s1 - n_p:])
-                    bv = bv.at[:, s - n_gen:].set(b2[:, n_p:][:, s2 - n_gen:])
+                    bv = bv.at[:, s - n_gen:].set(
+                        b2[:, n_p: n_p + n_gen])
                     outk.append(bk)
                     outv.append(bv)
                 return (tuple(outk), tuple(outv),
-                        lm._logits(p, hidden[:, -1])[0], positions[0, -1])
+                        lm._logits(p, hidden[:, n_gen - 1])[0],
+                        positions[0, n_gen - 1])
 
             self._jit[jkey] = jax.jit(run)
         ids2 = np.full((1, s2), self.pad_id, np.int32)
         mask2 = np.zeros((1, s2), np.int32)
-        ids2[0, -n_gen:] = gen
-        mask2[0, -n_gen:] = 1
+        ids2[0, :n_gen] = gen
+        mask2[0, :n_gen] = 1
         return self._jit[jkey](lm.params, k1, v1, jnp.asarray(ids2),
                                jnp.asarray(mask2))
 
@@ -476,11 +486,12 @@ class ContinuousBatcher:
         return None
 
     def _can_admit(self, s: int, n_prompt: int, budget: int,
-                   tokens=None, mm: bool = False) -> bool:
+                   tokens=None, mm: bool = False, ctx=None) -> bool:
         """Is there cache room right now for a prompt of ``n_prompt`` real
         tokens (bucketed to ``s``) with up to ``budget`` decode tokens to
-        come? ``tokens``/``mm`` let subclasses with content-addressed KV
-        sharing (the paged batcher's prefix cache) count reusable pages."""
+        come? ``tokens``/``mm``/``ctx`` (the multimodal pixel digest) let
+        subclasses with content-addressed KV sharing (the paged batcher's
+        prefix cache) count reusable pages."""
         return True
 
     def _slot_capacity(self, s: int) -> int:
@@ -589,10 +600,18 @@ class ContinuousBatcher:
             prompt_eff = req.prompt + req.tokens
             s = max(((len(prompt_eff) + self.bucket - 1) // self.bucket)
                     * self.bucket, self.bucket)
+            mm = req.pixel_values is not None
+            pix_digest = None
+            if mm:
+                import hashlib
+
+                pix_digest = hashlib.sha1(
+                    np.ascontiguousarray(req.pixel_values).tobytes()
+                ).hexdigest()
             if not self._can_admit(s, len(prompt_eff),
                                    req.max_new_tokens - len(req.tokens),
-                                   tokens=prompt_eff,
-                                   mm=req.pixel_values is not None):
+                                   tokens=prompt_eff, mm=mm,
+                                   ctx=pix_digest):
                 if not any(r is not None for r in self._slots):
                     # nothing active will ever free capacity: the request
                     # simply does not fit - fail loudly instead of hanging
@@ -603,14 +622,6 @@ class ContinuousBatcher:
                     continue
                 self._readmit.insert(0, req)
                 return
-            mm = req.pixel_values is not None
-            pix_digest = None
-            if mm:
-                import hashlib
-
-                pix_digest = hashlib.sha1(
-                    np.ascontiguousarray(req.pixel_values).tobytes()
-                ).hexdigest()
             hint = None
             pre = self._prefix_prefill(prompt_eff, pix_digest, mm)
             if pre is not None:

@@ -99,7 +99,11 @@ def speculative_generate(
         ids[i, -len(p):] = p
         mask[i, -len(p):] = 1
 
-    key = ("spec", s, max_new_tokens, k, ngram, eos_id, pad_id)
+    # b must key the cache: the run closure bakes the batch size into the
+    # cache/token-buffer shapes, so a second call with a different prompt
+    # count reusing the same bucketed s would retrace with mismatched
+    # shapes.
+    key = ("spec", b, s, max_new_tokens, k, ngram, eos_id, pad_id)
     cache = engine._jit_cache
     if key not in cache:
         t_kv = t_buf
@@ -156,7 +160,7 @@ def speculative_generate(
                 gq = write0[:, None] + jnp.arange(k)[None, :]  # [B, k]
                 amask = (kv_valid_prompt[:, None, :]
                          & (cols[None, None, :] <= gq[:, :, None])
-                         )[:, None, :, :].transpose(0, 1, 2, 3)
+                         )[:, None, :, :]
 
                 from multimodal_colpali_tpu.generation.engine import (
                     attn_scale, layer_stack)
@@ -352,6 +356,7 @@ def _make_speculative_batchers():
             super().__init__(*args, **kwargs)
             self.spec_k = int(spec_k)
             self.spec_ngram = int(spec_ngram)
+            self._spec_dirty = False
             self._toks_dev = jnp.zeros((self.B, self._spec_buf_width()),
                                        jnp.int32)
             self._nlen = jnp.zeros((self.B,), jnp.int32)
@@ -381,6 +386,26 @@ def _make_speculative_batchers():
             self._toks_dev = self._toks_dev.at[slot, : len(row)].set(
                 jnp.asarray(row, jnp.int32))
             self._nlen = self._nlen.at[slot].set(len(row))
+
+        def _sync_spec_history(self) -> None:
+            """Rebuild the draft history from host truth after chunks that
+            ran the parent's exact decode path (logprobs requests): that
+            path advances the slots without touching _toks_dev/_nlen, so
+            resuming speculation on the stale buffer would draft from a
+            truncated history and write emits at stale offsets (silent
+            acceptance collapse, not wrong tokens - verify is exact)."""
+            if not self._spec_dirty:
+                return
+            self._spec_dirty = False
+            w = self._toks_dev.shape[1]
+            for slot, req in enumerate(self._slots):
+                if req is None:
+                    continue
+                row = list(req.prompt) + list(req.tokens)
+                assert len(row) <= w, "slot history exceeds the spec buffer"
+                self._toks_dev = self._toks_dev.at[slot, : len(row)].set(
+                    jnp.asarray(row, jnp.int32))
+                self._nlen = self._nlen.at[slot].set(len(row))
 
         def _account_spec_chunk(self, ys) -> None:
             emit, can, active = (np.asarray(y) for y in ys)
@@ -506,7 +531,10 @@ def _make_speculative_batchers():
         def _step_chunk(self) -> None:
             flags = self._decode_flags()
             if flags[1]:   # logprobs wanted: parent's exact decode path
-                return super()._step_chunk()
+                super()._step_chunk()
+                self._spec_dirty = True
+                return
+            self._sync_spec_history()
             key = ("spec_decode", flags)
             if key not in self._jit:
                 self._jit[key] = self._decode_fn(self.chunk, flags[0],
@@ -662,7 +690,10 @@ def _make_speculative_batchers():
         def _step_chunk(self) -> None:
             flags = self._decode_flags()
             if flags[1]:   # logprobs wanted: parent's exact paged decode
-                return super()._step_chunk()
+                super()._step_chunk()
+                self._spec_dirty = True
+                return
+            self._sync_spec_history()
             self._ensure_chunk_capacity()
             if not any(r is not None for r in self._slots):
                 return

@@ -206,6 +206,10 @@ def line_samples(ink: np.ndarray, boxes) -> Tuple[np.ndarray, np.ndarray]:
     (l vs |) and descenders (p q g j y):
 
       [height / cap_h, descent-below-baseline / cap_h, aspect w/h]
+
+    Returns (patches, features, baseline, cap_h) so callers that also
+    position words (ConvOcr._page_words) consume the SAME line statistics
+    the classifier features were built from.
     """
     ys1 = np.asarray([b[3] for b in boxes], np.float32)
     hs = np.asarray([b[3] - b[1] + 1 for b in boxes], np.float32)
@@ -217,7 +221,7 @@ def line_samples(ink: np.ndarray, boxes) -> Tuple[np.ndarray, np.ndarray]:
         h = y1 - y0 + 1
         feats.append([h / cap_h, (y1 - baseline) / cap_h,
                       (x1 - x0 + 1) / max(h, 1)])
-    return np.stack(patches), np.asarray(feats, np.float32)
+    return np.stack(patches), np.asarray(feats, np.float32), baseline, cap_h
 
 
 class ConvOcr:
@@ -257,11 +261,12 @@ class ConvOcr:
         positioned-run extraction."""
         ink = binarize(image, self.ink_threshold)
         lines = segment_glyphs(ink)
-        batches, feats = [], []
+        batches, feats, stats = [], [], []
         for y0, y1, boxes in lines:
-            p, f = line_samples(ink, boxes)
+            p, f, baseline, cap_h = line_samples(ink, boxes)
             batches.append(p)
             feats.append(f)
+            stats.append((baseline, cap_h))
         if not batches:
             return [], 0.0
         logits = self._forward(np.concatenate(batches),
@@ -272,11 +277,7 @@ class ConvOcr:
         conf = probs[np.arange(len(best)), best]
         out = []
         k = 0
-        for y0, y1, boxes in lines:
-            ys1 = np.asarray([b[3] for b in boxes], np.float32)
-            hs = np.asarray([b[3] - b[1] + 1 for b in boxes], np.float32)
-            baseline = float(np.median(ys1))
-            cap_h = float(max(np.quantile(hs, 0.9), 1.0))
+        for (y0, y1, boxes), (baseline, cap_h) in zip(lines, stats):
             words = []   # (x0, chars)
             prev_x1 = None
             for box in boxes:

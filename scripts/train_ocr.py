@@ -118,7 +118,7 @@ def harvest(font_path: str, rng, sizes=(14, 18, 24, 34), n_lines: int = 30):
             _, _, boxes = lines[0]
             if len(boxes) != len(labels):
                 continue   # touching/split glyphs: out of distribution
-            patches, feats = line_samples(ink, boxes)
+            patches, feats, _, _ = line_samples(ink, boxes)
             for p, f, ch in zip(patches, feats, labels):
                 xs.append(p)
                 fs.append(f)

@@ -214,6 +214,42 @@ def test_gemma3_mm_preemption_resumes():
         f.result(60)
 
 
+def test_gemma3_mm_resume_extension_is_contiguous():
+    """Regression: the two-stage resume prefill must keep the
+    [prompt | generated] cache rows CONTIGUOUS in the s2 extension.
+    Gemma-3 sliding layers measure the window in cache-slot distance
+    (engine._chunk), so interior bucket padding between the prompt rows
+    and the generated rows shrinks the effective window and the resumed
+    request diverges from the uninterrupted stream. Uses n_gen=3 (not a
+    bucket multiple, so the extension carries 13 pad rows) on the tiny
+    config's sliding_window=8, which spans back into the prompt."""
+    import jax.numpy as jnp
+
+    from multimodal_colpali_tpu.generation.scheduler import (
+        ContinuousBatcher, _Request, Future)
+
+    cfg, eng, mm = _tiny_mm4()
+    rng = np.random.default_rng(11)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    prompt = mm.build_mm_prompt([5, 9, 11, 3, 17], bos_id=2)
+    want = mm.generate([prompt], pix[None], max_new_tokens=8, bucket=16)[0]
+    n_gen = 3
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=4,
+                            mm_engine=mm)
+    req = _Request(list(prompt), 8, 0.0, 0, Future(), eos_id=-1,
+                   tokens=list(want[:n_gen]), pixel_values=pix)
+    prompt_eff = list(prompt) + list(want[:n_gen])
+    s = max(((len(prompt_eff) + bat.bucket - 1) // bat.bucket) * bat.bucket,
+            bat.bucket)
+    assert s - len(prompt_eff) > 0, "extension must carry interior padding"
+    _, _, logits, last_pos = bat._full_prefill(req, prompt_eff, s, True,
+                                               b"pixdigest")
+    assert int(jnp.argmax(logits)) == want[n_gen]
+    assert int(last_pos) == len(prompt_eff) - 1  # gemma3 is 0-indexed
+
+
 def _tiny_mm4():
     """Tiny Gemma-3 MM with 4 soft tokens/image so spans cross page
     boundaries under small pages."""
@@ -262,6 +298,41 @@ def test_gemma3_mm_prefix_caching_shares_image_prefix():
     # the 12-token base = 3 full pages @4, incl the span-crossing page
     assert bat.prefix_cache_hits >= 4
     assert bat.prefix_prefill_hits >= 1   # tail-only compute happened
+
+
+def test_gemma3_mm_can_admit_counts_live_prefix_reuse():
+    """Regression: _can_admit must count reusable prefix pages for
+    Gemma-3 MM prompts too (same eligibility as _install_slot, keyed by
+    the pixel digest). A second request sharing a LIVE request's image
+    prefix needs only its non-cached remainder from the free pool;
+    skipping mm reuse deferred it even though install would attach the
+    shared pages without drawing on the pool."""
+    import hashlib
+
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    cfg, eng, mm = _tiny_mm4()
+    rng = np.random.default_rng(9)
+    pix = rng.standard_normal(
+        (1, cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    base = mm.build_mm_prompt([5, 9, 11, 3, 17, 8, 2], bos_id=2)  # 12 toks
+    assert len(base) == 12
+    bat = PagedContinuousBatcher(eng, batch_slots=2, max_seq_len=64,
+                                 chunk=3, page_size=4, pool_pages=7,
+                                 mm_engine=mm, prefix_caching=True)
+    f1 = bat.submit(base + [40, 41], max_new_tokens=6, pixel_values=pix)
+    with bat._lock:
+        bat._admit()   # request A active: 4 pages held, 3 full cached+live
+    assert any(r is not None for r in bat._slots)
+    digest = hashlib.sha1(np.ascontiguousarray(pix).tobytes()).hexdigest()
+    p2 = list(base) + [50]   # 13 tokens: 3 cached pages + 1 fresh (free=2)
+    assert bat._can_admit(16, len(p2), 2, tokens=p2, mm=True, ctx=digest)
+    # a different image shares nothing -> needs 4 fresh pages > 2 free
+    assert not bat._can_admit(16, len(p2), 2, tokens=p2, mm=True,
+                              ctx="other-digest")
+    bat.drain()
+    f1.result(30)
 
 
 def test_gemma3_mm_prefix_caching_different_images_never_alias():

@@ -175,6 +175,62 @@ def test_spec_batcher_logprobs_fall_back(tiny_lm):
     assert got[1] == pytest.approx(want[1])
 
 
+def test_speculative_generate_batch_size_reuse(tiny_lm):
+    """Regression: the jit cache must key on the batch size - the run
+    closure bakes b into the cache/token-buffer shapes, so reusing one
+    engine for calls with different prompt counts (same bucketed s) used
+    to retrace with mismatched shapes and crash."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(2, 60, (5,)).tolist(),
+               rng.integers(2, 60, (7,)).tolist()]
+    got2, _ = speculative_generate(eng, prompts, max_new_tokens=8, k=4)
+    got1, _ = speculative_generate(eng, [prompts[0]], max_new_tokens=8, k=4)
+    assert got1[0] == got2[0]
+
+
+def test_spec_batcher_draft_history_survives_logprobs_chunks(tiny_lm):
+    """Regression: chunks with a logprobs slot run the PARENT decode,
+    which never updates _toks_dev/_nlen; once the logprobs request ends
+    and speculation resumes, the draft history must be resynced from
+    host truth or drafts come from a stale buffer (silent acceptance
+    collapse). Drive the loop manually and check the invariant
+    nlen[slot] == len(prompt) + len(tokens) after every speculative
+    chunk; streams must stay bit-exact throughout."""
+    tcfg, params = tiny_lm
+    eng = GemmaDecodeEngine(tcfg, params)
+    rng = np.random.default_rng(22)
+    p_greedy = [rng.integers(2, 60, (n,)).tolist() for n in (6, 9)]
+    p_lp = rng.integers(2, 60, (5,)).tolist()
+    want = [eng.generate([p], max_new_tokens=24)[0] for p in p_greedy]
+    bat = _spec_bat(eng, spec_k=4)
+    futs = [bat.submit(p, max_new_tokens=24) for p in p_greedy]
+    f_lp = bat.submit(p_lp, max_new_tokens=4, logprobs=1)
+    saw_spec_after_parent = False
+    saw_parent = False
+    with bat._lock:
+        while (not bat._queue.empty() or bat._readmit
+               or any(r is not None for r in bat._slots)):
+            bat._admit()
+            if not any(r is not None for r in bat._slots):
+                continue
+            bat._step_chunk()
+            if bat._spec_dirty:
+                saw_parent = True
+                continue   # parent path ran; buffer legitimately stale
+            if saw_parent:
+                saw_spec_after_parent = True
+            nlen = np.asarray(bat._nlen)
+            for slot, req in enumerate(bat._slots):
+                if req is None:
+                    continue
+                assert nlen[slot] == len(req.prompt) + len(req.tokens)
+    assert saw_parent and saw_spec_after_parent, \
+        "test must exercise parent chunks followed by speculative chunks"
+    assert [f.result(30) for f in futs] == want
+
+
 def test_spec_batcher_gemma3(tiny_lm):
     """Speculative slot decoding composes with Gemma-3's sliding
     layers."""
