@@ -92,7 +92,26 @@ def main() -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     mm_engine = image_pre = None
-    if args.model in GEMMA3_CONFIGS:
+    from multimodal_colpali_tpu.models.registry import QWEN2VL_CONFIGS
+
+    if args.model in QWEN2VL_CONFIGS:
+        # the reference's "old models" tier (vLLM containers,
+        # 00_run_docker_old_models.sh): the Qwen2-VL LM decodes
+        # first-party through the same batchers (text serving; image
+        # prompts still need the vision tower's mrope layout - the HTTP
+        # seam covers those operationally)
+        from multimodal_colpali_tpu.generation.engine import Qwen2DecodeEngine
+        from multimodal_colpali_tpu.models.registry import load_qwen2vl_lm
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cfg, params, tok = load_qwen2vl_lm(args.model, dtype=dtype)
+        engine = Qwen2DecodeEngine(cfg, params, dtype=dtype,
+                                   weight_dtype=args.weight_dtype)
+        if tok is None:
+            vocab = cfg.vocab_size
+            tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
+    elif args.model in GEMMA3_CONFIGS:
         # the reference's actual generator class (Gemma-3; vLLM serves
         # google/gemma-3-27b-it over image-context MCQ prompts,
         # 00_run_docker_containers.sh:26-39) - FULL multimodal: the LM
@@ -126,8 +145,9 @@ def main() -> None:
             retriever = load_retriever(args.model)
         if retriever.family != "colpali":
             raise SystemExit(
-                "serving supports the Gemma-LM (colpali) family and the "
-                f"gemma3 LMs ({sorted(GEMMA3_CONFIGS)}); {args.model!r} is "
+                "serving supports the Gemma-LM (colpali) family, the "
+                f"gemma3 LMs ({sorted(GEMMA3_CONFIGS)}) and the qwen2-vl "
+                f"LMs ({sorted(QWEN2VL_CONFIGS)}); {args.model!r} is "
                 f"{retriever.family!r}")
         cfg = retriever.model.cfg
         engine = GemmaDecodeEngine(cfg.text, retriever.params, dtype=dtype,

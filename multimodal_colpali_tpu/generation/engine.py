@@ -182,6 +182,8 @@ def layer_stack(p, c: "GemmaTextConfig", x: jax.Array, positions: jax.Array,
     """
     if getattr(c, "is_gemma3", False):
         return _layer_stack_gemma3(p, c, x, positions, kv_write, attend)
+    if getattr(c, "is_qwen2", False):
+        return _layer_stack_qwen2(p, c, x, positions, kv_write, attend)
     b, s, _ = x.shape
     new_k, new_v = [], []
     for i in range(c.num_hidden_layers):
@@ -254,6 +256,65 @@ def _layer_stack_gemma3(p, c, x: jax.Array, positions: jax.Array,
         x = x + _rms(ff, lp["post_feedforward_layernorm"]["weight"],
                      c.rms_norm_eps)
     x = _rms(x, p["language_model"]["norm"]["weight"], c.rms_norm_eps)
+    return x, (tuple(new_k), tuple(new_v))
+
+
+def _rms_plain(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+    """Qwen2 RMSNorm convention: y = x/rms(x) * w (no +1, unlike Gemma)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def _layer_stack_qwen2(p, c, x: jax.Array, positions, kv_write, attend):
+    """Qwen2(-VL) per-layer body (HF ``Qwen2VLDecoderLayer``, mirrored from
+    models/qwen2vl.Qwen2DecoderLayer which is torch-parity-tested):
+    plain-multiply RMSNorm, BIASED q/k/v projections, multimodal 3D rope
+    (``positions`` may be [B, S] - text rows, all three mrope streams
+    equal, exactly HF's text-only degenerate case - or [3, B, S] for an
+    image prefill's temporal/h/w streams), SiLU-gated MLP, no sandwich
+    norms. Same injection contract as ``layer_stack``.
+
+    This is the text stack of the reference's old-model class
+    AdaptLLM/biomed-Qwen2-VL-2B-Instruct (00_run_docker_old_models.sh:24-38),
+    served first-party instead of through the vLLM container."""
+    from multimodal_colpali_tpu.models.qwen2vl import mrope_cos_sin
+
+    b, s, _ = x.shape
+    pos3 = (jnp.broadcast_to(positions[None], (3,) + positions.shape)
+            if positions.ndim == 2 else positions)
+    cos, sin = mrope_cos_sin(c, pos3)              # [B, S, head_dim]
+    cosb = cos[:, :, None, :].astype(jnp.float32)
+    sinb = sin[:, :, None, :].astype(jnp.float32)
+
+    def rot(t):
+        tf = t.astype(jnp.float32)
+        half = tf.shape[-1] // 2
+        rh = jnp.concatenate([-tf[..., half:], tf[..., :half]], axis=-1)
+        return ((tf * cosb) + (rh * sinb)).astype(t.dtype)
+
+    new_k, new_v = [], []
+    for i in range(c.num_hidden_layers):
+        lp = p["language_model"][f"layers_{i}"]
+        y = _rms_plain(x, lp["input_layernorm"]["weight"], c.rms_norm_eps)
+        q = _lin(y, lp["self_attn"]["q_proj"]).reshape(
+            b, s, c.num_attention_heads, c.head_dim)
+        k = _lin(y, lp["self_attn"]["k_proj"]).reshape(
+            b, s, c.num_key_value_heads, c.head_dim)
+        v = _lin(y, lp["self_attn"]["v_proj"]).reshape(
+            b, s, c.num_key_value_heads, c.head_dim)
+        q, k = rot(q), rot(k)
+        kc, vc = kv_write(i, k, v)
+        new_k.append(kc)
+        new_v.append(vc)
+        att = attend(i, q, kc, vc)
+        x = x + _lin(att.reshape(b, s, -1), lp["self_attn"]["o_proj"])
+        y = _rms_plain(x, lp["post_attention_layernorm"]["weight"],
+                       c.rms_norm_eps)
+        gate = _lin(y, lp["mlp"]["gate_proj"])
+        up = _lin(y, lp["mlp"]["up_proj"])
+        x = x + _lin(jax.nn.silu(gate) * up, lp["mlp"]["down_proj"])
+    x = _rms_plain(x, p["language_model"]["norm"]["weight"], c.rms_norm_eps)
     return x, (tuple(new_k), tuple(new_v))
 
 
@@ -522,6 +583,31 @@ class GemmaDecodeEngine:
                 toks = toks[: toks.index(eos_id)]
             results.append(toks)
         return results
+
+
+@dataclasses.dataclass
+class Qwen2DecodeEngine(GemmaDecodeEngine):
+    """Causal Qwen2(-VL text stack) LM over an engine param tree. The
+    per-layer math is ``_layer_stack_qwen2`` (dispatched by the config's
+    ``is_qwen2`` marker), so every decode path - dense/paged batchers,
+    speculative verify, dp x tp sharding - serves Qwen2 alongside the
+    Gemma family. Covers the LM of the reference's old-model class
+    AdaptLLM/biomed-Qwen2-VL-2B-Instruct (00_run_docker_old_models.sh)."""
+
+    def _embed(self, p, ids: jax.Array) -> jax.Array:
+        # Qwen2 does NOT scale embeddings by sqrt(hidden) (unlike Gemma)
+        return q_take(p["embed"]["embed_tokens"], ids,
+                      jnp.float32).astype(self.dtype)
+
+    def _logits(self, p, hidden: jax.Array) -> jax.Array:
+        lm = p["language_model"]
+        if "lm_head" in lm:   # untied head (Qwen2-VL-7B class)
+            return q_dense(hidden.astype(jnp.float32),
+                           lm["lm_head"]["kernel"], None, dense_fn=L.dense
+                           )[..., : self.cfg.vocab_size]
+        return q_logits(hidden.astype(jnp.float32),
+                        p["embed"]["embed_tokens"],
+                        out_dim=self.cfg.vocab_size)
 
 
 class PaliGemmaEngine:

@@ -165,6 +165,30 @@ def colqwen2_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     return params
 
 
+def qwen2vl_lm_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Convert a ``Qwen2VLForConditionalGeneration`` state dict (the
+    reference's old-model class AdaptLLM/biomed-Qwen2-VL-2B-Instruct,
+    00_run_docker_old_models.sh:24-38) to the decode-engine tree
+    ``{"embed", "language_model", "visual"}``. ``cfg`` is a
+    ColQwen2ModelConfig; the per-layer layout mirrors the Gemma engine
+    tree (mlp nested) so quantization/TP walkers apply unchanged."""
+    flat = colqwen2_params_from_hf(sd, cfg)
+    lm: Dict[str, Any] = {"norm": flat["norm"]}
+    for i in range(cfg.text.num_hidden_layers):
+        li = flat[f"layers_{i}"]
+        lm[f"layers_{i}"] = {
+            "self_attn": li["self_attn"],
+            "mlp": {"gate_proj": li["gate_proj"], "up_proj": li["up_proj"],
+                    "down_proj": li["down_proj"]},
+            "input_layernorm": li["input_layernorm"],
+            "post_attention_layernorm": li["post_attention_layernorm"],
+        }
+    if not cfg.text.tie_word_embeddings:
+        lm["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+    return {"embed": {"embed_tokens": flat["embed_tokens"]},
+            "language_model": lm, "visual": flat["visual"]}
+
+
 def colflor_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     """Convert a Florence-2 / ColFlor state dict to the flax param tree.
 

@@ -80,10 +80,37 @@ class Qwen2TextConfig:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1_000_000.0
     mrope_section: Tuple[int, int, int] = (16, 24, 24)
+    # Qwen2-VL-2B ties the LM head to the embed table; 7B does not.
+    tie_word_embeddings: bool = True
+
+    is_qwen2 = True   # engine dispatch marker (layer_stack branches on it)
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def qwen2_vl_2b(cls) -> "Qwen2TextConfig":
+        """Qwen2-VL-2B-Instruct text stack (HF config values) - the LM of
+        the reference's old-model AdaptLLM/biomed-Qwen2-VL-2B-Instruct
+        (00_run_docker_old_models.sh:24-38)."""
+        return cls()   # the dataclass defaults ARE the 2B values
+
+    @classmethod
+    def qwen2_vl_7b(cls) -> "Qwen2TextConfig":
+        """Qwen2-VL-7B-Instruct text stack (untied LM head)."""
+        return cls(vocab_size=152064, hidden_size=3584,
+                   intermediate_size=18944, num_hidden_layers=28,
+                   num_attention_heads=28, num_key_value_heads=4,
+                   tie_word_embeddings=False)
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 64) -> "Qwen2TextConfig":
+        """Matches ColQwen2ModelConfig.tiny().text (the parity fixtures)."""
+        return cls(vocab_size=vocab_size, hidden_size=24,
+                   intermediate_size=48, num_hidden_layers=2,
+                   num_attention_heads=2, num_key_value_heads=1,
+                   rope_theta=10000.0, mrope_section=(1, 2, 3))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,6 +149,20 @@ class ColQwen2ModelConfig:
                 mrope_section=(16, 24, 24),
             ),
         )
+
+    @classmethod
+    def qwen2_vl_2b(cls) -> "ColQwen2ModelConfig":
+        """Plain Qwen2-VL-2B-Instruct (no retrieval head) - the backbone
+        of the reference's old-model AdaptLLM/biomed-Qwen2-VL-2B-Instruct
+        (00_run_docker_old_models.sh:24-38); used to convert its full
+        checkpoint (vision tower included) for first-party serving."""
+        return cls(vision=Qwen2VisionConfig(hidden_size=1536),
+                   text=Qwen2TextConfig.qwen2_vl_2b())
+
+    @classmethod
+    def qwen2_vl_7b(cls) -> "ColQwen2ModelConfig":
+        return cls(vision=Qwen2VisionConfig(hidden_size=3584),
+                   text=Qwen2TextConfig.qwen2_vl_7b())
 
     @classmethod
     def tiny_25(cls, vocab_size: int = 64) -> "ColQwen2ModelConfig":

@@ -741,6 +741,129 @@ def load_gemma3_lm(name: str, checkpoint_dir: Optional[str] = None,
     return cfg, params, tok
 
 
+# -- Qwen2-VL generator LMs (the reference's "old models" tier) --------------
+#
+# The reference also serves three biomed VLMs through vLLM containers
+# (00_run_docker_old_models.sh); the Qwen2-VL one
+# (AdaptLLM/biomed-Qwen2-VL-2B-Instruct, :24-38) is covered first-party by
+# Qwen2DecodeEngine. These resolve to TEXT configs (the decode stack); the
+# matching full-model configs below convert complete VL checkpoints.
+
+QWEN2VL_CONFIGS: Dict[str, Any] = {}
+_QWEN2VL_FULL: Dict[str, Any] = {}
+
+
+def _register_qwen2vl():
+    from multimodal_colpali_tpu.models.qwen2vl import (ColQwen2ModelConfig,
+                                                       Qwen2TextConfig)
+
+    QWEN2VL_CONFIGS.update({
+        "AdaptLLM/biomed-Qwen2-VL-2B-Instruct": Qwen2TextConfig.qwen2_vl_2b,
+        "Qwen/Qwen2-VL-2B-Instruct": Qwen2TextConfig.qwen2_vl_2b,
+        "qwen2-vl-2b": Qwen2TextConfig.qwen2_vl_2b,
+        "Qwen/Qwen2-VL-7B-Instruct": Qwen2TextConfig.qwen2_vl_7b,
+        "qwen2-vl-7b": Qwen2TextConfig.qwen2_vl_7b,
+        "tiny-qwen2vl": Qwen2TextConfig.tiny,
+    })
+    _QWEN2VL_FULL.update({
+        "AdaptLLM/biomed-Qwen2-VL-2B-Instruct": ColQwen2ModelConfig.qwen2_vl_2b,
+        "Qwen/Qwen2-VL-2B-Instruct": ColQwen2ModelConfig.qwen2_vl_2b,
+        "qwen2-vl-2b": ColQwen2ModelConfig.qwen2_vl_2b,
+        "Qwen/Qwen2-VL-7B-Instruct": ColQwen2ModelConfig.qwen2_vl_7b,
+        "qwen2-vl-7b": ColQwen2ModelConfig.qwen2_vl_7b,
+        "tiny-qwen2vl": ColQwen2ModelConfig.tiny,
+    })
+
+
+_register_qwen2vl()
+
+
+def qwen2vl_param_shapes(cfg) -> Dict[str, Any]:
+    """ShapeDtypeStruct tree matching the LM subtrees of
+    ``hf_import.qwen2vl_lm_params_from_hf`` (biased q/k/v, nested mlp,
+    untied ``lm_head`` when the config says so)."""
+    h, hd = cfg.hidden_size, cfg.head_dim
+    nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    f32 = jnp.float32
+    sds = jax.ShapeDtypeStruct
+    layer = {
+        "self_attn": {
+            "q_proj": {"kernel": sds((h, nq * hd), f32),
+                       "bias": sds((nq * hd,), f32)},
+            "k_proj": {"kernel": sds((h, nkv * hd), f32),
+                       "bias": sds((nkv * hd,), f32)},
+            "v_proj": {"kernel": sds((h, nkv * hd), f32),
+                       "bias": sds((nkv * hd,), f32)},
+            "o_proj": {"kernel": sds((nq * hd, h), f32)},
+        },
+        "mlp": {
+            "gate_proj": {"kernel": sds((h, cfg.intermediate_size), f32)},
+            "up_proj": {"kernel": sds((h, cfg.intermediate_size), f32)},
+            "down_proj": {"kernel": sds((cfg.intermediate_size, h), f32)},
+        },
+        "input_layernorm": {"weight": sds((h,), f32)},
+        "post_attention_layernorm": {"weight": sds((h,), f32)},
+    }
+    language = {f"layers_{i}": layer for i in range(cfg.num_hidden_layers)}
+    language["norm"] = {"weight": sds((h,), f32)}
+    if not cfg.tie_word_embeddings:
+        language["lm_head"] = {"kernel": sds((h, cfg.vocab_size), f32)}
+    return {
+        "embed": {"embed_tokens": sds((cfg.vocab_size, h), f32)},
+        "language_model": language,
+    }
+
+
+def qwen2vl_random_params(cfg, seed: int = 0) -> Dict[str, Any]:
+    """Random Qwen2 LM params: plain-multiply RMSNorms -> w=1 (NOT the
+    Gemma w=0), projection biases -> 0, kernels N(0, fan_in^-0.5)."""
+    shapes = qwen2vl_param_shapes(cfg)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    rng = np.random.default_rng(seed)
+    out = []
+    for path, s in flat:
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "weight":
+            out.append(np.ones(s.shape, np.float32))
+        elif name == "bias":
+            out.append(np.zeros(s.shape, np.float32))
+        else:
+            fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+            out.append(rng.standard_normal(s.shape, dtype=np.float32)
+                       * float(fan_in) ** -0.5)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def load_qwen2vl_lm(name: str, checkpoint_dir: Optional[str] = None,
+                    dtype: Any = jnp.bfloat16, seed: int = 0):
+    """Load a Qwen2-VL generator LM by name -> (text_cfg, params, tok).
+
+    Checkpoint resolution mirrors ``load_gemma3_lm``; a full VL checkpoint
+    converts through ``hf_import.qwen2vl_lm_params_from_hf`` (vision tower
+    kept in the tree for a future mm engine; the decode engine ignores
+    it). Without a checkpoint the LM subtrees are random-initialized
+    (2B/7B fit a v5e chip in bf16, so no leaf-streamed builder is
+    needed)."""
+    if name not in QWEN2VL_CONFIGS:
+        raise KeyError(
+            f"unknown qwen2-vl LM {name!r}; known: {sorted(QWEN2VL_CONFIGS)}")
+    cfg = QWEN2VL_CONFIGS[name]()
+    ckpt = _find_checkpoint(name, checkpoint_dir)
+    tok = None
+    if ckpt is not None:
+        tok = _load_tokenizer_from(ckpt)
+        sd = hf_import.load_state_dict(ckpt)
+        params = hf_import.qwen2vl_lm_params_from_hf(sd, _QWEN2VL_FULL[name]())
+    else:
+        warnings.warn(
+            f"no local checkpoint for {name!r}; using random init "
+            f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
+            stacklevel=2,
+        )
+        params = qwen2vl_random_params(cfg, seed)
+    return cfg, params, tok
+
+
 GEMMA3_MM_CONFIGS: Dict[str, Any] = {}
 
 

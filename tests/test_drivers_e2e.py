@@ -445,3 +445,40 @@ def test_serve_cli_gemma3(workspace, wdtype):
     finally:
         serve.terminate()
         serve.wait(timeout=10)
+
+
+@pytest.mark.e2e
+def test_serve_cli_qwen2vl(workspace):
+    """Driver 07 serves the Qwen2-VL LM class first-party (the
+    reference's old-model tier runs AdaptLLM/biomed-Qwen2-VL-2B-Instruct
+    in a vLLM container, 00_run_docker_old_models.sh:24-38) through the
+    paged batcher with speculative decoding composed on top."""
+    env = _env("http://unused")
+    env.pop("OPENAI_BASE_URL")
+    serve = subprocess.Popen(
+        [sys.executable, str(DRIVERS / "07_serve.py"),
+         "--model", "tiny-qwen2vl", "--port", "0", "--paged",
+         "--speculative", "3", "--max-seq-len", "256",
+         "--dtype", "float32"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        base = _wait_for_serve(serve)
+        import urllib.request
+
+        req = urllib.request.Request(
+            base.rstrip("/") + "/chat/completions",
+            data=json.dumps({
+                "model": "qwen2-vl", "max_tokens": 8,
+                "messages": [{"role": "user", "content": "hello world"}],
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out = json.load(r)
+        text = out["choices"][0]["message"]["content"]
+        assert text and "error" not in out
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out2 = json.load(r)
+        assert out2["choices"][0]["message"]["content"] == text
+    finally:
+        serve.terminate()
+        serve.wait(timeout=10)
