@@ -96,20 +96,29 @@ def main() -> None:
 
     if args.model in QWEN2VL_CONFIGS:
         # the reference's "old models" tier (vLLM containers,
-        # 00_run_docker_old_models.sh): the Qwen2-VL LM decodes
-        # first-party through the same batchers (text serving; image
-        # prompts still need the vision tower's mrope layout - the HTTP
-        # seam covers those operationally)
+        # 00_run_docker_old_models.sh:24-38): the FULL Qwen2-VL serves
+        # first-party - text decodes through the batchers, image prompts
+        # prefill through Qwen2VLMMEngine (the ColQwen2 retriever tower +
+        # in-jit mrope positions)
         from multimodal_colpali_tpu.generation.engine import Qwen2DecodeEngine
-        from multimodal_colpali_tpu.models.registry import load_qwen2vl_lm
+        from multimodal_colpali_tpu.generation.qwen2vl_mm import (
+            Qwen2VLImagePreprocessor, Qwen2VLMMEngine)
+        from multimodal_colpali_tpu.models.registry import load_qwen2vl_mm
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            cfg, params, tok = load_qwen2vl_lm(args.model, dtype=dtype)
-        engine = Qwen2DecodeEngine(cfg, params, dtype=dtype,
+            cfg_mm, params, tok = load_qwen2vl_mm(args.model, dtype=dtype)
+        engine = Qwen2DecodeEngine(cfg_mm.text, params, dtype=dtype,
                                    weight_dtype=args.weight_dtype)
+        if args.weight_dtype in ("int8", "int4"):
+            # share the quantized embed/LM buffers with the mm engine
+            params = {**params, "embed": engine.params["embed"],
+                      "language_model": engine.params["language_model"]}
+        mm_engine = Qwen2VLMMEngine(cfg_mm, params, dtype=dtype,
+                                    vision_dtype=args.vision_dtype)
+        image_pre = Qwen2VLImagePreprocessor(cfg_mm)
         if tok is None:
-            vocab = cfg.vocab_size
+            vocab = cfg_mm.text.vocab_size
             tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
     elif args.model in GEMMA3_CONFIGS:
         # the reference's actual generator class (Gemma-3; vLLM serves

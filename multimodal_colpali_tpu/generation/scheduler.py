@@ -341,12 +341,15 @@ class ContinuousBatcher:
                 fut.set_exception(ValueError(
                     "multimodal request but no mm_engine configured"))
                 return fut
-            # per-request images: [H, W, 3] one image or [N, H, W, 3] for N
+            # per-request images: one image or an [N, ...] stack for N
             # context images (the reference allows 10 per prompt,
             # 00_run_docker_containers.sh:37-38); the prompt must carry
-            # N * num_patches image tokens (build_mm_prompt(n_images=N))
+            # N * num_patches image tokens (build_mm_prompt(n_images=N)).
+            # The per-image array rank is engine-declared: [H, W, 3]
+            # pixel rasters (PaliGemma/Gemma-3, rank 3) vs pre-patchified
+            # [P, patch_dim] (Qwen2-VL, rank 2).
             pixel_values = np.asarray(pixel_values)
-            if pixel_values.ndim == 3:
+            if pixel_values.ndim == getattr(self.mm_engine, "image_rank", 3):
                 pixel_values = pixel_values[None]
         self._queue.put(_Request(
             list(prompt), max_new_tokens, float(temperature), seed, fut,

@@ -864,6 +864,61 @@ def load_qwen2vl_lm(name: str, checkpoint_dir: Optional[str] = None,
     return cfg, params, tok
 
 
+def qwen2vl_mm_random_params(cfg, seed: int = 0) -> Dict[str, Any]:
+    """Random FULL Qwen2-VL params: LM via ``qwen2vl_random_params``,
+    vision via the flax tower's eval_shape (RMS/LayerNorm weights -> 1,
+    biases -> 0, kernels N(0, fan_in^-0.5))."""
+    from multimodal_colpali_tpu.models.qwen2vl import Qwen2VisionTower
+
+    lm = qwen2vl_random_params(cfg.text, seed)
+    tower = Qwen2VisionTower(cfg.vision, cfg.grid_h, cfg.grid_w)
+    shapes = jax.eval_shape(lambda: tower.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.grid_h * cfg.grid_w, cfg.vision.patch_dim),
+                  jnp.float32)))["params"]
+    rng = np.random.default_rng(seed + 1)
+
+    def fill(path, s):
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "bias":
+            return np.zeros(s.shape, np.float32)
+        if name in ("scale",) or (name == "weight" and len(s.shape) == 1):
+            return np.ones(s.shape, np.float32)       # norms
+        fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+        return (rng.standard_normal(s.shape).astype(np.float32)
+                * float(fan_in) ** -0.5)
+
+    lm["visual"] = jax.tree_util.tree_map_with_path(fill, shapes)
+    return lm
+
+
+def load_qwen2vl_mm(name: str, checkpoint_dir: Optional[str] = None,
+                    dtype: Any = jnp.bfloat16, seed: int = 0):
+    """Load the FULL Qwen2-VL generator (vision tower + LM) by name ->
+    (model_cfg, params, tokenizer). The model config is the plain-VL
+    ColQwen2ModelConfig (``qwen2_vl_2b``/``qwen2_vl_7b``); checkpoints
+    convert through the same ``qwen2vl_lm_params_from_hf`` the text
+    loader uses (the visual tree is already in it)."""
+    if name not in _QWEN2VL_FULL:
+        raise KeyError(
+            f"unknown qwen2-vl model {name!r}; known: {sorted(_QWEN2VL_FULL)}")
+    cfg = _QWEN2VL_FULL[name]()
+    ckpt = _find_checkpoint(name, checkpoint_dir)
+    tok = None
+    if ckpt is not None:
+        tok = _load_tokenizer_from(ckpt)
+        sd = hf_import.load_state_dict(ckpt)
+        params = hf_import.qwen2vl_lm_params_from_hf(sd, cfg)
+    else:
+        warnings.warn(
+            f"no local checkpoint for {name!r}; using random init "
+            f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
+            stacklevel=2,
+        )
+        params = qwen2vl_mm_random_params(cfg, seed)
+    return cfg, params, tok
+
+
 GEMMA3_MM_CONFIGS: Dict[str, Any] = {}
 
 

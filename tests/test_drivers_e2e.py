@@ -479,6 +479,30 @@ def test_serve_cli_qwen2vl(workspace):
         with urllib.request.urlopen(req, timeout=240) as r:
             out2 = json.load(r)
         assert out2["choices"][0]["message"]["content"] == text
+        # image request through the Qwen2-VL vision tower (the old-model
+        # tier is a VLM - exp-02 sends it image-context MCQs)
+        import base64
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (56, 56), (30, 200, 90)).save(buf, "PNG")
+        url = ("data:image/png;base64,"
+               + base64.b64encode(buf.getvalue()).decode())
+        mreq = urllib.request.Request(
+            base.rstrip("/") + "/chat/completions",
+            data=json.dumps({
+                "model": "qwen2-vl", "max_tokens": 6,
+                "messages": [{"role": "user", "content": [
+                    {"type": "image_url", "image_url": {"url": url}},
+                    {"type": "text", "text": "describe"},
+                ]}],
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(mreq, timeout=240) as r:
+            mout = json.load(r)
+        assert mout["choices"][0]["message"]["content"]
     finally:
         serve.terminate()
         serve.wait(timeout=10)
