@@ -92,7 +92,8 @@ def main() -> None:
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     mm_engine = image_pre = None
-    from multimodal_colpali_tpu.models.registry import QWEN2VL_CONFIGS
+    from multimodal_colpali_tpu.models.registry import (LLAMA_CONFIGS,
+                                                        QWEN2VL_CONFIGS)
 
     if args.model in QWEN2VL_CONFIGS:
         # the reference's "old models" tier (vLLM containers,
@@ -119,6 +120,21 @@ def main() -> None:
         image_pre = Qwen2VLImagePreprocessor(cfg_mm)
         if tok is None:
             vocab = cfg_mm.text.vocab_size
+            tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
+    elif args.model in LLAMA_CONFIGS:
+        # AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B's LM, first-party (text;
+        # LLaVA-NeXT image prompts ride the mm engine once its CLIP
+        # tower lands)
+        from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
+        from multimodal_colpali_tpu.models.registry import load_llama_lm
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cfg, params, tok = load_llama_lm(args.model, dtype=dtype)
+        engine = LlamaDecodeEngine(cfg, params, dtype=dtype,
+                                   weight_dtype=args.weight_dtype)
+        if tok is None:
+            vocab = cfg.vocab_size
             tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
     elif args.model in GEMMA3_CONFIGS:
         # the reference's actual generator class (Gemma-3; vLLM serves

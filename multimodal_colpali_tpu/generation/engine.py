@@ -182,7 +182,11 @@ def layer_stack(p, c: "GemmaTextConfig", x: jax.Array, positions: jax.Array,
     """
     if getattr(c, "is_gemma3", False):
         return _layer_stack_gemma3(p, c, x, positions, kv_write, attend)
-    if getattr(c, "is_qwen2", False):
+    if getattr(c, "is_qwen2", False) or getattr(c, "is_llama", False):
+        # Llama rides the Qwen2 body: same plain-multiply RMSNorm / SiLU
+        # MLP / GQA layout, its projections simply carry no biases
+        # (_lin skips absent biases) and its mrope_section routes every
+        # channel to the temporal stream (plain rotary).
         return _layer_stack_qwen2(p, c, x, positions, kv_write, attend)
     b, s, _ = x.shape
     new_k, new_v = [], []
@@ -608,6 +612,18 @@ class Qwen2DecodeEngine(GemmaDecodeEngine):
         return q_logits(hidden.astype(jnp.float32),
                         p["embed"]["embed_tokens"],
                         out_dim=self.cfg.vocab_size)
+
+
+@dataclasses.dataclass
+class LlamaDecodeEngine(Qwen2DecodeEngine):
+    """Causal Llama LM over an engine param tree. Identical engine math
+    to Qwen2 (unscaled embeddings, tied/untied head, plain RMSNorm);
+    the layer body dispatches on the config's ``is_llama`` marker to the
+    shared Qwen2/Llama branch (bias-free projections, all-temporal
+    mrope == standard rotary). Covers the LM of the reference's
+    old-model AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B
+    (00_run_docker_old_models.sh:41-52) and the SmolLM2 stacks the
+    ColIdefics3 retrievers carry."""
 
 
 class PaliGemmaEngine:

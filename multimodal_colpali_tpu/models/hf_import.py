@@ -189,6 +189,47 @@ def qwen2vl_lm_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
             "language_model": lm, "visual": flat["visual"]}
 
 
+def llama_lm_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Convert a Llama-family LM state dict to the decode-engine tree
+    ``{"embed", "language_model"}``. Accepts bare ``LlamaForCausalLM``
+    checkpoints AND the LM nested inside ``LlavaNextForConditionalGeneration``
+    (the reference's old-model AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B,
+    00_run_docker_old_models.sh:41-52) - non-LM subtrees (vision tower,
+    projector) are ignored here. Projections carry no biases; the layer
+    layout mirrors the Gemma/Qwen2 engine trees (mlp nested) so the
+    quantization/TP walkers apply unchanged."""
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        k = re.sub(r"^model\.", "", k)
+        k = re.sub(r"^language_model\.(model\.)?", "", k)
+        norm[k] = v
+    sd = norm
+
+    lm: Dict[str, Any] = {"norm": _rms(sd, "norm")}
+    for i in range(cfg.num_hidden_layers):
+        p = f"layers.{i}."
+        lm[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj", bias=False),
+                "k_proj": _lin(sd, p + "self_attn.k_proj", bias=False),
+                "v_proj": _lin(sd, p + "self_attn.v_proj", bias=False),
+                "o_proj": _lin(sd, p + "self_attn.o_proj", bias=False),
+            },
+            "mlp": {
+                "gate_proj": _lin(sd, p + "mlp.gate_proj", bias=False),
+                "up_proj": _lin(sd, p + "mlp.up_proj", bias=False),
+                "down_proj": _lin(sd, p + "mlp.down_proj", bias=False),
+            },
+            "input_layernorm": _rms(sd, p + "input_layernorm"),
+            "post_attention_layernorm": _rms(sd,
+                                             p + "post_attention_layernorm"),
+        }
+    if not cfg.tie_word_embeddings:
+        lm["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+    return {"embed": {"embed_tokens": _np(sd["embed_tokens.weight"])},
+            "language_model": lm}
+
+
 def colflor_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     """Convert a Florence-2 / ColFlor state dict to the flax param tree.
 

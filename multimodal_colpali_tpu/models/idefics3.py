@@ -39,10 +39,39 @@ class LlamaTextConfig:
     num_key_value_heads: int = 3
     rms_norm_eps: float = 1e-5
     rope_theta: float = 100_000.0
+    tie_word_embeddings: bool = True
+
+    # Engine dispatch marker: the Llama decoder body is the Qwen2 body
+    # minus the q/k/v biases, and standard rotary IS mrope with every
+    # channel routed to the temporal stream (see mrope_section below) -
+    # engine.layer_stack serves both through one branch.
+    is_llama = True
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def mrope_section(self):
+        return (self.head_dim // 2, 0, 0)   # all-temporal == plain rope
+
+    @classmethod
+    def llama3_8b(cls) -> "LlamaTextConfig":
+        """Llama-3-8B(-Instruct) text stack - the LM of the reference's
+        old-model AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B
+        (00_run_docker_old_models.sh:41-52)."""
+        return cls(vocab_size=128256, hidden_size=4096,
+                   intermediate_size=14336, num_hidden_layers=32,
+                   num_attention_heads=32, num_key_value_heads=8,
+                   rms_norm_eps=1e-5, rope_theta=500_000.0,
+                   tie_word_embeddings=False)
+
+    @classmethod
+    def tiny_lm(cls, vocab_size: int = 64) -> "LlamaTextConfig":
+        return cls(vocab_size=vocab_size, hidden_size=24,
+                   intermediate_size=48, num_hidden_layers=2,
+                   num_attention_heads=2, num_key_value_heads=1,
+                   rope_theta=10000.0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -780,20 +780,26 @@ _register_qwen2vl()
 
 def qwen2vl_param_shapes(cfg) -> Dict[str, Any]:
     """ShapeDtypeStruct tree matching the LM subtrees of
-    ``hf_import.qwen2vl_lm_params_from_hf`` (biased q/k/v, nested mlp,
-    untied ``lm_head`` when the config says so)."""
+    ``hf_import.qwen2vl_lm_params_from_hf`` / ``llama_lm_params_from_hf``
+    (q/k/v biases only for Qwen2 configs, nested mlp, untied ``lm_head``
+    when the config says so)."""
     h, hd = cfg.hidden_size, cfg.head_dim
     nq, nkv = cfg.num_attention_heads, cfg.num_key_value_heads
     f32 = jnp.float32
     sds = jax.ShapeDtypeStruct
+    biased = getattr(cfg, "is_qwen2", False)
+
+    def proj(shape):
+        d = {"kernel": sds(shape, f32)}
+        if biased:
+            d["bias"] = sds((shape[1],), f32)
+        return d
+
     layer = {
         "self_attn": {
-            "q_proj": {"kernel": sds((h, nq * hd), f32),
-                       "bias": sds((nq * hd,), f32)},
-            "k_proj": {"kernel": sds((h, nkv * hd), f32),
-                       "bias": sds((nkv * hd,), f32)},
-            "v_proj": {"kernel": sds((h, nkv * hd), f32),
-                       "bias": sds((nkv * hd,), f32)},
+            "q_proj": proj((h, nq * hd)),
+            "k_proj": proj((h, nkv * hd)),
+            "v_proj": proj((h, nkv * hd)),
             "o_proj": {"kernel": sds((nq * hd, h), f32)},
         },
         "mlp": {
@@ -916,6 +922,56 @@ def load_qwen2vl_mm(name: str, checkpoint_dir: Optional[str] = None,
             stacklevel=2,
         )
         params = qwen2vl_mm_random_params(cfg, seed)
+    return cfg, params, tok
+
+
+# -- Llama generator LMs (the reference's "old models" tier, cont.) ----------
+#
+# AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B (00_run_docker_old_models.sh:41-52)
+# carries a Llama-3-8B LM; LlamaDecodeEngine serves it through the same
+# batchers (the layer body is the shared Qwen2/Llama engine branch).
+
+LLAMA_CONFIGS: Dict[str, Any] = {}
+
+
+def _register_llama():
+    from multimodal_colpali_tpu.models.idefics3 import LlamaTextConfig
+
+    LLAMA_CONFIGS.update({
+        "AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B": LlamaTextConfig.llama3_8b,
+        "meta-llama/Meta-Llama-3-8B-Instruct": LlamaTextConfig.llama3_8b,
+        "llama-3-8b": LlamaTextConfig.llama3_8b,
+        "tiny-llama": LlamaTextConfig.tiny_lm,
+    })
+
+
+_register_llama()
+
+
+def load_llama_lm(name: str, checkpoint_dir: Optional[str] = None,
+                  dtype: Any = jnp.bfloat16, seed: int = 0):
+    """Load a Llama generator LM by name -> (cfg, params, tok). Accepts
+    bare Llama checkpoints and LLaVA-NeXT checkpoints (the converter
+    strips the nesting; vision subtrees are ignored). Random-init
+    fallback reuses the shared shapes/builder (bias-free via the config
+    marker)."""
+    if name not in LLAMA_CONFIGS:
+        raise KeyError(
+            f"unknown llama LM {name!r}; known: {sorted(LLAMA_CONFIGS)}")
+    cfg = LLAMA_CONFIGS[name]()
+    ckpt = _find_checkpoint(name, checkpoint_dir)
+    tok = None
+    if ckpt is not None:
+        tok = _load_tokenizer_from(ckpt)
+        sd = hf_import.load_state_dict(ckpt)
+        params = hf_import.llama_lm_params_from_hf(sd, cfg)
+    else:
+        warnings.warn(
+            f"no local checkpoint for {name!r}; using random init "
+            f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
+            stacklevel=2,
+        )
+        params = qwen2vl_random_params(cfg, seed)
     return cfg, params, tok
 
 
