@@ -230,6 +230,57 @@ def llama_lm_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
             "language_model": lm}
 
 
+def llava_next_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Convert a ``LlavaNextForConditionalGeneration`` state dict (the
+    reference's old-model AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B,
+    00_run_docker_old_models.sh:41-52) to the mm-engine tree
+    ``{"embed", "language_model", "vision_tower", "multi_modal_projector"}``.
+    The LM converts through ``llama_lm_params_from_hf``; the CLIP tower
+    keeps only the layers up to the feature layer's depth (the engine
+    never runs the tail); ``image_newline`` rides in the projector dict."""
+    out = llama_lm_params_from_hf(sd, cfg.text)
+
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        norm[re.sub(r"^model\.", "", k)] = v
+    sd = norm
+
+    vt = "vision_tower.vision_model."
+    vision: Dict[str, Any] = {
+        "patch_embedding": {
+            "kernel": _np(sd[vt + "embeddings.patch_embedding.weight"]
+                          ).transpose(2, 3, 1, 0)},   # CLIP conv: no bias
+        "class_embedding": _np(sd[vt + "embeddings.class_embedding"]),
+        "position_embedding": _np(
+            sd[vt + "embeddings.position_embedding.weight"]),
+        "pre_layrnorm": _ln(sd, vt + "pre_layrnorm"),
+    }
+    n = cfg.vision.num_hidden_layers
+    stop = (n + 1 + cfg.vision_feature_layer if cfg.vision_feature_layer < 0
+            else cfg.vision_feature_layer)
+    for i in range(min(stop, n)):
+        p = f"{vt}encoder.layers.{i}."
+        vision[f"layers_{i}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj"),
+                "k_proj": _lin(sd, p + "self_attn.k_proj"),
+                "v_proj": _lin(sd, p + "self_attn.v_proj"),
+                "out_proj": _lin(sd, p + "self_attn.out_proj"),
+            },
+            "layer_norm1": _ln(sd, p + "layer_norm1"),
+            "layer_norm2": _ln(sd, p + "layer_norm2"),
+            "mlp": {"fc1": _lin(sd, p + "mlp.fc1"),
+                    "fc2": _lin(sd, p + "mlp.fc2")},
+        }
+    out["vision_tower"] = vision
+    out["multi_modal_projector"] = {
+        "linear_1": _lin(sd, "multi_modal_projector.linear_1"),
+        "linear_2": _lin(sd, "multi_modal_projector.linear_2"),
+        "image_newline": _np(sd["image_newline"]),
+    }
+    return out
+
+
 def colflor_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     """Convert a Florence-2 / ColFlor state dict to the flax param tree.
 

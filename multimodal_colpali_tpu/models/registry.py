@@ -975,6 +975,97 @@ def load_llama_lm(name: str, checkpoint_dir: Optional[str] = None,
     return cfg, params, tok
 
 
+# -- LLaVA-NeXT mm generators (the old-models tier's third VLM) ---------------
+
+LLAVA_NEXT_CONFIGS: Dict[str, Any] = {}
+
+
+def _register_llava_next():
+    from multimodal_colpali_tpu.models.clip import LlavaNextMMConfig
+
+    LLAVA_NEXT_CONFIGS.update({
+        "AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B":
+            LlavaNextMMConfig.llava_next_llama3_8b,
+        "llava-next-llama3-8b": LlavaNextMMConfig.llava_next_llama3_8b,
+        "tiny-llava-next": LlavaNextMMConfig.tiny,
+    })
+
+
+_register_llava_next()
+
+
+def llava_next_random_params(cfg, seed: int = 0) -> Dict[str, Any]:
+    """Random FULL LLaVA-NeXT params: Llama LM via the shared builder,
+    CLIP tower via the flax module's eval_shape, projector + newline."""
+    from multimodal_colpali_tpu.models.clip import ClipFeatureTower
+
+    lm = qwen2vl_random_params(cfg.text, seed)
+    tower = ClipFeatureTower(cfg.vision, cfg.vision_feature_layer)
+    shapes = jax.eval_shape(lambda: tower.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3),
+                  jnp.float32)))["params"]
+    rng = np.random.default_rng(seed + 1)
+
+    def fill(path, s):
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "bias":
+            return np.zeros(s.shape, np.float32)
+        if name in ("scale",) or (name == "weight" and len(s.shape) == 1):
+            return np.ones(s.shape, np.float32)       # LayerNorms
+        fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+        return (rng.standard_normal(s.shape).astype(np.float32)
+                * float(fan_in) ** -0.5)
+
+    lm["vision_tower"] = jax.tree_util.tree_map_with_path(fill, shapes)
+    v_h, t_h = cfg.vision.hidden_size, cfg.text.hidden_size
+    lm["multi_modal_projector"] = {
+        "linear_1": {"kernel": rng.standard_normal((v_h, t_h)
+                                                   ).astype(np.float32)
+                     * float(v_h) ** -0.5,
+                     "bias": np.zeros((t_h,), np.float32)},
+        "linear_2": {"kernel": rng.standard_normal((t_h, t_h)
+                                                   ).astype(np.float32)
+                     * float(t_h) ** -0.5,
+                     "bias": np.zeros((t_h,), np.float32)},
+        "image_newline": rng.standard_normal((t_h,)).astype(np.float32)
+        * float(t_h) ** -0.5,
+    }
+    return lm
+
+
+def load_llava_next_mm(name: str, checkpoint_dir: Optional[str] = None,
+                       dtype: Any = jnp.bfloat16, seed: int = 0):
+    """Load the FULL LLaVA-NeXT generator (CLIP tower + Llama LM) ->
+    (cfg, params, tokenizer)."""
+    if name not in LLAVA_NEXT_CONFIGS:
+        raise KeyError(
+            f"unknown llava-next model {name!r}; known: "
+            f"{sorted(LLAVA_NEXT_CONFIGS)}")
+    cfg = LLAVA_NEXT_CONFIGS[name]()
+    ckpt = _find_checkpoint(name, checkpoint_dir)
+    tok = None
+    if ckpt is not None:
+        tok = _load_tokenizer_from(ckpt)
+        sd = hf_import.load_state_dict(ckpt)
+        params = hf_import.llava_next_params_from_hf(sd, cfg)
+        rows = int(np.asarray(params["embed"]["embed_tokens"]).shape[0])
+        if rows != cfg.text.vocab_size:
+            # hf conversions pad the vocab differently; the checkpoint wins
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, text=_dc.replace(cfg.text,
+                                                    vocab_size=rows))
+    else:
+        warnings.warn(
+            f"no local checkpoint for {name!r}; using random init "
+            f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
+            stacklevel=2,
+        )
+        params = llava_next_random_params(cfg, seed)
+    return cfg, params, tok
+
+
 GEMMA3_MM_CONFIGS: Dict[str, Any] = {}
 
 
