@@ -93,6 +93,7 @@ def main() -> None:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     mm_engine = image_pre = None
     from multimodal_colpali_tpu.models.registry import (LLAMA_CONFIGS,
+                                                        LLAVA_NEXT_CONFIGS,
                                                         QWEN2VL_CONFIGS)
 
     if args.model in QWEN2VL_CONFIGS:
@@ -121,10 +122,35 @@ def main() -> None:
         if tok is None:
             vocab = cfg_mm.text.vocab_size
             tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
+    elif args.model in LLAVA_NEXT_CONFIGS:
+        # the old-model tier's third VLM (vLLM serves
+        # AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B,
+        # 00_run_docker_old_models.sh:41-52) - FULL multimodal: the
+        # Llama-3 LM decodes through the batchers, image prompts prefill
+        # through LlavaNextMMEngine (CLIP ViT-L/14-336 tower + projector
+        # + anyres packing)
+        from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
+        from multimodal_colpali_tpu.generation.llava_next_mm import (
+            LlavaNextImagePreprocessor, LlavaNextMMEngine)
+        from multimodal_colpali_tpu.models.registry import load_llava_next_mm
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cfg_mm, params, tok = load_llava_next_mm(args.model, dtype=dtype)
+        engine = LlamaDecodeEngine(cfg_mm.text, params, dtype=dtype,
+                                   weight_dtype=args.weight_dtype)
+        if args.weight_dtype in ("int8", "int4"):
+            # share the quantized embed/LM buffers with the mm engine
+            params = {**params, "embed": engine.params["embed"],
+                      "language_model": engine.params["language_model"]}
+        mm_engine = LlavaNextMMEngine(cfg_mm, params, dtype=dtype,
+                                      vision_dtype=args.vision_dtype)
+        image_pre = LlavaNextImagePreprocessor(cfg_mm)
+        if tok is None:
+            vocab = cfg_mm.text.vocab_size
+            tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
     elif args.model in LLAMA_CONFIGS:
-        # AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B's LM, first-party (text;
-        # LLaVA-NeXT image prompts ride the mm engine once its CLIP
-        # tower lands)
+        # a bare Llama LM (LLaVA-NeXT's decoder without the vision tower)
         from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
         from multimodal_colpali_tpu.models.registry import load_llama_lm
 
@@ -171,8 +197,9 @@ def main() -> None:
         if retriever.family != "colpali":
             raise SystemExit(
                 "serving supports the Gemma-LM (colpali) family, the "
-                f"gemma3 LMs ({sorted(GEMMA3_CONFIGS)}) and the qwen2-vl "
-                f"LMs ({sorted(QWEN2VL_CONFIGS)}); {args.model!r} is "
+                f"gemma3 LMs ({sorted(GEMMA3_CONFIGS)}), the qwen2-vl "
+                f"LMs ({sorted(QWEN2VL_CONFIGS)}) and the llava-next "
+                f"VLMs ({sorted(LLAVA_NEXT_CONFIGS)}); {args.model!r} is "
                 f"{retriever.family!r}")
         cfg = retriever.model.cfg
         engine = GemmaDecodeEngine(cfg.text, retriever.params, dtype=dtype,

@@ -506,3 +506,64 @@ def test_serve_cli_qwen2vl(workspace):
     finally:
         serve.terminate()
         serve.wait(timeout=10)
+
+
+@pytest.mark.e2e
+def test_serve_cli_llava_next(workspace):
+    """Driver 07 serves the LLaVA-NeXT VLM class first-party (the
+    reference's old-model tier runs AdaptLLM/biomed-LLaVA-NeXT-Llama3-8B
+    in a vLLM container, 00_run_docker_old_models.sh:41-52): text decodes
+    through the paged batcher, an image request prefills through the CLIP
+    tower + anyres packing."""
+    env = _env("http://unused")
+    env.pop("OPENAI_BASE_URL")
+    serve = subprocess.Popen(
+        [sys.executable, str(DRIVERS / "07_serve.py"),
+         "--model", "tiny-llava-next", "--port", "0", "--paged",
+         "--max-seq-len", "256", "--dtype", "float32"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        base = _wait_for_serve(serve)
+        import urllib.request
+
+        req = urllib.request.Request(
+            base.rstrip("/") + "/chat/completions",
+            data=json.dumps({
+                "model": "llava-next", "max_tokens": 8,
+                "messages": [{"role": "user", "content": "hello world"}],
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out = json.load(r)
+        text = out["choices"][0]["message"]["content"]
+        assert text and "error" not in out
+        # two-image request through the CLIP tower (exp-02 sends
+        # image-context MCQs with multiple context pages)
+        import base64
+        import io
+
+        from PIL import Image
+
+        urls = []
+        for color in ((30, 200, 90), (200, 30, 90)):
+            buf = io.BytesIO()
+            Image.new("RGB", (56, 56), color).save(buf, "PNG")
+            urls.append("data:image/png;base64,"
+                        + base64.b64encode(buf.getvalue()).decode())
+        mreq = urllib.request.Request(
+            base.rstrip("/") + "/chat/completions",
+            data=json.dumps({
+                "model": "llava-next", "max_tokens": 6,
+                "messages": [{"role": "user", "content": [
+                    {"type": "image_url", "image_url": {"url": urls[0]}},
+                    {"type": "image_url", "image_url": {"url": urls[1]}},
+                    {"type": "text", "text": "compare"},
+                ]}],
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(mreq, timeout=240) as r:
+            mout = json.load(r)
+        assert mout["choices"][0]["message"]["content"]
+    finally:
+        serve.terminate()
+        serve.wait(timeout=10)
