@@ -94,6 +94,7 @@ def main() -> None:
     mm_engine = image_pre = None
     from multimodal_colpali_tpu.models.registry import (LLAMA_CONFIGS,
                                                         LLAVA_NEXT_CONFIGS,
+                                                        MLLAMA_CONFIGS,
                                                         QWEN2VL_CONFIGS)
 
     if args.model in QWEN2VL_CONFIGS:
@@ -146,6 +147,36 @@ def main() -> None:
         mm_engine = LlavaNextMMEngine(cfg_mm, params, dtype=dtype,
                                       vision_dtype=args.vision_dtype)
         image_pre = LlavaNextImagePreprocessor(cfg_mm)
+        if tok is None:
+            vocab = cfg_mm.text.vocab_size
+            tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
+    elif args.model in MLLAMA_CONFIGS:
+        # the old-model tier's first VLM (vLLM serves
+        # AdaptLLM/biomed-Llama-3.2-11B-Vision-Instruct,
+        # 00_run_docker_old_models.sh:8-22). Text decodes through the
+        # batchers (the renumbered self-attention stack IS a plain
+        # Llama); image prompts run through MllamaMMEngine's OWN jits -
+        # decode needs per-step cross-attention the batchers cannot
+        # carry, so the mm engine goes to the SERVER only (the batcher kw
+        # below nulls batcher-incompatible engines and the server falls
+        # back to the bare mm path for image requests).
+        from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
+        from multimodal_colpali_tpu.generation.mllama_mm import (
+            MllamaImagePreprocessor, MllamaMMEngine)
+        from multimodal_colpali_tpu.models.registry import load_mllama_mm
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            cfg_mm, params, tok = load_mllama_mm(args.model, dtype=dtype)
+        engine = LlamaDecodeEngine(cfg_mm.text, params, dtype=dtype,
+                                   weight_dtype=args.weight_dtype)
+        if args.weight_dtype in ("int8", "int4"):
+            # share the quantized embed/LM buffers with the mm engine
+            params = {**params, "embed": engine.params["embed"],
+                      "language_model": engine.params["language_model"]}
+        mm_engine = MllamaMMEngine(cfg_mm, params, dtype=dtype,
+                                   vision_dtype=args.vision_dtype)
+        image_pre = MllamaImagePreprocessor(cfg_mm)
         if tok is None:
             vocab = cfg_mm.text.vocab_size
             tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)
@@ -226,9 +257,13 @@ def main() -> None:
     backend = engine
     batcher = None
     if not args.no_batcher:
+        # batcher-incompatible mm engines (Mllama: decode needs per-step
+        # cross-attention) serve images through the server's bare path
+        bat_mm = (mm_engine if getattr(mm_engine, "batcher_compatible",
+                                       True) else None)
         kw = dict(batch_slots=args.slots, max_seq_len=args.max_seq_len,
                   chunk=args.chunk, eos_id=getattr(tok, "eos_id", -1),
-                  mm_engine=mm_engine, prefill_chunk=args.prefill_chunk)
+                  mm_engine=bat_mm, prefill_chunk=args.prefill_chunk)
         if args.paged:
             if args.speculative:
                 from multimodal_colpali_tpu.generation.speculative import (

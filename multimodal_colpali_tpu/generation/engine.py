@@ -157,7 +157,7 @@ def attn_scale(c) -> float:
 
 
 def layer_stack(p, c: "GemmaTextConfig", x: jax.Array, positions: jax.Array,
-                kv_write, attend):
+                kv_write, attend, interleave=None):
     """The Gemma per-layer decode body (rms -> qkv proj -> rope -> attend ->
     o_proj -> rms -> gated mlp), shared by every decode path so the math
     lives in ONE place (CLAUDE.md: must mirror models/gemma.py exactly).
@@ -181,13 +181,16 @@ def layer_stack(p, c: "GemmaTextConfig", x: jax.Array, positions: jax.Array,
     final norm, (k_caches, v_caches) as tuples over layers).
     """
     if getattr(c, "is_gemma3", False):
+        assert interleave is None, "interleave hooks are a llama/qwen2 path"
         return _layer_stack_gemma3(p, c, x, positions, kv_write, attend)
     if getattr(c, "is_qwen2", False) or getattr(c, "is_llama", False):
         # Llama rides the Qwen2 body: same plain-multiply RMSNorm / SiLU
         # MLP / GQA layout, its projections simply carry no biases
         # (_lin skips absent biases) and its mrope_section routes every
         # channel to the temporal stream (plain rotary).
-        return _layer_stack_qwen2(p, c, x, positions, kv_write, attend)
+        return _layer_stack_qwen2(p, c, x, positions, kv_write, attend,
+                                  interleave=interleave)
+    assert interleave is None, "interleave hooks are a llama/qwen2 path"
     b, s, _ = x.shape
     new_k, new_v = [], []
     for i in range(c.num_hidden_layers):
@@ -270,7 +273,8 @@ def _rms_plain(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
 
 
-def _layer_stack_qwen2(p, c, x: jax.Array, positions, kv_write, attend):
+def _layer_stack_qwen2(p, c, x: jax.Array, positions, kv_write, attend,
+                       interleave=None):
     """Qwen2(-VL) per-layer body (HF ``Qwen2VLDecoderLayer``, mirrored from
     models/qwen2vl.Qwen2DecoderLayer which is torch-parity-tested):
     plain-multiply RMSNorm, BIASED q/k/v projections, multimodal 3D rope
@@ -278,6 +282,15 @@ def _layer_stack_qwen2(p, c, x: jax.Array, positions, kv_write, attend):
     equal, exactly HF's text-only degenerate case - or [3, B, S] for an
     image prefill's temporal/h/w streams), SiLU-gated MLP, no sandwich
     norms. Same injection contract as ``layer_stack``.
+
+    ``interleave`` maps a self-attention layer index to a hook
+    ``fn(x) -> x`` applied BEFORE that layer (index ``num_hidden_layers``
+    = after the last layer, before the final norm). Mllama's
+    cross-attention decoder layers ride this seam: its text stack is a
+    plain Llama self-attention stack with gated cross-attention blocks
+    interspersed (HF ``MllamaTextModel``, layers at
+    ``config.cross_attention_layers``), so the self-attention math stays
+    in this one body for every serving tier.
 
     This is the text stack of the reference's old-model class
     AdaptLLM/biomed-Qwen2-VL-2B-Instruct (00_run_docker_old_models.sh:24-38),
@@ -299,6 +312,8 @@ def _layer_stack_qwen2(p, c, x: jax.Array, positions, kv_write, attend):
 
     new_k, new_v = [], []
     for i in range(c.num_hidden_layers):
+        if interleave is not None and i in interleave:
+            x = interleave[i](x)
         lp = p["language_model"][f"layers_{i}"]
         y = _rms_plain(x, lp["input_layernorm"]["weight"], c.rms_norm_eps)
         q = _lin(y, lp["self_attn"]["q_proj"]).reshape(
@@ -318,6 +333,8 @@ def _layer_stack_qwen2(p, c, x: jax.Array, positions, kv_write, attend):
         gate = _lin(y, lp["mlp"]["gate_proj"])
         up = _lin(y, lp["mlp"]["up_proj"])
         x = x + _lin(jax.nn.silu(gate) * up, lp["mlp"]["down_proj"])
+    if interleave is not None and c.num_hidden_layers in interleave:
+        x = interleave[c.num_hidden_layers](x)
     x = _rms_plain(x, p["language_model"]["norm"]["weight"], c.rms_norm_eps)
     return x, (tuple(new_k), tuple(new_v))
 
@@ -388,11 +405,13 @@ class GemmaDecodeEngine:
         return (x * scale).astype(self.dtype)
 
     def _chunk(self, p, x, positions, kcaches, vcaches, write_idx, kv_valid,
-               causal: bool = True):
+               causal: bool = True, interleave=None):
         """Run a chunk of tokens through all layers, writing K/V into the
         caches at ``write_idx`` and attending under ``kv_valid`` [B, T]
         (True = attendable) plus, when ``causal``, global causality
         (``causal=False`` is PaliGemma's bidirectional prefix prefill).
+        ``interleave`` forwards to ``layer_stack`` (Mllama's gated
+        cross-attention blocks between self-attention layers).
 
         x: [B, S, H]; positions: [B, S]; returns (hidden [B, S, H], caches).
         """
@@ -428,7 +447,8 @@ class GemmaDecodeEngine:
                 m = sl_mask
             return L.attention(q, kc, vc, mask=m, scale=sc)
 
-        return layer_stack(p, c, x, positions, kv_write, attend)
+        return layer_stack(p, c, x, positions, kv_write, attend,
+                           interleave=interleave)
 
     def _logits(self, p, hidden: jax.Array) -> jax.Array:
         # tied LM head: logits = hidden @ embed_table.T, fp32 (quantized

@@ -84,6 +84,14 @@ class ContinuousBatcher:
         back to whole-prompt prefill); multimodal prompts always prefill
         whole (the bidirectional image prefix is prompt-global)."""
         self.engine = engine
+        if mm_engine is not None and not getattr(
+                mm_engine, "batcher_compatible", True):
+            raise ValueError(
+                f"{type(mm_engine).__name__} is not batcher-compatible "
+                "(its decode needs per-step cross-attention state the "
+                "slot batch does not carry); serve its image requests "
+                "through the engine's own generate/next_token_logits "
+                "(GenerationServer's bare mm path does this)")
         self.mm_engine = mm_engine
         self.cfg = engine.cfg
         self.B = batch_slots

@@ -281,6 +281,132 @@ def llava_next_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     return out
 
 
+def mllama_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
+    """Convert a ``MllamaForConditionalGeneration`` state dict (the
+    reference's old-model AdaptLLM/biomed-Llama-3.2-11B-Vision-Instruct,
+    00_run_docker_old_models.sh:8-22) to the mm-engine tree
+    ``{"embed", "language_model", "cross_layers", "vision_tower",
+    "multi_modal_projector"}``.
+
+    The interleaved 40-layer text stack splits in two: SELF-attention
+    layers renumber densely to ``language_model.layers_0..n-1`` (this IS
+    a plain Llama - HF skips cross layers on text-only inputs, so the
+    renumbered tree serves text through ``LlamaDecodeEngine`` exactly);
+    CROSS-attention layers keep their GLOBAL index under
+    ``cross_layers``. The embed table keeps HF's ``vocab_size + 8`` rows
+    (<|image|> and friends live past the lm_head vocab)."""
+    norm: Dict[str, Any] = {}
+    for k, v in sd.items():
+        k = re.sub(r"^model\.", "", k)
+        k = re.sub(r"^language_model\.model\.", "language_model.", k)
+        norm[k] = v
+    sd = norm
+
+    cross_set = set(cfg.cross_attention_layers)
+    lm: Dict[str, Any] = {"norm": _rms(sd, "language_model.norm")}
+    cross: Dict[str, Any] = {}
+    self_idx = 0
+    for g in range(cfg.total_layers):
+        p = f"language_model.layers.{g}."
+        if g in cross_set:
+            cross[f"{g}"] = {
+                "cross_attn": {
+                    "q_proj": _lin(sd, p + "cross_attn.q_proj", bias=False),
+                    "k_proj": _lin(sd, p + "cross_attn.k_proj", bias=False),
+                    "v_proj": _lin(sd, p + "cross_attn.v_proj", bias=False),
+                    "o_proj": _lin(sd, p + "cross_attn.o_proj", bias=False),
+                    "q_norm": _rms(sd, p + "cross_attn.q_norm"),
+                    "k_norm": _rms(sd, p + "cross_attn.k_norm"),
+                },
+                "input_layernorm": _rms(sd, p + "input_layernorm"),
+                "post_attention_layernorm": _rms(
+                    sd, p + "post_attention_layernorm"),
+                "mlp": {
+                    "gate_proj": _lin(sd, p + "mlp.gate_proj", bias=False),
+                    "up_proj": _lin(sd, p + "mlp.up_proj", bias=False),
+                    "down_proj": _lin(sd, p + "mlp.down_proj", bias=False),
+                },
+                "gate_attn": _np(sd[p + "cross_attn_attn_gate"]),
+                "gate_mlp": _np(sd[p + "cross_attn_mlp_gate"]),
+            }
+            continue
+        lm[f"layers_{self_idx}"] = {
+            "self_attn": {
+                "q_proj": _lin(sd, p + "self_attn.q_proj", bias=False),
+                "k_proj": _lin(sd, p + "self_attn.k_proj", bias=False),
+                "v_proj": _lin(sd, p + "self_attn.v_proj", bias=False),
+                "o_proj": _lin(sd, p + "self_attn.o_proj", bias=False),
+            },
+            "mlp": {
+                "gate_proj": _lin(sd, p + "mlp.gate_proj", bias=False),
+                "up_proj": _lin(sd, p + "mlp.up_proj", bias=False),
+                "down_proj": _lin(sd, p + "mlp.down_proj", bias=False),
+            },
+            "input_layernorm": _rms(sd, p + "input_layernorm"),
+            "post_attention_layernorm": _rms(
+                sd, p + "post_attention_layernorm"),
+        }
+        self_idx += 1
+    assert self_idx == cfg.text.num_hidden_layers
+    if not cfg.text.tie_word_embeddings:
+        lm["lm_head"] = {"kernel": _np(sd["lm_head.weight"]).T}
+
+    vt = "vision_model."
+    c = cfg.vision
+    vision: Dict[str, Any] = {
+        "patch_embedding": {
+            "kernel": _np(sd[vt + "patch_embedding.weight"]
+                          ).transpose(2, 3, 1, 0)},
+        "class_embedding": _np(sd[vt + "class_embedding"]),
+        "pos_embedding": _np(sd[vt + "gated_positional_embedding.embedding"]),
+        "pos_gate": _np(sd[vt + "gated_positional_embedding.gate"]),
+        "tile_pos_embedding": _np(
+            sd[vt + "gated_positional_embedding.tile_embedding.weight"]),
+        "pre_tile_embedding": _np(
+            sd[vt + "pre_tile_positional_embedding.embedding.weight"]),
+        "pre_tile_gate": _np(sd[vt + "pre_tile_positional_embedding.gate"]),
+        "post_tile_embedding": _np(
+            sd[vt + "post_tile_positional_embedding.embedding.weight"]),
+        "post_tile_gate": _np(sd[vt + "post_tile_positional_embedding.gate"]),
+        "layernorm_pre": _ln(sd, vt + "layernorm_pre"),
+        "layernorm_post": _ln(sd, vt + "layernorm_post"),
+    }
+
+    def _vlayer(prefix: str, gated: bool) -> Dict[str, Any]:
+        out = {
+            "self_attn": {
+                "q_proj": _lin(sd, prefix + "self_attn.q_proj", bias=False),
+                "k_proj": _lin(sd, prefix + "self_attn.k_proj", bias=False),
+                "v_proj": _lin(sd, prefix + "self_attn.v_proj", bias=False),
+                "o_proj": _lin(sd, prefix + "self_attn.o_proj", bias=False),
+            },
+            "input_layernorm": _ln(sd, prefix + "input_layernorm"),
+            "post_attention_layernorm": _ln(
+                sd, prefix + "post_attention_layernorm"),
+            "fc1": _lin(sd, prefix + "mlp.fc1"),
+            "fc2": _lin(sd, prefix + "mlp.fc2"),
+        }
+        if gated:
+            out["gate_attn"] = _np(sd[prefix + "gate_attn"])
+            out["gate_ffn"] = _np(sd[prefix + "gate_ffn"])
+        return out
+
+    for i in range(c.num_hidden_layers):
+        vision[f"local_{i}"] = _vlayer(f"{vt}transformer.layers.{i}.", False)
+    for i in range(c.num_global_layers):
+        vision[f"global_{i}"] = _vlayer(
+            f"{vt}global_transformer.layers.{i}.", True)
+
+    return {
+        "embed": {"embed_tokens": _np(
+            sd["language_model.embed_tokens.weight"])},
+        "language_model": lm,
+        "cross_layers": cross,
+        "vision_tower": vision,
+        "multi_modal_projector": _lin(sd, "multi_modal_projector"),
+    }
+
+
 def colflor_params_from_hf(sd: Dict[str, Any], cfg) -> Dict[str, Any]:
     """Convert a Florence-2 / ColFlor state dict to the flax param tree.
 

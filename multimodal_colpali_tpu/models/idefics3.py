@@ -40,6 +40,12 @@ class LlamaTextConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 100_000.0
     tie_word_embeddings: bool = True
+    # Llama-3.1-style rope frequency scaling (HF rope_type="llama3"):
+    # (factor, low_freq_factor, high_freq_factor, original_max_position
+    # _embeddings), or None for plain rotary. Applied to inv_freq once in
+    # qwen2vl.mrope_cos_sin. Llama-3.2-Vision's text stack uses
+    # (8.0, 1.0, 4.0, 8192).
+    rope_llama3: Optional[tuple] = None
 
     # Engine dispatch marker: the Llama decoder body is the Qwen2 body
     # minus the q/k/v biases, and standard rotary IS mrope with every

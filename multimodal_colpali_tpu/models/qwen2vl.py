@@ -442,11 +442,34 @@ class Qwen2VisionTower(nn.Module):
 # Language model (Qwen2 with mrope)
 # ---------------------------------------------------------------------------
 
+def _llama3_inv_freq(inv_freq: np.ndarray, scaling) -> np.ndarray:
+    """HF ``_compute_llama3_parameters``: frequency-dependent inv_freq
+    rescaling (rope_type="llama3"). Long wavelengths divide by ``factor``,
+    short ones pass through, the medium band interpolates smoothly.
+    ``scaling`` = (factor, low_freq_factor, high_freq_factor,
+    original_max_position_embeddings)."""
+    factor, low_f, high_f, old_len = scaling
+    wavelen = 2.0 * np.pi / inv_freq
+    low_wl, high_wl = old_len / low_f, old_len / high_f
+    scaled = np.where(wavelen > low_wl, inv_freq / factor, inv_freq)
+    smooth = (old_len / wavelen - low_f) / (high_f - low_f)
+    smoothed = (1.0 - smooth) * scaled / factor + smooth * scaled
+    medium = (wavelen >= high_wl) & (wavelen <= low_wl)
+    return np.where(medium, smoothed, scaled).astype(np.float32)
+
+
 def mrope_cos_sin(cfg: Qwen2TextConfig, position_ids: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """position_ids [3, B, S] -> (cos, sin) [B, S, head_dim] with channels
-    routed to their temporal/h/w section (apply_multimodal_rotary_pos_emb)."""
+    routed to their temporal/h/w section (apply_multimodal_rotary_pos_emb).
+    Configs carrying ``rope_llama3`` (Llama-3.1/3.2 frequency scaling) get
+    the statically rescaled inv_freq."""
     half = cfg.head_dim // 2
-    inv_freq = 1.0 / (cfg.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    inv_np = 1.0 / (cfg.rope_theta
+                    ** (np.arange(0, half, dtype=np.float32) / half))
+    scaling = getattr(cfg, "rope_llama3", None)
+    if scaling is not None:
+        inv_np = _llama3_inv_freq(inv_np, scaling)
+    inv_freq = jnp.asarray(inv_np)
     ang = position_ids[..., None].astype(jnp.float32) * inv_freq  # [3, B, S, half]
     emb = jnp.concatenate([ang, ang], axis=-1)                    # [3, B, S, head_dim]
     cos_all, sin_all = jnp.cos(emb), jnp.sin(emb)

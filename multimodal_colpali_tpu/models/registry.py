@@ -1066,6 +1066,141 @@ def load_llava_next_mm(name: str, checkpoint_dir: Optional[str] = None,
     return cfg, params, tok
 
 
+# -- Mllama (Llama-3.2-Vision) mm generators ---------------------------------
+
+MLLAMA_CONFIGS: Dict[str, Any] = {}
+
+
+def _register_mllama():
+    from multimodal_colpali_tpu.models.mllama import MllamaMMConfig
+
+    MLLAMA_CONFIGS.update({
+        "AdaptLLM/biomed-Llama-3.2-11B-Vision-Instruct":
+            MllamaMMConfig.llama32_11b_vision,
+        "meta-llama/Llama-3.2-11B-Vision-Instruct":
+            MllamaMMConfig.llama32_11b_vision,
+        "llama-3.2-11b-vision": MllamaMMConfig.llama32_11b_vision,
+        "tiny-mllama": MllamaMMConfig.tiny,
+    })
+
+
+_register_mllama()
+
+
+def mllama_random_params(cfg, seed: int = 0) -> Dict[str, Any]:
+    """Random FULL Mllama params: Llama self-attn LM via the shared
+    builder (embed table widened to HF's ``vocab_size + 8`` rows - the
+    <|image|> marker lives past the lm_head vocab), cross layers, vision
+    tower via the flax module's eval_shape, projector."""
+    import dataclasses as _dc
+
+    from multimodal_colpali_tpu.models.mllama import MllamaVisionTower
+
+    lm = qwen2vl_random_params(cfg.text, seed)
+    rng = np.random.default_rng(seed + 2)
+    th = cfg.text.hidden_size
+    embed = np.asarray(lm["embed"]["embed_tokens"])
+    extra = (rng.standard_normal((8, th)).astype(np.float32)
+             * float(th) ** -0.5)
+    lm["embed"]["embed_tokens"] = np.concatenate([embed, extra], axis=0)
+
+    kvh = cfg.text.num_key_value_heads * cfg.text.head_dim
+    qh = cfg.text.num_attention_heads * cfg.text.head_dim
+
+    def mat(n_in, n_out):
+        return (rng.standard_normal((n_in, n_out)).astype(np.float32)
+                * float(n_in) ** -0.5)
+
+    cross: Dict[str, Any] = {}
+    for g in cfg.cross_attention_layers:
+        cross[f"{g}"] = {
+            "cross_attn": {
+                "q_proj": {"kernel": mat(th, qh)},
+                "k_proj": {"kernel": mat(th, kvh)},
+                "v_proj": {"kernel": mat(th, kvh)},
+                "o_proj": {"kernel": mat(qh, th)},
+                "q_norm": {"weight": np.ones((cfg.text.head_dim,),
+                                             np.float32)},
+                "k_norm": {"weight": np.ones((cfg.text.head_dim,),
+                                             np.float32)},
+            },
+            "input_layernorm": {"weight": np.ones((th,), np.float32)},
+            "post_attention_layernorm": {"weight": np.ones((th,),
+                                                           np.float32)},
+            "mlp": {
+                "gate_proj": {"kernel": mat(th, cfg.text.intermediate_size)},
+                "up_proj": {"kernel": mat(th, cfg.text.intermediate_size)},
+                "down_proj": {"kernel": mat(cfg.text.intermediate_size, th)},
+            },
+            # nonzero gates so random-weight serving exercises the blocks
+            "gate_attn": np.full((1,), 0.25, np.float32),
+            "gate_mlp": np.full((1,), 0.25, np.float32),
+        }
+    lm["cross_layers"] = cross
+
+    c = cfg.vision
+    tower = MllamaVisionTower(c)
+    shapes = jax.eval_shape(lambda: tower.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, c.max_num_tiles, c.image_size, c.image_size, 3),
+                  jnp.float32),
+        jnp.ones((1,), jnp.int32),
+        jnp.zeros((1, c.max_num_tiles), jnp.int32).at[:, 0].set(1),
+    ))["params"]
+
+    def fill(path, s):
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "bias":
+            return np.zeros(s.shape, np.float32)
+        if name == "weight" and len(s.shape) == 1:
+            return np.ones(s.shape, np.float32)       # LayerNorms
+        if name.endswith("gate") or name in ("gate_attn", "gate_ffn"):
+            return np.full(s.shape, 0.25, np.float32)
+        fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+        return (rng.standard_normal(s.shape).astype(np.float32)
+                * float(fan_in) ** -0.5)
+
+    lm["vision_tower"] = jax.tree_util.tree_map_with_path(fill, shapes)
+    lm["multi_modal_projector"] = {
+        "kernel": mat(c.output_dim, th),
+        "bias": np.zeros((th,), np.float32),
+    }
+    return lm
+
+
+def load_mllama_mm(name: str, checkpoint_dir: Optional[str] = None,
+                   dtype: Any = jnp.bfloat16, seed: int = 0):
+    """Load the FULL Llama-3.2-Vision generator (tiled ViT tower + cross
+    layers + Llama LM) -> (cfg, params, tokenizer)."""
+    if name not in MLLAMA_CONFIGS:
+        raise KeyError(
+            f"unknown mllama model {name!r}; known: "
+            f"{sorted(MLLAMA_CONFIGS)}")
+    cfg = MLLAMA_CONFIGS[name]()
+    ckpt = _find_checkpoint(name, checkpoint_dir)
+    tok = None
+    if ckpt is not None:
+        tok = _load_tokenizer_from(ckpt)
+        sd = hf_import.load_state_dict(ckpt)
+        params = hf_import.mllama_params_from_hf(sd, cfg)
+        head = params["language_model"].get("lm_head")
+        if head is not None:
+            rows = int(np.asarray(head["kernel"]).shape[1])
+            if rows != cfg.text.vocab_size:
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, text=_dc.replace(cfg.text,
+                                                        vocab_size=rows))
+    else:
+        warnings.warn(
+            f"no local checkpoint for {name!r}; using random init "
+            f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
+            stacklevel=2,
+        )
+        params = mllama_random_params(cfg, seed)
+    return cfg, params, tok
+
+
 GEMMA3_MM_CONFIGS: Dict[str, Any] = {}
 
 

@@ -567,3 +567,63 @@ def test_serve_cli_llava_next(workspace):
     finally:
         serve.terminate()
         serve.wait(timeout=10)
+
+
+@pytest.mark.e2e
+def test_serve_cli_mllama(workspace):
+    """Driver 07 serves the Llama-3.2-Vision VLM class first-party (the
+    reference's old-model tier runs
+    AdaptLLM/biomed-Llama-3.2-11B-Vision-Instruct in a vLLM container,
+    00_run_docker_old_models.sh:8-22): text decodes through the paged
+    batcher (the renumbered self-attention stack is a plain Llama), an
+    image request runs the tiled vision tower + gated cross-attention
+    through the engine's own jits (the bare mm path - the batchers
+    refuse cross-decode engines)."""
+    env = _env("http://unused")
+    env.pop("OPENAI_BASE_URL")
+    serve = subprocess.Popen(
+        [sys.executable, str(DRIVERS / "07_serve.py"),
+         "--model", "tiny-mllama", "--port", "0", "--paged",
+         "--max-seq-len", "256", "--dtype", "float32"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    try:
+        base = _wait_for_serve(serve)
+        import urllib.request
+
+        req = urllib.request.Request(
+            base.rstrip("/") + "/chat/completions",
+            data=json.dumps({
+                "model": "mllama", "max_tokens": 8,
+                "messages": [{"role": "user", "content": "hello world"}],
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=240) as r:
+            out = json.load(r)
+        text = out["choices"][0]["message"]["content"]
+        assert text and "error" not in out
+        # image request through the cross-attention path
+        import base64
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (56, 56), (30, 200, 90)).save(buf, "PNG")
+        url = ("data:image/png;base64,"
+               + base64.b64encode(buf.getvalue()).decode())
+        mreq = urllib.request.Request(
+            base.rstrip("/") + "/chat/completions",
+            data=json.dumps({
+                "model": "mllama", "max_tokens": 6,
+                "messages": [{"role": "user", "content": [
+                    {"type": "image_url", "image_url": {"url": url}},
+                    {"type": "text", "text": "describe"},
+                ]}],
+            }).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(mreq, timeout=240) as r:
+            mout = json.load(r)
+        assert mout["choices"][0]["message"]["content"]
+    finally:
+        serve.terminate()
+        serve.wait(timeout=10)

@@ -1,0 +1,307 @@
+"""Mllama (Llama-3.2-Vision) parity: the reference's first old-model VLM
+(AdaptLLM/biomed-Llama-3.2-11B-Vision-Instruct via vLLM,
+00_run_docker_old_models.sh:8-22) against torch
+``MllamaForConditionalGeneration`` on a tiny config - tiled vision tower
+(local + gated global encoders, intermediate features, in-encoder
+padding quirks), interleaved gated cross-attention decode, text-only
+path (cross layers skipped == a plain Llama), llama3 rope scaling.
+
+The cross-attention masks on the torch side come from HF's OWN processor
+helpers (get_cross_attention_token_mask + dense conversion), so the
+engine's in-jit mask formulation is pinned to the reference rule, not to
+a hand-copied approximation of it."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from multimodal_colpali_tpu.generation.mllama_mm import (
+    MllamaImagePreprocessor, MllamaMMEngine)
+from multimodal_colpali_tpu.models import hf_import
+from multimodal_colpali_tpu.models.mllama import (MllamaMMConfig,
+                                                  MllamaVisionTower)
+
+torch = pytest.importorskip("torch")
+
+
+def _hf_cfg(cfg: MllamaMMConfig):
+    from transformers import MllamaConfig
+    from transformers.models.mllama.configuration_mllama import (
+        MllamaTextConfig, MllamaVisionConfig)
+
+    v = cfg.vision
+    ratios = [[1, 1], [1, 2], [2, 1]]
+    assert v.max_num_tiles == 2 and v.max_aspect_ratio_id == len(ratios)
+    return MllamaConfig(
+        vision_config=MllamaVisionConfig(
+            hidden_size=v.hidden_size,
+            intermediate_size=v.intermediate_size,
+            num_hidden_layers=v.num_hidden_layers,
+            num_global_layers=v.num_global_layers,
+            num_attention_heads=v.attention_heads,
+            image_size=v.image_size, patch_size=v.patch_size,
+            max_num_tiles=v.max_num_tiles, norm_eps=v.norm_eps,
+            intermediate_layers_indices=list(v.intermediate_layers_indices),
+            supported_aspect_ratios=ratios,
+            vision_output_dim=v.output_dim),
+        text_config=MllamaTextConfig(
+            vocab_size=cfg.text.vocab_size,
+            hidden_size=cfg.text.hidden_size,
+            intermediate_size=cfg.text.intermediate_size,
+            num_hidden_layers=cfg.total_layers,
+            num_attention_heads=cfg.text.num_attention_heads,
+            num_key_value_heads=cfg.text.num_key_value_heads,
+            cross_attention_layers=list(cfg.cross_attention_layers),
+            rope_theta=cfg.text.rope_theta,
+            rope_scaling={"rope_type": "default"},
+            rms_norm_eps=cfg.text.rms_norm_eps,
+            tie_word_embeddings=False,
+            pad_token_id=0, eos_token_id=1, bos_token_id=1),
+        image_token_index=cfg.image_token_id,
+    )
+
+
+def _pair():
+    from transformers import MllamaForConditionalGeneration
+
+    cfg = MllamaMMConfig.tiny(vocab_size=64)
+    torch.manual_seed(0)
+    hf = MllamaForConditionalGeneration(_hf_cfg(cfg)).eval()
+    # HF inits every tanh gate to (near) zero, which turns the cross
+    # blocks and tile embeddings into no-ops - a parity test against
+    # that would pass with the cross math deleted. Force them open.
+    with torch.no_grad():
+        for layer in hf.model.language_model.layers:
+            if hasattr(layer, "cross_attn_attn_gate"):
+                layer.cross_attn_attn_gate.fill_(0.7)
+                layer.cross_attn_mlp_gate.fill_(-0.4)
+        vm = hf.model.vision_model
+        vm.gated_positional_embedding.gate.fill_(0.6)
+        vm.pre_tile_positional_embedding.gate.fill_(0.5)
+        vm.post_tile_positional_embedding.gate.fill_(-0.5)
+        for layer in vm.global_transformer.layers:
+            layer.gate_attn.fill_(0.4)
+            layer.gate_ffn.fill_(0.3)
+    params = hf_import.mllama_params_from_hf(hf.state_dict(), cfg)
+    return cfg, MllamaMMEngine(cfg, params), hf
+
+
+def _images(cfg, rng, n: int) -> np.ndarray:
+    """[N, T, H, W, 3] single-tile stacks (tile 1 zero)."""
+    sz, t = cfg.vision.image_size, cfg.vision.max_num_tiles
+    pix = np.zeros((n, t, sz, sz, 3), np.float32)
+    pix[:, 0] = rng.standard_normal((n, sz, sz, 3)).astype(np.float32)
+    return pix
+
+
+def _hf_vision_inputs(cfg, pix: np.ndarray):
+    """Our [N, T, H, W, 3] -> HF (pixel_values [1, N, T, 3, H, W],
+    aspect_ratio_ids [1, N], aspect_ratio_mask [1, N, T])."""
+    n, t = pix.shape[:2]
+    pv = torch.from_numpy(pix.transpose(0, 1, 4, 2, 3))[None]
+    ar_ids = torch.ones((1, n), dtype=torch.long)
+    ar_mask = torch.zeros((1, n, t), dtype=torch.long)
+    ar_mask[:, :, 0] = 1
+    return pv, ar_ids, ar_mask
+
+
+def _hf_cross_mask(cfg, prompt) -> "torch.Tensor":
+    """Dense [1, S, N, T] mask via HF's OWN processor helpers."""
+    from transformers.models.mllama.processing_mllama import (
+        convert_sparse_cross_attention_mask_to_dense,
+        get_cross_attention_token_mask)
+
+    spans = get_cross_attention_token_mask(list(prompt), cfg.image_token_id)
+    dense = convert_sparse_cross_attention_mask_to_dense(
+        [spans], num_tiles=[[1] * len(spans)],
+        max_num_tiles=cfg.vision.max_num_tiles, length=len(prompt))
+    return torch.from_numpy(np.asarray(dense))
+
+
+def test_mllama_vision_tower_matches_torch():
+    cfg, eng, hf = _pair()
+    rng = np.random.default_rng(0)
+    sz, t = cfg.vision.image_size, cfg.vision.max_num_tiles
+
+    for n_tiles, ar_id in ((1, 1), (2, 3)):     # [1,1] and [2,1] layouts
+        pix = np.zeros((2, t, sz, sz, 3), np.float32)
+        pix[:, :n_tiles] = rng.standard_normal(
+            (2, n_tiles, sz, sz, 3)).astype(np.float32)
+        ar_ids = np.full((2,), ar_id, np.int32)
+        ar_mask = np.zeros((2, t), np.int32)
+        ar_mask[:, :n_tiles] = 1
+
+        got = MllamaVisionTower(cfg.vision).apply(
+            {"params": eng.vision_params}, jnp.asarray(pix),
+            jnp.asarray(ar_ids), jnp.asarray(ar_mask))
+        with torch.no_grad():
+            want = hf.model.vision_model(
+                pixel_values=torch.from_numpy(
+                    pix.transpose(0, 1, 4, 2, 3))[:, None],
+                aspect_ratio_ids=torch.from_numpy(ar_ids)[:, None].long(),
+                aspect_ratio_mask=torch.from_numpy(
+                    ar_mask)[:, None].long()).last_hidden_state
+        p = cfg.vision.num_patches
+        want = want.reshape(2, t * p, cfg.vision.output_dim).numpy()
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_mllama_text_only_matches_torch():
+    """Text-only Mllama == the renumbered Llama self-attention stack (HF
+    skips cross layers when no image is present)."""
+    from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
+
+    cfg, eng, hf = _pair()
+    lm = LlamaDecodeEngine(cfg.text, eng.lm.params, dtype=jnp.float32)
+    prompt = [1, 5, 9, 11, 3, 17]
+    got = lm.generate([prompt], max_new_tokens=10)[0]
+    ids_t = torch.tensor([prompt], dtype=torch.long)
+    with torch.no_grad():
+        out = hf.generate(input_ids=ids_t,
+                          attention_mask=torch.ones_like(ids_t),
+                          max_new_tokens=10, do_sample=False)
+    assert got == out[0, len(prompt):].tolist()
+
+
+def test_mllama_prefill_logits_match_torch():
+    cfg, eng, hf = _pair()
+    rng = np.random.default_rng(1)
+    prompt = eng.build_mm_prompt([5, 9, 11, 3], bos_id=1)
+    pix = _images(cfg, rng, 1)
+    got = eng.next_token_logits([prompt], pix[None], bucket=len(prompt))
+
+    pv, ar_ids, ar_mask = _hf_vision_inputs(cfg, pix)
+    ids_t = torch.tensor([prompt], dtype=torch.long)
+    with torch.no_grad():
+        want = hf(input_ids=ids_t, attention_mask=torch.ones_like(ids_t),
+                  pixel_values=pv, aspect_ratio_ids=ar_ids,
+                  aspect_ratio_mask=ar_mask,
+                  cross_attention_mask=_hf_cross_mask(cfg, prompt),
+                  ).logits[0, -1].numpy()
+    np.testing.assert_allclose(got[0], want, rtol=3e-4, atol=3e-4)
+
+
+def _hf_generate(hf, cfg, prompt, pix, max_new):
+    pv, ar_ids, ar_mask = _hf_vision_inputs(cfg, pix)
+    ids_t = torch.tensor([prompt], dtype=torch.long)
+    with torch.no_grad():
+        out = hf.generate(
+            input_ids=ids_t, attention_mask=torch.ones_like(ids_t),
+            pixel_values=pv, aspect_ratio_ids=ar_ids,
+            aspect_ratio_mask=ar_mask,
+            cross_attention_mask=_hf_cross_mask(cfg, prompt),
+            max_new_tokens=max_new, do_sample=False)
+    return out[0, len(prompt):].tolist()
+
+
+def test_mllama_greedy_generation_matches_torch():
+    cfg, eng, hf = _pair()
+    rng = np.random.default_rng(2)
+    prompt = eng.build_mm_prompt([5, 9, 11, 3, 17, 42], bos_id=1)
+    pix = _images(cfg, rng, 1)
+    got = eng.generate([prompt], pix[None], max_new_tokens=12,
+                       bucket=len(prompt))[0]
+    want = _hf_generate(hf, cfg, prompt, pix, 12)
+    assert got == want, (got, want)
+
+
+def test_mllama_two_images_match_torch():
+    cfg, eng, hf = _pair()
+    rng = np.random.default_rng(3)
+    prompt = eng.build_mm_prompt([5, 9, 11], bos_id=1, n_images=2)
+    assert prompt.count(cfg.image_token_id) == 2
+    pix = _images(cfg, rng, 2)
+    got = eng.generate([prompt], pix[None], max_new_tokens=10,
+                       bucket=len(prompt))[0]
+    want = _hf_generate(hf, cfg, prompt, pix, 10)
+    assert got == want, (got, want)
+    a = eng.next_token_logits([prompt], pix[None], bucket=len(prompt))
+    b = eng.next_token_logits([prompt], pix[::-1][None].copy(),
+                              bucket=len(prompt))
+    assert not np.allclose(a, b)
+
+
+def test_mllama_llama3_rope_scaling_matches_torch():
+    """The llama3 frequency-scaled rope (Llama-3.2's text stack) through
+    the generic Llama engine vs torch LlamaForCausalLM."""
+    import dataclasses as _dc
+
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
+    from multimodal_colpali_tpu.models.idefics3 import LlamaTextConfig
+
+    cfg = _dc.replace(LlamaTextConfig.tiny_lm(vocab_size=64),
+                      rope_llama3=(8.0, 1.0, 4.0, 16),
+                      tie_word_embeddings=False)
+    hf_cfg = LlamaConfig(
+        vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        rms_norm_eps=cfg.rms_norm_eps, rope_theta=cfg.rope_theta,
+        rope_scaling={"rope_type": "llama3", "factor": 8.0,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0,
+                      "original_max_position_embeddings": 16},
+        tie_word_embeddings=False, attention_bias=False, mlp_bias=False)
+    torch.manual_seed(1)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    params = hf_import.llama_lm_params_from_hf(hf.state_dict(), cfg)
+    lm = LlamaDecodeEngine(cfg, params, dtype=jnp.float32)
+    # positions far past original_max_position_embeddings exercise the
+    # low-frequency (divided) band
+    prompt = [int(x) for x in
+              np.random.default_rng(4).integers(0, 64, size=40)]
+    got = lm.generate([prompt], max_new_tokens=8)[0]
+    ids_t = torch.tensor([prompt], dtype=torch.long)
+    with torch.no_grad():
+        out = hf.generate(input_ids=ids_t,
+                          attention_mask=torch.ones_like(ids_t),
+                          max_new_tokens=8, do_sample=False,
+                          pad_token_id=0)
+    assert got == out[0, len(prompt):].tolist()
+
+
+def test_mllama_registry_and_preprocessor():
+    from multimodal_colpali_tpu.models.registry import (MLLAMA_CONFIGS,
+                                                        load_mllama_mm)
+
+    cfg = MLLAMA_CONFIGS["llama-3.2-11b-vision"]()
+    assert cfg.total_layers == 40
+    assert cfg.cross_attention_layers == (3, 8, 13, 18, 23, 28, 33, 38)
+    assert cfg.vision.output_dim == 7680
+    assert cfg.text.rope_llama3 == (8.0, 1.0, 4.0, 8192)
+    assert (MLLAMA_CONFIGS["AdaptLLM/biomed-Llama-3.2-11B-Vision-Instruct"]()
+            == cfg)
+
+    with pytest.warns(UserWarning, match="random init"):
+        tcfg, params, tok = load_mllama_mm("tiny-mllama")
+    eng = MllamaMMEngine(tcfg, params)
+    from PIL import Image
+
+    pre = MllamaImagePreprocessor(tcfg)
+    pix = pre([Image.new("RGB", (50, 40), (10, 200, 30))])
+    assert pix.shape == (1, tcfg.vision.max_num_tiles,
+                         tcfg.vision.image_size, tcfg.vision.image_size, 3)
+    prompt = eng.build_mm_prompt([3, 5], bos_id=1)
+    out = eng.generate([prompt], pix[None], max_new_tokens=4, bucket=16)
+    assert len(out[0]) == 4
+
+
+def test_mllama_refuses_batcher_prefill():
+    """The continuous batchers carry no cross-KV slot state; the engine's
+    batcher-contract prefill must refuse loudly instead of silently
+    dropping the cross-attention from decode."""
+    import warnings
+
+    from multimodal_colpali_tpu.models.registry import load_mllama_mm
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        tcfg, params, _ = load_mllama_mm("tiny-mllama")
+    eng = MllamaMMEngine(tcfg, params)
+    assert eng.batcher_compatible is False
+    with pytest.raises(RuntimeError, match="cross"):
+        eng._prefill(None, None, None, None, None)
