@@ -155,11 +155,10 @@ def main() -> None:
         # AdaptLLM/biomed-Llama-3.2-11B-Vision-Instruct,
         # 00_run_docker_old_models.sh:8-22). Text decodes through the
         # batchers (the renumbered self-attention stack IS a plain
-        # Llama); image prompts run through MllamaMMEngine's OWN jits -
-        # decode needs per-step cross-attention the batchers cannot
-        # carry, so the mm engine goes to the SERVER only (the batcher kw
-        # below nulls batcher-incompatible engines and the server falls
-        # back to the bare mm path for image requests).
+        # Llama); image prompts decode with per-step cross-attention -
+        # the dense ContinuousBatcher carries per-slot cross-KV pools
+        # for that, while --paged/--speculative fall back to the
+        # server's bare mm path for images (see bat_mm below).
         from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
         from multimodal_colpali_tpu.generation.mllama_mm import (
             MllamaImagePreprocessor, MllamaMMEngine)
@@ -257,10 +256,14 @@ def main() -> None:
     backend = engine
     batcher = None
     if not args.no_batcher:
-        # batcher-incompatible mm engines (Mllama: decode needs per-step
-        # cross-attention) serve images through the server's bare path
-        bat_mm = (mm_engine if getattr(mm_engine, "batcher_compatible",
-                                       True) else None)
+        # cross-attention decode engines (Mllama) ride only the dense
+        # batcher tier (per-slot cross-KV pools); under --paged or
+        # --speculative their image requests fall back to the server's
+        # bare mm path while text keeps the batcher
+        bat_mm = mm_engine
+        if (getattr(mm_engine, "cross_decode", False)
+                and (args.paged or args.speculative)):
+            bat_mm = None
         kw = dict(batch_slots=args.slots, max_seq_len=args.max_seq_len,
                   chunk=args.chunk, eos_id=getattr(tok, "eos_id", -1),
                   mm_engine=bat_mm, prefill_chunk=args.prefill_chunk)

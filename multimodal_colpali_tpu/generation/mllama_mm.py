@@ -89,8 +89,13 @@ class MllamaMMEngine(Qwen2VLMMEngine):
     cache) from Qwen2VLMMEngine; the vision path, cross-attention
     injection, and decode body are Mllama's own."""
 
-    image_rank = 4            # [T, H, W, 3] tile stacks per image
-    batcher_compatible = False  # decode needs per-step cross-attention
+    image_rank = 4        # [T, H, W, 3] tile stacks per image
+    # Decode needs per-step cross-attention: batchers must carry per-slot
+    # cross-KV pools and inject the cross blocks into their decode step.
+    # The dense ContinuousBatcher does (supports_cross_decode); the
+    # paged/speculative tiers refuse the engine instead of silently
+    # dropping the cross path.
+    cross_decode = True
 
     def __init__(self, cfg: MllamaMMConfig, params, dtype: Any = jnp.float32,
                  weight_dtype: str = "native", vision_dtype: str = "native"):
@@ -246,10 +251,32 @@ class MllamaMMEngine(Qwen2VLMMEngine):
 
     def _prefill(self, p, vp, ids, mask, pix):
         raise RuntimeError(
-            "Mllama decode needs per-step cross-attention; the continuous "
-            "batchers carry no cross-KV slot state yet. Serve images "
-            "through MllamaMMEngine.generate/next_token_logits (07_serve "
-            "routes them there) and text through the batchers.")
+            "Mllama decode needs per-step cross-attention: use the "
+            "cross-aware scheduler path (_prefill_cross + packed cross KV "
+            "- ContinuousBatcher's cross_decode branch does this). A "
+            "batcher calling the plain _prefill contract would silently "
+            "drop the cross path from decode.")
+
+    def packed_cross_kv(self, ckv, n_img: int):
+        """{layer: (k, v) [B, n_img*T*P, KV, hd]} -> stacked REAL-tile
+        rows ([n_cross, B, n_img*P, KV, hd] x2) for the batchers' per-slot
+        cross pools (decode never attends padding-tile keys, so the pools
+        store only tile 0's P tokens per image - the static [1, 1]
+        layout)."""
+        c = self.cfg.vision
+        tp, p_real = c.max_num_tiles * c.num_patches, c.num_patches
+
+        def pack(a):
+            b, skv = a.shape[:2]
+            return a.reshape((b, n_img, tp) + a.shape[2:])[:, :, :p_real
+                                                           ].reshape(
+                (b, n_img * p_real) + a.shape[2:])
+
+        ks = jnp.stack([pack(ckv[g][0])
+                        for g in self.cfg.cross_attention_layers])
+        vs = jnp.stack([pack(ckv[g][1])
+                        for g in self.cfg.cross_attention_layers])
+        return ks, vs
 
     def _prefill_cross(self, p, vp, ids, mask, pix):
         """Causal prefill with plain sequential positions and interleaved

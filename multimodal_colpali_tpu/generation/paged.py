@@ -50,6 +50,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
     # (0 here; the speculative subclass writes spec_k - 1 stale verify
     # rows that page-demand accounting must cover).
     _spec_slack = 0
+    # This tier's decode has no cross-attention hooks (and preemption
+    # would need cross-aware resume): Mllama rides the dense batcher.
+    supports_cross_decode = False
 
     def __init__(self, engine: GemmaDecodeEngine, batch_slots: int = 4,
                  max_seq_len: int = 512, chunk: int = 8,

@@ -62,11 +62,16 @@ class _Request:
 class ContinuousBatcher:
     """Slot-based continuous batching over a GemmaDecodeEngine."""
 
+    # This tier carries per-slot cross-KV pools for cross-attention
+    # decode engines (Mllama); the paged/speculative subclasses refuse
+    # them instead (they override this to False).
+    supports_cross_decode = True
+
     def __init__(self, engine: GemmaDecodeEngine, batch_slots: int = 4,
                  max_seq_len: int = 512, chunk: int = 8,
                  prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0,
                  prefill_cache_entries: int = 8, mm_engine: Any = None,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0, cross_max_images: int = 1):
         """``mm_engine`` (a PaliGemmaEngine over the same weights/dtype as
         ``engine``) enables multimodal requests: an image-conditioned prompt
         prefills through the PaliGemma path (merged image embeds,
@@ -87,11 +92,19 @@ class ContinuousBatcher:
         if mm_engine is not None and not getattr(
                 mm_engine, "batcher_compatible", True):
             raise ValueError(
-                f"{type(mm_engine).__name__} is not batcher-compatible "
-                "(its decode needs per-step cross-attention state the "
-                "slot batch does not carry); serve its image requests "
-                "through the engine's own generate/next_token_logits "
-                "(GenerationServer's bare mm path does this)")
+                f"{type(mm_engine).__name__} is not batcher-compatible; "
+                "serve its image requests through the engine's own "
+                "generate/next_token_logits (GenerationServer's bare mm "
+                "path does this)")
+        self._cross_mode = bool(mm_engine is not None and getattr(
+            mm_engine, "cross_decode", False))
+        if self._cross_mode and not type(self).supports_cross_decode:
+            raise ValueError(
+                f"{type(mm_engine).__name__} decodes with per-step "
+                f"cross-attention, which {type(self).__name__} does not "
+                "carry (no per-slot cross-KV pools); use the dense "
+                "ContinuousBatcher, or serve images through the engine's "
+                "own generate (GenerationServer's bare mm path)")
         self.mm_engine = mm_engine
         self.cfg = engine.cfg
         self.B = batch_slots
@@ -116,6 +129,21 @@ class ContinuousBatcher:
         self._temp = jnp.zeros((self.B,), jnp.float32)
         self._remaining = jnp.zeros((self.B,), jnp.int32)
         self._seed = jnp.zeros((self.B,), jnp.uint32)
+        if self._cross_mode:
+            # per-slot cross-KV pools (Mllama: decode cross-attends the
+            # request's packed REAL-TILE vision tokens at every step;
+            # text slots keep cross_len 0 and the hooks reduce to
+            # identity). Pools are decode-time CONSTANTS - written at
+            # install, never in the scan carry.
+            mmc = mm_engine.cfg
+            self._cross_skv = (int(cross_max_images)
+                               * mmc.vision.num_patches)
+            n_cross = len(mmc.cross_attention_layers)
+            pool = (n_cross, self.B, self._cross_skv,
+                    c.num_key_value_heads, c.head_dim)
+            self._cross_k = jnp.zeros(pool, engine.dtype)
+            self._cross_v = jnp.zeros(pool, engine.dtype)
+            self._cross_len = jnp.zeros((self.B,), jnp.int32)
         self._eos = jnp.full((self.B,), eos_id, jnp.int32)   # per-request eos
         self._gen_step = jnp.zeros((self.B,), jnp.int32)     # per-slot rng step
         self._top_p = jnp.ones((self.B,), jnp.float32)       # per-slot nucleus
@@ -173,6 +201,11 @@ class ContinuousBatcher:
         for name in ("_tok", "_pos", "_start", "_end", "_temp", "_remaining",
                      "_seed", "_eos", "_gen_step", "_top_p", "_top_k"):
             setattr(self, name, jax.device_put(getattr(self, name), vec))
+        if self._cross_mode:
+            cpool = NamedSharding(self.mesh, P(None, b, None, None, None))
+            self._cross_k = jax.device_put(self._cross_k, cpool)
+            self._cross_v = jax.device_put(self._cross_v, cpool)
+            self._cross_len = jax.device_put(self._cross_len, vec)
 
     # -- jitted pieces --------------------------------------------------------
 
@@ -206,6 +239,18 @@ class ContinuousBatcher:
           interleave, 0-indexed positions - the engine owns that mask
           logic, the scheduler just jits its prefill."""
         mm, c = self.mm_engine, self.cfg
+        if self._cross_mode:
+            # Mllama: the prefill ALSO yields the packed per-layer cross
+            # KV (real-tile rows only) for the slot pools - decode
+            # cross-attends them at every step.
+            def run4(p, vp, ids, mask, pix):
+                n_img = pix.shape[1]
+                k, v, logits, last_pos, ckv = mm._prefill_cross(
+                    p, vp, ids, mask, pix)
+                ks, vs = mm.packed_cross_kv(ckv, n_img)
+                return k, v, logits[0], last_pos[0], (ks, vs)
+
+            return jax.jit(run4)
         if hasattr(mm, "_prefill"):
             # vision/projector params ride in as a jit ARGUMENT (mm._vp);
             # closing over them would bake multi-GB constants into the
@@ -242,9 +287,20 @@ class ContinuousBatcher:
         t = self.T
         b = self.B
         pad_id = self.pad_id
+        cross_mode = self._cross_mode
+        if cross_mode:
+            mm = self.mm_engine
+            skv_max = self._cross_skv
+            # {self_layer_idx: [(pool_row, global_idx), ...]} - pool rows
+            # follow cfg.cross_attention_layers order (packed_cross_kv)
+            cross_slots: Dict[int, list] = {}
+            order = {g: i for i, g in
+                     enumerate(mm.cfg.cross_attention_layers)}
+            for g, self_j in mm.cfg.cross_schedule:
+                cross_slots.setdefault(self_j, []).append((order[g], g))
 
-        def one_step(p, caches, tok, pos, start, end, temp, seed, remaining,
-                     gen_step, eos, top_p, top_k):
+        def one_step(p, cross, caches, tok, pos, start, end, temp, seed,
+                     remaining, gen_step, eos, top_p, top_k):
             kcs, vcs = caches[:n_layers], caches[n_layers:]
             x = eng._embed(p, tok[:, None])                     # [B, 1, H]
             active = remaining > 0
@@ -278,7 +334,31 @@ class ContinuousBatcher:
                     m = sl_mask
                 return L.attention(q, kc, vc, mask=m, scale=sc)
 
-            xx, (nk, nv) = layer_stack(p, c, x, pos[:, None], kv_write, attend)
+            inter = None
+            if cross_mode:
+                # Mllama cross hooks: mm slots attend their pooled vision
+                # keys (cross_len rows); text slots run the block under a
+                # uniform mask and DISCARD it (identity) - HF skips cross
+                # layers entirely on text-only inputs, and the isolated
+                # LlamaDecodeEngine stream is the bit-match oracle.
+                cp, ckp, cvp, clen = cross
+                kmask = jnp.arange(skv_max)[None] < clen[:, None]
+                has = clen > 0
+                amask = (kmask | ~has[:, None])[:, None, None, :]
+
+                def make(entries):
+                    def hook(h):
+                        for row, g in entries:
+                            y = mm._cross_block(cp[str(g)], h, ckp[row],
+                                                cvp[row], amask, None)
+                            h = jnp.where(has[:, None, None], y, h)
+                        return h
+                    return hook
+
+                inter = {j: make(e) for j, e in cross_slots.items()}
+
+            xx, (nk, nv) = layer_stack(p, c, x, pos[:, None], kv_write,
+                                       attend, interleave=inter)
             new_caches = list(zip(nk, nv))
             logits = eng._logits(p, xx[:, 0])                   # [B, V]
 
@@ -302,18 +382,36 @@ class ContinuousBatcher:
             return ((caches, nxt, pos, start, end, temp, seed, remaining,
                      gen_step, eos, top_p, top_k), (nxt, lp, tid, tlp))
 
-        def run(p, caches, tok, pos, start, end, temp, seed, remaining,
-                gen_step, eos, top_p, top_k):
-            def body(carry, _):
-                carry, ys = one_step(p, *carry)
-                return carry, ys
+        if cross_mode:
+            # cross pools/params are decode CONSTANTS (scan closure, not
+            # carry): written only at install time
+            def run(p, cp, ck, cv, clen, caches, tok, pos, start, end,
+                    temp, seed, remaining, gen_step, eos, top_p, top_k):
+                cross = (cp, ck, cv, clen)
 
-            carry, ys = jax.lax.scan(
-                body,
-                (caches, tok, pos, start, end, temp, seed, remaining,
-                 gen_step, eos, top_p, top_k),
-                None, length=chunk)
-            return carry, ys  # ys: (toks, lps, top_ids, top_lps) per step
+                def body(carry, _):
+                    carry, ys = one_step(p, cross, *carry)
+                    return carry, ys
+
+                carry, ys = jax.lax.scan(
+                    body,
+                    (caches, tok, pos, start, end, temp, seed, remaining,
+                     gen_step, eos, top_p, top_k),
+                    None, length=chunk)
+                return carry, ys
+        else:
+            def run(p, caches, tok, pos, start, end, temp, seed, remaining,
+                    gen_step, eos, top_p, top_k):
+                def body(carry, _):
+                    carry, ys = one_step(p, None, *carry)
+                    return carry, ys
+
+                carry, ys = jax.lax.scan(
+                    body,
+                    (caches, tok, pos, start, end, temp, seed, remaining,
+                     gen_step, eos, top_p, top_k),
+                    None, length=chunk)
+                return carry, ys  # ys: (toks, lps, top_ids, top_lps)
 
         return jax.jit(run)
 
@@ -359,6 +457,15 @@ class ContinuousBatcher:
             pixel_values = np.asarray(pixel_values)
             if pixel_values.ndim == getattr(self.mm_engine, "image_rank", 3):
                 pixel_values = pixel_values[None]
+            if self._cross_mode:
+                need = (pixel_values.shape[0]
+                        * self.mm_engine.cfg.vision.num_patches)
+                if need > self._cross_skv:
+                    fut.set_exception(ValueError(
+                        f"{pixel_values.shape[0]} images need {need} "
+                        f"cross-KV rows > pool {self._cross_skv}; raise "
+                        "cross_max_images"))
+                    return fut
         self._queue.put(_Request(
             list(prompt), max_new_tokens, float(temperature), seed, fut,
             eos_id=self.eos_id if eos_id is None else eos_id,
@@ -381,6 +488,13 @@ class ContinuousBatcher:
         diverging from the causal decode it originally ran under. Those
         go through ``_mm_resume_prefill`` instead."""
         if mm and req.tokens:
+            if self._cross_mode:
+                # unreachable in this tier (only the paged batcher
+                # preempts, and it refuses cross-decode engines)
+                raise RuntimeError(
+                    "resume of a cross-attention multimodal request is "
+                    "not supported (the causal extension would need the "
+                    "cross hooks)")
             return self._mm_resume_prefill(req, s, pix_digest)
         return self._prefill_raw(prompt_eff, s, mm,
                                  req.pixel_values if mm else None, pix_digest)
@@ -525,6 +639,15 @@ class ContinuousBatcher:
         self._caches = tuple(caches)
         self._start = self._start.at[slot].set(s - n_prompt)
         self._end = self._end.at[slot].set(s)
+        if self._cross_mode:
+            if isinstance(hint, tuple) and hint and hint[0] == "cross":
+                ks, vs = hint[1]            # [n_cross, 1, skv_real, kv, hd]
+                skv = ks.shape[2]
+                self._cross_k = self._cross_k.at[:, slot, :skv].set(ks[:, 0])
+                self._cross_v = self._cross_v.at[:, slot, :skv].set(vs[:, 0])
+                self._cross_len = self._cross_len.at[slot].set(skv)
+            else:                           # text request in this slot
+                self._cross_len = self._cross_len.at[slot].set(0)
 
     def _advance_chunked(self) -> None:
         """Run ONE segment of the in-flight chunked prefill (at most one
@@ -654,8 +777,10 @@ class ContinuousBatcher:
                 self._advance_chunked()
                 continue   # the slot stays free for other admissions
             else:
-                k, v, logits, last_pos = self._full_prefill(
-                    req, prompt_eff, s, mm, pix_digest)
+                out = self._full_prefill(req, prompt_eff, s, mm, pix_digest)
+                k, v, logits, last_pos = out[:4]
+                if len(out) > 4:            # cross engine: packed cross KV
+                    hint = ("cross", out[4])
             self._finish_admission(slot, req, s, prompt_eff, k, v, logits,
                                    last_pos, hint, pix_digest)
 
@@ -710,6 +835,8 @@ class ContinuousBatcher:
     def _finish(self, slot: int) -> None:
         req = self._slots[slot]
         self._slots[slot] = None
+        if self._cross_mode:
+            self._cross_len = self._cross_len.at[slot].set(0)
         toks = req.tokens
         if req.eos_id in toks:
             toks = toks[: toks.index(req.eos_id)]
@@ -735,6 +862,8 @@ class ContinuousBatcher:
             if not req.future.done():
                 req.future.set_exception(exc)
         self._readmit.clear()
+        if self._cross_mode:
+            self._cross_len = jnp.zeros_like(self._cross_len)
         while True:
             try:
                 req = self._queue.get_nowait()
@@ -758,8 +887,11 @@ class ContinuousBatcher:
         if ("decode", flags) not in self._jit:
             self._jit[("decode", flags)] = self._decode_fn(self.chunk, *flags)
         rem_before = np.asarray(self._remaining)  # real tokens this chunk
+        extra = ((self.mm_engine.cross_params, self._cross_k,
+                  self._cross_v, self._cross_len)
+                 if self._cross_mode else ())
         carry, ys = self._jit[("decode", flags)](
-            self.engine.params, self._caches, self._tok, self._pos,
+            self.engine.params, *extra, self._caches, self._tok, self._pos,
             self._start, self._end, self._temp, self._seed, self._remaining,
             self._gen_step, self._eos, self._top_p, self._top_k)
         (self._caches, self._tok, self._pos, self._start, self._end,

@@ -436,6 +436,9 @@ def _make_speculative_batchers():
     class _SpeculativeContinuousBatcher(_SpecHostMixin, ContinuousBatcher):
         __doc__ = SpeculativeContinuousBatcher.__doc__
 
+        # the speculative verify forward has no cross-attention hooks
+        supports_cross_decode = False
+
         def _decode_fn(self, chunk: int, with_filter: bool = True,
                        with_logprobs: bool = True):
             if with_logprobs:

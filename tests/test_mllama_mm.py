@@ -290,18 +290,74 @@ def test_mllama_registry_and_preprocessor():
     assert len(out[0]) == 4
 
 
-def test_mllama_refuses_batcher_prefill():
-    """The continuous batchers carry no cross-KV slot state; the engine's
-    batcher-contract prefill must refuse loudly instead of silently
-    dropping the cross-attention from decode."""
+def _tiny_mm():
     import warnings
 
+    from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
     from multimodal_colpali_tpu.models.registry import load_mllama_mm
 
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        tcfg, params, _ = load_mllama_mm("tiny-mllama")
-    eng = MllamaMMEngine(tcfg, params)
-    assert eng.batcher_compatible is False
+        cfg, params, _ = load_mllama_mm("tiny-mllama")
+    return (cfg, LlamaDecodeEngine(cfg.text, params, dtype=jnp.float32),
+            MllamaMMEngine(cfg, params, dtype=jnp.float32))
+
+
+def test_mllama_through_dense_batcher():
+    """Image requests decode next to text in the dense ContinuousBatcher
+    (per-slot cross-KV pools + cross hooks in the decode scan), matching
+    the isolated engines' streams bit for bit - including a 2-image
+    request and slot REUSE after an mm request finishes (the stale cross
+    pool must not leak into the next occupant)."""
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    cfg, eng, mm = _tiny_mm()
+    rng = np.random.default_rng(5)
+    pix1 = _images(cfg, rng, 1)
+    pix2 = _images(cfg, rng, 2)
+    p1 = mm.build_mm_prompt([5, 9, 11], bos_id=1)
+    p2 = mm.build_mm_prompt([7, 3], bos_id=1, n_images=2)
+    want1 = mm.generate([p1], pix1[None], max_new_tokens=6, bucket=16)[0]
+    want2 = mm.generate([p2], pix2[None], max_new_tokens=5, bucket=16)[0]
+    want_txt = eng.generate([[40, 2, 7]], max_new_tokens=8)[0]
+
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3,
+                            mm_engine=mm, cross_max_images=2)
+    f_txt = bat.submit([40, 2, 7], max_new_tokens=8)
+    f_mm1 = bat.submit(p1, max_new_tokens=6, pixel_values=pix1[0])
+    f_mm2 = bat.submit(p2, max_new_tokens=5, pixel_values=pix2)
+    bat.drain()
+    assert f_txt.result(60) == want_txt
+    assert f_mm1.result(60) == want1
+    assert f_mm2.result(60) == want2
+    # slot reuse after mm: a text request in a previously-mm slot must
+    # not see the stale cross pool
+    f_txt2 = bat.submit([12, 44], max_new_tokens=6)
+    bat.drain()
+    assert f_txt2.result(60) == eng.generate([[12, 44]],
+                                             max_new_tokens=6)[0]
+    # capacity guard: a 3-image request exceeds the 2-image pool
+    f_over = bat.submit(mm.build_mm_prompt([5], bos_id=1, n_images=3),
+                        max_new_tokens=4,
+                        pixel_values=_images(cfg, rng, 3))
+    with pytest.raises(ValueError, match="cross-KV rows"):
+        f_over.result(60)
+
+
+def test_mllama_paged_and_speculative_refuse():
+    """The paged/speculative tiers have no cross hooks in their decode
+    (and preemption would need cross-aware resume): they must refuse the
+    engine loudly, and the raw batcher-contract prefill must refuse too
+    (silently dropping cross-attention from decode is the failure mode)."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+    from multimodal_colpali_tpu.generation.speculative import (
+        SpeculativeContinuousBatcher)
+
+    cfg, eng, mm = _tiny_mm()
+    assert mm.cross_decode is True
+    for cls, kw in ((PagedContinuousBatcher, {"page_size": 8}),
+                    (SpeculativeContinuousBatcher, {"spec_k": 3})):
+        with pytest.raises(ValueError, match="cross"):
+            cls(eng, batch_slots=2, max_seq_len=64, mm_engine=mm, **kw)
     with pytest.raises(RuntimeError, match="cross"):
-        eng._prefill(None, None, None, None, None)
+        mm._prefill(None, None, None, None, None)
