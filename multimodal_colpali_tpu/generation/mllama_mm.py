@@ -102,9 +102,18 @@ class MllamaMMEngine(Qwen2VLMMEngine):
         self.cfg = cfg
         self.lm = LlamaDecodeEngine(cfg.text, params, dtype=dtype,
                                     weight_dtype=weight_dtype)
+        from multimodal_colpali_tpu.ops.quant import (is_quantized,
+                                                      is_quantized_int4)
+
+        # pre-quantized subtrees (the leaf-streamed 11B random builder,
+        # or a sibling engine's shared quantized buffers) must pass
+        # through UNCAST: their f32 scales would degrade to bf16
+        _q = lambda p: is_quantized(p) or is_quantized_int4(p)
         cast = lambda t: jax.tree.map(
-            lambda p: jnp.asarray(p, dtype)
-            if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p), t)
+            lambda p: p if _q(p)
+            else jnp.asarray(p, dtype)
+            if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p),
+            t, is_leaf=_q)
         # vision/cross params ride INTO the jits as arguments (closure
         # capture would bake them into the lowering as constants)
         self.vision_params = cast(params["vision_tower"])

@@ -149,9 +149,47 @@ class MllamaMMConfig:
         )                                   # embed table has vocab+8 rows
 
 
+def blocked_masked_attention(q, k, v, mask, scale: float,
+                             block: int = 512) -> jnp.ndarray:
+    """Exact attention with an arbitrary boolean mask, computed in query
+    blocks so the [L, L] logits never materialize (the 11B tower's
+    4-tile sequence is 6432 tokens: full f32 logits would be ~2.6 GB x2
+    per image, which the 16 GB chip does not have next to 11B of int8
+    weights). q/k/v: [B, L, H, D]; mask [B, 1, L, L] True = attend.
+    Bit-identical math to ``layers.attention``'s einsum path per block
+    (f32 logits + softmax), scanned over query blocks."""
+    b, l, h, d = q.shape
+    pad = (-l) % block
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        # padding QUERIES are sliced off below; padding KEYS never exist
+        # (k/v stay length l)
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                       constant_values=True)
+    nb = q.shape[1] // block
+    qb = q.reshape(b, nb, block, h, d).transpose(1, 0, 2, 3, 4)
+    mb = mask.reshape(b, 1, nb, block, l).transpose(2, 0, 1, 3, 4)
+
+    def body(carry, qm):
+        qi, mi = qm                       # [B, block, H, D], [B, 1, block, L]
+        logits = jnp.einsum("bshd,bthd->bhst", qi, k,
+                            preferred_element_type=jnp.float32) * scale
+        logits = jnp.where(mi, logits, jnp.float32(-1e30))
+        probs = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhst,bthd->bshd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        return carry, out.astype(q.dtype)
+
+    _, blocks = jax.lax.scan(body, None, (qb, mb))
+    out = blocks.transpose(1, 0, 2, 3, 4).reshape(b, nb * block, h, d)
+    return out[:, :l]
+
+
 class MllamaVisionAttention(nn.Module):
     """Bias-free MHA (HF ``MllamaVisionAttention``); ``mask`` is a
-    boolean [B, 1, L, L] (True = attend)."""
+    boolean [B, 1, L, L] (True = attend). Long sequences (the 4-tile
+    560px layout) run the query-blocked path to bound the logits
+    transient."""
 
     cfg: MllamaVisionConfig
 
@@ -166,7 +204,11 @@ class MllamaVisionAttention(nn.Module):
                            name="k_proj")(x).reshape(shp)
         v = L.DenseGeneral(c.hidden_size, use_bias=False,
                            name="v_proj")(x).reshape(shp)
-        out = L.attention(q, k, v, mask=mask, scale=c.head_dim ** -0.5)
+        if s >= 2048:
+            out = blocked_masked_attention(q, k, v, mask,
+                                           scale=c.head_dim ** -0.5)
+        else:
+            out = L.attention(q, k, v, mask=mask, scale=c.head_dim ** -0.5)
         return L.DenseGeneral(c.hidden_size, use_bias=False, name="o_proj")(
             out.reshape(b, s, -1))
 

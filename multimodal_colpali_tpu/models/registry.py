@@ -1168,10 +1168,143 @@ def mllama_random_params(cfg, seed: int = 0) -> Dict[str, Any]:
     return lm
 
 
+def _mllama_cross_shapes(cfg) -> Dict[str, Any]:
+    """ShapeDtypeStruct tree matching the ``cross_layers`` subtree of
+    ``hf_import.mllama_params_from_hf``."""
+    c = cfg.text
+    h, hd = c.hidden_size, c.head_dim
+    f32 = jnp.float32
+    sds = jax.ShapeDtypeStruct
+    layer = {
+        "cross_attn": {
+            "q_proj": {"kernel": sds((h, c.num_attention_heads * hd), f32)},
+            "k_proj": {"kernel": sds((h, c.num_key_value_heads * hd), f32)},
+            "v_proj": {"kernel": sds((h, c.num_key_value_heads * hd), f32)},
+            "o_proj": {"kernel": sds((c.num_attention_heads * hd, h), f32)},
+            "q_norm": {"weight": sds((hd,), f32)},
+            "k_norm": {"weight": sds((hd,), f32)},
+        },
+        "input_layernorm": {"weight": sds((h,), f32)},
+        "post_attention_layernorm": {"weight": sds((h,), f32)},
+        "mlp": {
+            "gate_proj": {"kernel": sds((h, c.intermediate_size), f32)},
+            "up_proj": {"kernel": sds((h, c.intermediate_size), f32)},
+            "down_proj": {"kernel": sds((c.intermediate_size, h), f32)},
+        },
+        "gate_attn": sds((1,), f32),
+        "gate_mlp": sds((1,), f32),
+    }
+    return {f"{g}": layer for g in cfg.cross_attention_layers}
+
+
+def mllama_random_params_int8(cfg, seed: int = 0, dtype: Any = jnp.bfloat16,
+                              fmt: str = "int8"):
+    """Random FULL Mllama params materialized DIRECTLY as weight-only
+    quantized leaves on the device, one leaf-sized jit at a time - the
+    11B tree is ~22.8 GB in bf16 (cannot live on a 16 GB v5e) but
+    ~11.4 GB as int8 codes. Mirrors ``gemma3_random_params_int8``, with
+    Llama conventions: plain-multiply norms init to ONE (not the Gemma
+    w=0), the embed table carries HF's ``vocab_size + 8`` rows, gates
+    init 0.25 so the cross blocks compute nontrivially, and the vision
+    tower builds in one on-device jit at ``dtype`` (its int8 form is the
+    engine's ``vision_dtype="int8"`` pass)."""
+    from multimodal_colpali_tpu.models.mllama import MllamaVisionTower
+    from multimodal_colpali_tpu.ops.quant import (_int4_group_for,
+                                                  quantize_embed_int8,
+                                                  quantize_int4,
+                                                  quantize_int8)
+
+    c = cfg.text
+    shapes = qwen2vl_param_shapes(c)
+    shapes["embed"]["embed_tokens"] = jax.ShapeDtypeStruct(
+        (c.vocab_size + 8, c.hidden_size), jnp.float32)
+    shapes["cross_layers"] = _mllama_cross_shapes(cfg)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    key = jax.random.PRNGKey(seed)
+    jits: Dict[Any, Any] = {}
+
+    def build_leaf(shape, axis, i):
+        sig = (shape, axis)
+        if sig not in jits:
+            def f(k):
+                fan_in = shape[0] if len(shape) >= 2 else shape[-1]
+                w = (jax.random.normal(k, shape, jnp.float32)
+                     * float(fan_in) ** -0.5)
+                if axis == 1:
+                    return quantize_embed_int8(w)
+                if fmt == "int4":
+                    g = _int4_group_for(shape[0], 256)
+                    if g:
+                        return quantize_int4(w, group=g)
+                return quantize_int8(w, axis=axis)
+            jits[sig] = jax.jit(f)
+        return jits[sig](jax.random.fold_in(key, i))
+
+    order = sorted(range(len(flat)),
+                   key=lambda i: -int(np.prod(flat[i][1].shape)))
+    out: List[Any] = [None] * len(flat)
+    for i in order:
+        path, s = flat[i]
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "weight":
+            out[i] = jnp.ones(s.shape, dtype)       # plain-multiply norms
+        elif name in ("gate_attn", "gate_mlp"):
+            out[i] = jnp.full(s.shape, 0.25, jnp.float32)
+        elif name == "embed_tokens":
+            out[i] = build_leaf(s.shape, 1, i)       # scale per row
+        else:
+            out[i] = build_leaf(s.shape, 0, i)       # scale per col
+    params = jax.tree_util.tree_unflatten(treedef, out)
+
+    v = cfg.vision
+    tower = MllamaVisionTower(v)
+    vshapes = jax.eval_shape(lambda: tower.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, v.max_num_tiles, v.image_size, v.image_size, 3),
+                  jnp.float32),
+        jnp.ones((1,), jnp.int32),
+        jnp.zeros((1, v.max_num_tiles), jnp.int32).at[:, 0].set(1),
+    ))["params"]
+    vflat, vtreedef = jax.tree_util.tree_flatten_with_path(vshapes)
+
+    def build_vision(k):
+        outs = []
+        for i, (path, s) in enumerate(vflat):
+            name = getattr(path[-1], "key", str(path[-1]))
+            if name == "bias":
+                outs.append(jnp.zeros(s.shape, dtype))
+            elif name == "weight" and len(s.shape) == 1:
+                outs.append(jnp.ones(s.shape, dtype))       # LayerNorms
+            elif name.endswith("gate") or name in ("gate_attn", "gate_ffn"):
+                outs.append(jnp.full(s.shape, 0.25, jnp.float32))
+            else:
+                fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+                outs.append((jax.random.normal(jax.random.fold_in(k, i),
+                                               s.shape, jnp.float32)
+                             * float(fan_in) ** -0.5).astype(dtype))
+        return jax.tree_util.tree_unflatten(vtreedef, outs)
+
+    params["vision_tower"] = jax.jit(build_vision)(
+        jax.random.fold_in(key, 10_000))
+    th = c.hidden_size
+    rng = np.random.default_rng(seed + 2)
+    params["multi_modal_projector"] = {
+        "kernel": jnp.asarray(
+            rng.standard_normal((v.output_dim, th)).astype(np.float32)
+            * float(v.output_dim) ** -0.5, dtype),
+        "bias": jnp.zeros((th,), dtype),
+    }
+    return params
+
+
 def load_mllama_mm(name: str, checkpoint_dir: Optional[str] = None,
-                   dtype: Any = jnp.bfloat16, seed: int = 0):
+                   dtype: Any = jnp.bfloat16, seed: int = 0,
+                   weight_dtype: str = "native"):
     """Load the FULL Llama-3.2-Vision generator (tiled ViT tower + cross
-    layers + Llama LM) -> (cfg, params, tokenizer)."""
+    layers + Llama LM) -> (cfg, params, tokenizer). ``weight_dtype``
+    int8/int4 makes the random-init fallback build the LM + cross layers
+    directly in quantized form on the device (11B cannot exist in bf16
+    on one chip; checkpoints quantize post-load in the engine)."""
     if name not in MLLAMA_CONFIGS:
         raise KeyError(
             f"unknown mllama model {name!r}; known: "
@@ -1197,7 +1330,12 @@ def load_mllama_mm(name: str, checkpoint_dir: Optional[str] = None,
             f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
             stacklevel=2,
         )
-        params = mllama_random_params(cfg, seed)
+        if weight_dtype in ("int8", "int4"):
+            # leaf-streamed on-device init: the bf16 tree never exists
+            params = mllama_random_params_int8(cfg, seed, dtype=dtype,
+                                               fmt=weight_dtype)
+        else:
+            params = mllama_random_params(cfg, seed)
     return cfg, params, tok
 
 

@@ -57,8 +57,17 @@ def int8_matmul_enabled() -> bool:
     return jax.default_backend() == "tpu"
 
 
+# The kernels keep the FULL M rows resident in VMEM (x block + f32 acc +
+# out block ~ m * 4 KB at the default 512 blocks): past ~2k rows the
+# scoped-VMEM budget (16 MB) blows. Decode Ms are tiny (slots, or
+# slots*spec_k); large-M callers (a 6.4k-token Mllama cross-KV
+# projection at prefill) fall back to XLA, where prefill is
+# compute-bound anyway and the upcast copy is amortized over many rows.
+_MAX_M = 2048
+
+
 def _ok_shapes(m: int, k: int, n: int, block_k: int, block_n: int) -> bool:
-    return k % block_k == 0 and n % block_n == 0
+    return m <= _MAX_M and k % block_k == 0 and n % block_n == 0
 
 
 def int8_matmul_xla(x: jax.Array, codes: jax.Array, scale: jax.Array,

@@ -361,3 +361,66 @@ def test_mllama_paged_and_speculative_refuse():
             cls(eng, batch_slots=2, max_seq_len=64, mm_engine=mm, **kw)
     with pytest.raises(RuntimeError, match="cross"):
         mm._prefill(None, None, None, None, None)
+
+
+def test_mllama_quantized_random_serving():
+    """The leaf-streamed quantized random builder (the 11B-on-one-chip
+    path): LM + cross layers arrive pre-quantized, the engines detect
+    them without re-casting the f32 scales, and the batcher stream still
+    bit-matches the isolated engine."""
+    import warnings
+
+    from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+    from multimodal_colpali_tpu.models.registry import load_mllama_mm
+    from multimodal_colpali_tpu.ops.quant import is_quantized
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cfg, params, _ = load_mllama_mm("tiny-mllama", weight_dtype="int8")
+    assert is_quantized(params["embed"]["embed_tokens"])
+    assert is_quantized(
+        params["cross_layers"][f"{cfg.cross_attention_layers[0]}"]
+        ["cross_attn"]["q_proj"]["kernel"])
+    eng = LlamaDecodeEngine(cfg.text, params, dtype=jnp.bfloat16)
+    assert eng.weight_dtype == "int8"
+    mm = MllamaMMEngine(cfg, params, dtype=jnp.bfloat16)
+    # the cross scales must stay f32 (cast-through would degrade them)
+    q = mm.cross_params[f"{cfg.cross_attention_layers[0]}"]["cross_attn"][
+        "q_proj"]["kernel"]
+    assert q["scale"].dtype == jnp.float32
+
+    rng = np.random.default_rng(6)
+    pix = _images(cfg, rng, 1)
+    prompt = mm.build_mm_prompt([3, 5, 7], bos_id=1)
+    want = mm.generate([prompt], pix[None], max_new_tokens=5, bucket=16)[0]
+    bat = ContinuousBatcher(eng, batch_slots=2, max_seq_len=64, chunk=3,
+                            mm_engine=mm)
+    f_mm = bat.submit(prompt, max_new_tokens=5, pixel_values=pix[0])
+    f_tx = bat.submit([11, 13], max_new_tokens=5)
+    bat.drain()
+    assert f_mm.result(60) == want
+    assert f_tx.result(60) == eng.generate([[11, 13]],
+                                           max_new_tokens=5)[0]
+
+
+def test_blocked_masked_attention_matches_direct():
+    """The query-blocked vision attention (the 11B tower's memory-bounded
+    path) is exact: identical to the one-shot einsum attention under an
+    arbitrary mask, including the non-multiple-of-block padding tail."""
+    import jax
+
+    from multimodal_colpali_tpu.models import layers as L
+    from multimodal_colpali_tpu.models.mllama import blocked_masked_attention
+
+    rng = np.random.default_rng(9)
+    b, l, h, d = 2, 700, 4, 16
+    q = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, h, d)), jnp.float32)
+    mask = jnp.asarray(rng.random((b, 1, l, l)) < 0.8)
+    want = L.attention(q, k, v, mask=mask, scale=d ** -0.5)
+    got = blocked_masked_attention(q, k, v, mask, scale=d ** -0.5,
+                                   block=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
