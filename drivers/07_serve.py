@@ -71,6 +71,11 @@ def parse_args() -> argparse.Namespace:
                    help="Chunked prefill: text prompts longer than this "
                         "many tokens prefill in segments interleaved with "
                         "decode chunks (0 = off; vLLM's chunked prefill).")
+    p.add_argument("--tiles", default="1x1", metavar="RxC",
+                   help="Mllama static tile layout per image (e.g. 2x2 "
+                        "gives document pages 4x the pixel budget; must "
+                        "be one of the checkpoint's supported aspect "
+                        "ratios).")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="Prompt-lookup speculative decoding: verify K "
                         "drafted tokens per slot per forward (greedy slots "
@@ -174,9 +179,11 @@ def main() -> None:
             # share the quantized embed/LM buffers with the mm engine
             params = {**params, "embed": engine.params["embed"],
                       "language_model": engine.params["language_model"]}
+        tiles = tuple(int(x) for x in args.tiles.lower().split("x"))
         mm_engine = MllamaMMEngine(cfg_mm, params, dtype=dtype,
-                                   vision_dtype=args.vision_dtype)
-        image_pre = MllamaImagePreprocessor(cfg_mm)
+                                   vision_dtype=args.vision_dtype,
+                                   tiles=tiles)
+        image_pre = MllamaImagePreprocessor(cfg_mm, tiles=tiles)
         if tok is None:
             vocab = cfg_mm.text.vocab_size
             tok = ByteTokenizer() if vocab >= 259 else ModuloTokenizer(vocab)

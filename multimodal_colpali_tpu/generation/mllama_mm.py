@@ -53,32 +53,59 @@ from multimodal_colpali_tpu.models.mllama import (MllamaMMConfig,
 
 
 class MllamaImagePreprocessor:
-    """PIL images -> [N, T, H, W, 3] normalized rasters in the static
-    single-tile layout (tile 0 = the image resized to the square tile
-    size, remaining tile slots zero; CLIP normalization constants, the
-    ones HF's MllamaImageProcessor uses)."""
+    """PIL images -> [N, T, H, W, 3] normalized rasters at the engine's
+    STATIC tile layout (CLIP normalization constants, the ones HF's
+    MllamaImageProcessor uses).
+
+    ``tiles=(1, 1)`` (default): the image stretches to the square tile.
+    Multi-tile layouts ((2, 2) quadruples a document page's pixel
+    budget) follow the HF processor's order of operations: aspect-
+    preserving resize into the rows x cols canvas, zero-pad the RAW
+    pixels bottom/right, THEN rescale+normalize (so padding lands at
+    normalized black, exactly where HF's pad-before-normalize puts it),
+    split row-major into tiles; unused tile slots stay 0.0 in
+    normalized space (HF pads pixel_values arrays with zeros)."""
 
     MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
     STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
-    def __init__(self, cfg: MllamaMMConfig):
+    def __init__(self, cfg: MllamaMMConfig, tiles: Tuple[int, int] = (1, 1)):
         self.size = cfg.vision.image_size
-        self.tiles = cfg.vision.max_num_tiles
+        self.slots = cfg.vision.max_num_tiles
+        self.tiles = (int(tiles[0]), int(tiles[1]))
+        cfg.vision.aspect_ratio_id(self.tiles)   # validate
 
-    def __call__(self, images) -> np.ndarray:
+    def _canvas(self, im) -> np.ndarray:
+        """RAW [rows*size, cols*size, 3] canvas (uint8 scale)."""
         from PIL import Image
 
+        rows, cols = self.tiles
+        ch, cw = rows * self.size, cols * self.size
+        if not isinstance(im, Image.Image):
+            im = Image.fromarray(np.asarray(im, np.uint8))
+        im = im.convert("RGB")
+        if (rows, cols) == (1, 1):
+            return np.asarray(im.resize((cw, ch), Image.BICUBIC),
+                              np.float32)
+        scale = min(ch / im.height, cw / im.width)
+        nh = max(1, int(round(im.height * scale)))
+        nw = max(1, int(round(im.width * scale)))
+        canvas = np.zeros((ch, cw, 3), np.float32)
+        canvas[:nh, :nw] = np.asarray(
+            im.resize((nw, nh), Image.BICUBIC), np.float32)
+        return canvas
+
+    def __call__(self, images) -> np.ndarray:
+        rows, cols = self.tiles
         out = []
         for im in images:
-            if isinstance(im, Image.Image):
-                arr = np.asarray(
-                    im.convert("RGB").resize((self.size, self.size),
-                                             Image.BICUBIC), np.float32)
-            else:
-                arr = np.asarray(im, np.float32)
-            tile = (arr / 255.0 - self.MEAN) / self.STD
-            stack = np.zeros((self.tiles,) + tile.shape, np.float32)
-            stack[0] = tile
+            canvas = (self._canvas(im) / 255.0 - self.MEAN) / self.STD
+            tiles = (canvas.reshape(rows, self.size, cols, self.size, 3)
+                     .transpose(0, 2, 1, 3, 4)
+                     .reshape(rows * cols, self.size, self.size, 3))
+            stack = np.zeros((self.slots, self.size, self.size, 3),
+                             np.float32)
+            stack[:rows * cols] = tiles
             out.append(stack)
         return np.stack(out)
 
@@ -98,8 +125,17 @@ class MllamaMMEngine(Qwen2VLMMEngine):
     cross_decode = True
 
     def __init__(self, cfg: MllamaMMConfig, params, dtype: Any = jnp.float32,
-                 weight_dtype: str = "native", vision_dtype: str = "native"):
+                 weight_dtype: str = "native", vision_dtype: str = "native",
+                 tiles: Tuple[int, int] = (1, 1)):
+        """``tiles=(rows, cols)`` picks the STATIC tile layout every image
+        is packed into - one of the checkpoint's supported aspect ratios
+        ((2, 2) gives document pages 4x the pixel budget of the single
+        square tile). One layout per engine instance keeps the jit cache
+        per shape; the batchers' cross pools size to it."""
         self.cfg = cfg
+        self.tiles = (int(tiles[0]), int(tiles[1]))
+        self.ar_id = cfg.vision.aspect_ratio_id(self.tiles)
+        self.n_real_tiles = self.tiles[0] * self.tiles[1]
         self.lm = LlamaDecodeEngine(cfg.text, params, dtype=dtype,
                                     weight_dtype=weight_dtype)
         from multimodal_colpali_tpu.ops.quant import (is_quantized,
@@ -142,22 +178,32 @@ class MllamaMMEngine(Qwen2VLMMEngine):
 
     @property
     def cross_tokens_per_image(self) -> int:
+        """Key length per image in the UNPACKED cross states (all tile
+        slots, padding included - the prefill mask's granularity)."""
         c = self.cfg.vision
         return c.max_num_tiles * c.num_patches
+
+    @property
+    def packed_cross_tokens_per_image(self) -> int:
+        """REAL-tile rows per image in the packed cross KV (the batchers'
+        per-slot pool granularity)."""
+        return self.n_real_tiles * self.cfg.vision.num_patches
 
     # -- vision ------------------------------------------------------------
 
     def _cross_states(self, vp, pix: jax.Array) -> jax.Array:
         """[B, N, T, H, W, 3] -> [B, N*T*P, text_hidden] projected vision
-        states (the cross-attention keys' source). The static layout puts
-        every image at aspect_ratio_id=1 ([1, 1]: tile 0 real)."""
+        states (the cross-attention keys' source). Every image sits at
+        the engine's static tile layout (``tiles``): slots
+        0..rows*cols-1 real, the rest zero-padded."""
         c = self.cfg
         if pix.ndim == 5:
             pix = pix[:, None]
         b, n_img, t = pix.shape[:3]
         flat = pix.reshape((b * n_img,) + pix.shape[2:]).astype(self.lm.dtype)
-        ar_ids = jnp.ones((b * n_img,), jnp.int32)
-        ar_mask = jnp.zeros((b * n_img, t), jnp.int32).at[:, 0].set(1)
+        ar_ids = jnp.full((b * n_img,), self.ar_id, jnp.int32)
+        ar_mask = (jnp.arange(t)[None] < self.n_real_tiles
+                   ).astype(jnp.int32).repeat(b * n_img, axis=0)
         feats = MllamaVisionTower(c.vision).apply(
             {"params": vp["vision"]}, flat, ar_ids, ar_mask)
         proj = L.dense(feats, vp["proj"]["kernel"], vp["proj"]["bias"])
@@ -231,11 +277,12 @@ class MllamaMMEngine(Qwen2VLMMEngine):
 
     def _tile_pattern(self) -> jax.Array:
         """[T*P] bool: which of an image's vision tokens are REAL-tile
-        keys in the static [1, 1] layout (the HF processor's dense mask
-        marks only ``num_tiles`` real tiles; padded tile slots stay
+        keys in the engine's static layout (the HF processor's dense
+        mask marks only ``num_tiles`` real tiles; padded tile slots stay
         masked for every row that attends the image)."""
         c = self.cfg.vision
-        return jnp.arange(c.max_num_tiles * c.num_patches) < c.num_patches
+        return (jnp.arange(c.max_num_tiles * c.num_patches)
+                < self.n_real_tiles * c.num_patches)
 
     def _cross_masks(self, ids, mask, n_img: int):
         """In-jit HF mask semantics for consecutive image-token groups:
@@ -268,12 +315,12 @@ class MllamaMMEngine(Qwen2VLMMEngine):
 
     def packed_cross_kv(self, ckv, n_img: int):
         """{layer: (k, v) [B, n_img*T*P, KV, hd]} -> stacked REAL-tile
-        rows ([n_cross, B, n_img*P, KV, hd] x2) for the batchers' per-slot
-        cross pools (decode never attends padding-tile keys, so the pools
-        store only tile 0's P tokens per image - the static [1, 1]
-        layout)."""
+        rows ([n_cross, B, n_img*n_real*P, KV, hd] x2) for the batchers'
+        per-slot cross pools (decode never attends padding-tile keys, so
+        the pools store only the engine layout's real tiles)."""
         c = self.cfg.vision
-        tp, p_real = c.max_num_tiles * c.num_patches, c.num_patches
+        tp = c.max_num_tiles * c.num_patches
+        p_real = self.n_real_tiles * c.num_patches
 
         def pack(a):
             b, skv = a.shape[:2]

@@ -134,11 +134,12 @@ class ContinuousBatcher:
             # request's packed REAL-TILE vision tokens at every step;
             # text slots keep cross_len 0 and the hooks reduce to
             # identity). Pools are decode-time CONSTANTS - written at
-            # install, never in the scan carry.
-            mmc = mm_engine.cfg
+            # install, never in the scan carry. Row count per image is
+            # the engine's static tile layout (1 tile = 1601 rows for
+            # the 11B; a (2, 2) document layout = 6404).
             self._cross_skv = (int(cross_max_images)
-                               * mmc.vision.num_patches)
-            n_cross = len(mmc.cross_attention_layers)
+                               * mm_engine.packed_cross_tokens_per_image)
+            n_cross = len(mm_engine.cfg.cross_attention_layers)
             pool = (n_cross, self.B, self._cross_skv,
                     c.num_key_value_heads, c.head_dim)
             self._cross_k = jnp.zeros(pool, engine.dtype)
@@ -459,7 +460,7 @@ class ContinuousBatcher:
                 pixel_values = pixel_values[None]
             if self._cross_mode:
                 need = (pixel_values.shape[0]
-                        * self.mm_engine.cfg.vision.num_patches)
+                        * self.mm_engine.packed_cross_tokens_per_image)
                 if need > self._cross_skv:
                     fut.set_exception(ValueError(
                         f"{pixel_values.shape[0]} images need {need} "

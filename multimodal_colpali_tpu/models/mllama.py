@@ -86,6 +86,27 @@ class MllamaVisionConfig:
         """Feature channels of the tower output (HF vision_output_dim)."""
         return self.hidden_size * (1 + len(self.intermediate_layers_indices))
 
+    @property
+    def supported_aspect_ratios(self) -> Tuple[Tuple[int, int], ...]:
+        """(rows, cols) tile layouts, in HF's enumeration order
+        (``get_all_supported_aspect_ratios``: lexicographic over pairs
+        with rows*cols <= max_num_tiles); aspect_ratio_id = index + 1
+        (id 0 = padding)."""
+        out = []
+        for r in range(1, self.max_num_tiles + 1):
+            for c in range(1, self.max_num_tiles + 1):
+                if r * c <= self.max_num_tiles:
+                    out.append((r, c))
+        return tuple(out)
+
+    def aspect_ratio_id(self, tiles: Tuple[int, int]) -> int:
+        ratios = self.supported_aspect_ratios
+        if tuple(tiles) not in ratios:
+            raise ValueError(
+                f"tile layout {tiles} not in the checkpoint's supported "
+                f"aspect ratios {ratios}")
+        return ratios.index(tuple(tiles)) + 1
+
 
 @dataclasses.dataclass(frozen=True)
 class MllamaMMConfig:

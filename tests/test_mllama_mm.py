@@ -424,3 +424,86 @@ def test_blocked_masked_attention_matches_direct():
                                    block=256)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_mllama_multi_tile_layout_matches_torch():
+    """The (2, 1) static tile layout (two REAL tiles per image) against
+    torch: prefill logits + greedy generation, with the cross mask's
+    num_tiles=2 on the HF side coming from its own processor helpers.
+    Also through the dense batcher (pools sized by the engine's packed
+    row count)."""
+    from transformers.models.mllama.processing_mllama import (
+        convert_sparse_cross_attention_mask_to_dense,
+        get_cross_attention_token_mask)
+
+    from multimodal_colpali_tpu.generation.scheduler import ContinuousBatcher
+
+    cfg, _, hf = _pair()
+    params = hf_import.mllama_params_from_hf(hf.state_dict(), cfg)
+    eng = MllamaMMEngine(cfg, params, tiles=(2, 1))
+    assert eng.ar_id == 3 and eng.n_real_tiles == 2
+    assert (eng.packed_cross_tokens_per_image
+            == 2 * cfg.vision.num_patches)
+
+    rng = np.random.default_rng(11)
+    sz, t = cfg.vision.image_size, cfg.vision.max_num_tiles
+    pix = rng.standard_normal((1, t, sz, sz, 3)).astype(np.float32)
+    prompt = eng.build_mm_prompt([5, 9, 11, 3], bos_id=1)
+    got = eng.generate([prompt], pix[None], max_new_tokens=10,
+                       bucket=len(prompt))[0]
+
+    ids_t = torch.tensor([prompt], dtype=torch.long)
+    spans = get_cross_attention_token_mask(prompt, cfg.image_token_id)
+    dense = convert_sparse_cross_attention_mask_to_dense(
+        [spans], num_tiles=[[2]], max_num_tiles=t, length=len(prompt))
+    pv = torch.from_numpy(pix.transpose(0, 1, 4, 2, 3))[None]
+    ar_ids = torch.full((1, 1), 3, dtype=torch.long)
+    ar_mask = torch.ones((1, 1, t), dtype=torch.long)
+    # this stream happens to emit token 1 (= the tiny config's eos);
+    # disable HF's stop so both sides run the full budget
+    hf.generation_config.eos_token_id = None
+    with torch.no_grad():
+        want = hf.generate(
+            input_ids=ids_t, attention_mask=torch.ones_like(ids_t),
+            pixel_values=pv, aspect_ratio_ids=ar_ids,
+            aspect_ratio_mask=ar_mask,
+            cross_attention_mask=torch.from_numpy(np.asarray(dense)),
+            max_new_tokens=10, do_sample=False)[0, len(prompt):].tolist()
+    assert got == want, (got, want)
+
+    # batcher stream with the multi-tile layout bit-matches
+    from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
+
+    lm = LlamaDecodeEngine(cfg.text, params, dtype=jnp.float32)
+    bat = ContinuousBatcher(lm, batch_slots=2, max_seq_len=64, chunk=3,
+                            mm_engine=eng)
+    assert bat._cross_skv == eng.packed_cross_tokens_per_image
+    f = bat.submit(prompt, max_new_tokens=6, pixel_values=pix[0])
+    bat.drain()
+    assert f.result(60) == eng.generate([prompt], pix[None],
+                                        max_new_tokens=6, bucket=16)[0]
+
+    with pytest.raises(ValueError, match="aspect"):
+        MllamaMMEngine(cfg, params, tiles=(2, 2))   # max_num_tiles == 2
+
+
+def test_mllama_multi_tile_preprocessor():
+    """(2, 1) preprocessing follows HF's order of operations: aspect-
+    preserving resize, RAW zero-pad bottom/right, normalize (padding
+    lands at normalized black), row-major tile split."""
+    from PIL import Image
+
+    cfg = MllamaMMConfig.tiny()
+    pre = MllamaImagePreprocessor(cfg, tiles=(2, 1))
+    sz = cfg.vision.image_size                     # 28; canvas 56 x 28
+    # a 14x56 (w x h) image scales by min(56/56, 28/14)=1.0 -> no pad
+    im = Image.new("RGB", (14, 56), (255, 0, 0))
+    pix = pre([im])
+    assert pix.shape == (1, 2, sz, sz, 3)
+    black = (0.0 - pre.MEAN) / pre.STD             # normalized raw black
+    red = (np.asarray([255, 0, 0]) / 255.0 - pre.MEAN) / pre.STD
+    np.testing.assert_allclose(pix[0, 0, 0, 0], red, atol=1e-6)
+    # right half of each tile is horizontal padding (w 14 < canvas w 28)
+    np.testing.assert_allclose(pix[0, 0, :, 20], np.tile(black, (sz, 1)),
+                               atol=1e-6)
+    np.testing.assert_allclose(pix[0, 1, 0, 0], red, atol=1e-6)
