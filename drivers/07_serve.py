@@ -142,7 +142,8 @@ def main() -> None:
 
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            cfg_mm, params, tok = load_llava_next_mm(args.model, dtype=dtype)
+            cfg_mm, params, tok = load_llava_next_mm(
+                args.model, dtype=dtype, weight_dtype=args.weight_dtype)
         engine = LlamaDecodeEngine(cfg_mm.text, params, dtype=dtype,
                                    weight_dtype=args.weight_dtype)
         if args.weight_dtype in ("int8", "int4"):

@@ -80,9 +80,18 @@ class LlavaNextMMEngine(Qwen2VLMMEngine):
         self.cfg = cfg
         self.lm = LlamaDecodeEngine(cfg.text, params, dtype=dtype,
                                     weight_dtype=weight_dtype)
+        from multimodal_colpali_tpu.ops.quant import (is_quantized,
+                                                      is_quantized_int4)
+
+        # pre-quantized subtrees (the leaf-streamed 8B random builder, or
+        # a sibling engine's shared buffers) pass through UNCAST: their
+        # f32 scales would degrade to bf16
+        _q = lambda p: is_quantized(p) or is_quantized_int4(p)
         cast = lambda t: jax.tree.map(
-            lambda p: jnp.asarray(p, dtype)
-            if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p), t)
+            lambda p: p if _q(p)
+            else jnp.asarray(p, dtype)
+            if jnp.asarray(p).dtype == jnp.float32 else jnp.asarray(p),
+            t, is_leaf=_q)
         self.vision_params = cast(params["vision_tower"])
         if vision_dtype == "int8":
             from multimodal_colpali_tpu.ops.quant import (

@@ -1034,10 +1034,106 @@ def llava_next_random_params(cfg, seed: int = 0) -> Dict[str, Any]:
     return lm
 
 
+def llava_next_random_params_int8(cfg, seed: int = 0,
+                                  dtype: Any = jnp.bfloat16,
+                                  fmt: str = "int8"):
+    """Random FULL LLaVA-NeXT params with the Llama-3-8B LM materialized
+    DIRECTLY as weight-only quantized leaves on the device (the 8B f32
+    tree would be ~32 GB on this single-core host; leaf-streamed int8 is
+    ~8 GB on-chip and never exists in bf16). CLIP tower + projector
+    build in one on-device jit at ``dtype``."""
+    from multimodal_colpali_tpu.models.clip import ClipFeatureTower
+    from multimodal_colpali_tpu.ops.quant import (_int4_group_for,
+                                                  quantize_embed_int8,
+                                                  quantize_int4,
+                                                  quantize_int8)
+
+    shapes = qwen2vl_param_shapes(cfg.text)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    key = jax.random.PRNGKey(seed)
+    jits: Dict[Any, Any] = {}
+
+    def build_leaf(shape, axis, i):
+        sig = (shape, axis)
+        if sig not in jits:
+            def f(k):
+                fan_in = shape[0] if len(shape) >= 2 else shape[-1]
+                w = (jax.random.normal(k, shape, jnp.float32)
+                     * float(fan_in) ** -0.5)
+                if axis == 1:
+                    return quantize_embed_int8(w)
+                if fmt == "int4":
+                    g = _int4_group_for(shape[0], 256)
+                    if g:
+                        return quantize_int4(w, group=g)
+                return quantize_int8(w, axis=axis)
+            jits[sig] = jax.jit(f)
+        return jits[sig](jax.random.fold_in(key, i))
+
+    order = sorted(range(len(flat)),
+                   key=lambda i: -int(np.prod(flat[i][1].shape)))
+    out: List[Any] = [None] * len(flat)
+    for i in order:
+        path, s = flat[i]
+        name = getattr(path[-1], "key", str(path[-1]))
+        if name == "weight":
+            out[i] = jnp.ones(s.shape, dtype)       # plain-multiply norms
+        elif name == "embed_tokens":
+            out[i] = build_leaf(s.shape, 1, i)
+        else:
+            out[i] = build_leaf(s.shape, 0, i)
+    params = jax.tree_util.tree_unflatten(treedef, out)
+
+    v = cfg.vision
+    tower = ClipFeatureTower(v, cfg.vision_feature_layer)
+    vshapes = jax.eval_shape(lambda: tower.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, v.image_size, v.image_size, 3),
+                  jnp.float32)))["params"]
+    vflat, vtreedef = jax.tree_util.tree_flatten_with_path(vshapes)
+
+    def build_vision(k):
+        outs = []
+        for i, (path, s) in enumerate(vflat):
+            name = getattr(path[-1], "key", str(path[-1]))
+            if name == "bias":
+                outs.append(jnp.zeros(s.shape, dtype))
+            elif name == "weight" and len(s.shape) == 1:
+                outs.append(jnp.ones(s.shape, dtype))       # LayerNorms
+            else:
+                fan_in = s.shape[0] if len(s.shape) >= 2 else s.shape[-1]
+                outs.append((jax.random.normal(jax.random.fold_in(k, i),
+                                               s.shape, jnp.float32)
+                             * float(fan_in) ** -0.5).astype(dtype))
+        return jax.tree_util.tree_unflatten(vtreedef, outs)
+
+    params["vision_tower"] = jax.jit(build_vision)(
+        jax.random.fold_in(key, 10_000))
+    v_h, t_h = v.hidden_size, cfg.text.hidden_size
+    rng = np.random.default_rng(seed + 2)
+    params["multi_modal_projector"] = {
+        "linear_1": {"kernel": jnp.asarray(
+            rng.standard_normal((v_h, t_h)).astype(np.float32)
+            * float(v_h) ** -0.5, dtype),
+            "bias": jnp.zeros((t_h,), dtype)},
+        "linear_2": {"kernel": jnp.asarray(
+            rng.standard_normal((t_h, t_h)).astype(np.float32)
+            * float(t_h) ** -0.5, dtype),
+            "bias": jnp.zeros((t_h,), dtype)},
+        "image_newline": jnp.asarray(
+            rng.standard_normal((t_h,)).astype(np.float32)
+            * float(t_h) ** -0.5, dtype),
+    }
+    return params
+
+
 def load_llava_next_mm(name: str, checkpoint_dir: Optional[str] = None,
-                       dtype: Any = jnp.bfloat16, seed: int = 0):
+                       dtype: Any = jnp.bfloat16, seed: int = 0,
+                       weight_dtype: str = "native"):
     """Load the FULL LLaVA-NeXT generator (CLIP tower + Llama LM) ->
-    (cfg, params, tokenizer)."""
+    (cfg, params, tokenizer). ``weight_dtype`` int8/int4 makes the
+    random-init fallback build the 8B LM directly in quantized form on
+    the device (checkpoints quantize post-load in the engine)."""
     if name not in LLAVA_NEXT_CONFIGS:
         raise KeyError(
             f"unknown llava-next model {name!r}; known: "
@@ -1062,7 +1158,12 @@ def load_llava_next_mm(name: str, checkpoint_dir: Optional[str] = None,
             f"(set COLPALI_TPU_CKPT_DIR to load real weights)",
             stacklevel=2,
         )
-        params = llava_next_random_params(cfg, seed)
+        if weight_dtype in ("int8", "int4"):
+            # leaf-streamed on-device init: the f32 tree never exists
+            params = llava_next_random_params_int8(cfg, seed, dtype=dtype,
+                                                   fmt=weight_dtype)
+        else:
+            params = llava_next_random_params(cfg, seed)
     return cfg, params, tok
 
 

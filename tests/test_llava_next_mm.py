@@ -193,3 +193,32 @@ def test_llava_next_registry_and_preprocessor():
     prompt = eng.build_mm_prompt([3, 5])
     out = eng.generate([prompt], pix[None], max_new_tokens=4, bucket=16)
     assert len(out[0]) == 4
+
+
+def test_llava_next_quantized_random_serving():
+    """The leaf-streamed quantized random builder (the 8B-on-one-chip
+    path): the LM arrives pre-quantized, the engines detect it without
+    re-casting the f32 scales, and generation runs end-to-end."""
+    import warnings
+
+    from multimodal_colpali_tpu.generation.engine import LlamaDecodeEngine
+    from multimodal_colpali_tpu.models.registry import load_llava_next_mm
+    from multimodal_colpali_tpu.ops.quant import is_quantized
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cfg, params, _ = load_llava_next_mm("tiny-llava-next",
+                                            weight_dtype="int8")
+    assert is_quantized(params["embed"]["embed_tokens"])
+    eng = LlamaDecodeEngine(cfg.text, params, dtype=jnp.bfloat16)
+    assert eng.weight_dtype == "int8"
+    mm = LlavaNextMMEngine(cfg, params, dtype=jnp.bfloat16)
+    emb = mm.lm.params["embed"]["embed_tokens"]
+    assert emb["scale"].dtype == jnp.float32   # scales survived the cast
+
+    rng = np.random.default_rng(7)
+    sz = cfg.vision.image_size
+    pix = rng.standard_normal((1, sz, sz, 3)).astype(np.float32)
+    prompt = mm.build_mm_prompt([3, 5, 7])
+    out = mm.generate([prompt], pix[None], max_new_tokens=4, bucket=16)
+    assert len(out[0]) == 4
