@@ -76,6 +76,10 @@ def parse_args() -> argparse.Namespace:
                         "gives document pages 4x the pixel budget; must "
                         "be one of the checkpoint's supported aspect "
                         "ratios).")
+    p.add_argument("--cross-max-images", type=int, default=1, metavar="N",
+                   help="Mllama: cross-KV pool rows per slot, in images "
+                        "at the static tile layout (the reference's vLLM "
+                        "config allows 10 images per prompt).")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="Prompt-lookup speculative decoding: verify K "
                         "drafted tokens per slot per forward (greedy slots "
@@ -265,17 +269,19 @@ def main() -> None:
     backend = engine
     batcher = None
     if not args.no_batcher:
-        # cross-attention decode engines (Mllama) ride only the dense
-        # batcher tier (per-slot cross-KV pools); under --paged or
-        # --speculative their image requests fall back to the server's
-        # bare mm path while text keeps the batcher
+        # cross-attention decode engines (Mllama) ride the dense AND
+        # paged batcher tiers (per-slot cross-KV pools); only the
+        # speculative tiers lack cross hooks in their verify forward -
+        # under --speculative their image requests fall back to the
+        # server's bare mm path while text keeps the batcher
         bat_mm = mm_engine
-        if (getattr(mm_engine, "cross_decode", False)
-                and (args.paged or args.speculative)):
+        if getattr(mm_engine, "cross_decode", False) and args.speculative:
             bat_mm = None
         kw = dict(batch_slots=args.slots, max_seq_len=args.max_seq_len,
                   chunk=args.chunk, eos_id=getattr(tok, "eos_id", -1),
                   mm_engine=bat_mm, prefill_chunk=args.prefill_chunk)
+        if getattr(bat_mm, "cross_decode", False):
+            kw["cross_max_images"] = args.cross_max_images
         if args.paged:
             if args.speculative:
                 from multimodal_colpali_tpu.generation.speculative import (

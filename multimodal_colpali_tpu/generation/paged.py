@@ -50,9 +50,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
     # (0 here; the speculative subclass writes spec_k - 1 stale verify
     # rows that page-demand accounting must cover).
     _spec_slack = 0
-    # This tier's decode has no cross-attention hooks (and preemption
-    # would need cross-aware resume): Mllama rides the dense batcher.
-    supports_cross_decode = False
+    # Cross-attention decode engines (Mllama) ride this tier too: the
+    # per-slot cross-KV pools are fixed-size decode CONSTANTS (written at
+    # install, never paged), and preemption resumes through the engine's
+    # causal ``_prefill_cross`` (scheduler._full_prefill), so recompute
+    # preemption stays bit-exact for image requests.
+    supports_cross_decode = True
 
     def __init__(self, engine: GemmaDecodeEngine, batch_slots: int = 4,
                  max_seq_len: int = 512, chunk: int = 8,
@@ -60,7 +63,7 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  prefill_cache_entries: int = 8, mm_engine: Any = None,
                  page_size: int = 16, pool_pages: Optional[int] = None,
                  kv_dtype: str = "native", prefix_caching: bool = False,
-                 prefill_chunk: int = 0):
+                 prefill_chunk: int = 0, cross_max_images: int = 1):
         """``pool_pages`` sizes the shared pool (default: enough for every
         slot to reach ``max_seq_len`` - set it lower to exercise
         oversubscription + preemption). ``page_size`` tokens per page.
@@ -88,7 +91,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
         super().__init__(engine, batch_slots, max_seq_len, chunk,
                          prompt_bucket, eos_id, pad_id,
                          prefill_cache_entries, mm_engine,
-                         prefill_chunk=prefill_chunk)
+                         prefill_chunk=prefill_chunk,
+                         cross_max_images=cross_max_images)
         c = self.cfg
         self.page = page_size
         self.NB = -(-max_seq_len // page_size)          # blocks per slot
@@ -123,9 +127,12 @@ class PagedContinuousBatcher(ContinuousBatcher):
         # boundary, on soft tokens fully determined by the pixel digest in
         # the chain root and the span's fixed extent). PaliGemma's
         # bidirectional PREFIX makes every page depend on the whole
-        # prompt, so it stays excluded.
+        # prompt, so it stays excluded - and so do cross-attention
+        # engines (Mllama exposes a raising ``_prefill``; its image
+        # context lives in the per-slot cross pools, not prompt pages).
         self._mm_prefix_ok = (prefix_caching and mm_engine is not None
-                              and hasattr(mm_engine, "_prefill"))
+                              and hasattr(mm_engine, "_prefill")
+                              and not self._cross_mode)
         self._place_pool_state()
         # host-side allocator state; page 0 is the trash page
         self._free: List[int] = list(range(self.P - 1, 0, -1))
@@ -243,6 +250,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
         self._release(victim)
         self._remaining = self._remaining.at[victim].set(0)
         self._len = self._len.at[victim].set(0)
+        if self._cross_mode:
+            # the victim's cross rows are re-packed at readmission
+            self._cross_len = self._cross_len.at[victim].set(0)
         self._readmit.insert(0, req)
         self.preemptions += 1
         return True
@@ -446,7 +456,21 @@ class PagedContinuousBatcher(ContinuousBatcher):
         (modality ctx + tokens so far) matches a cached page are attached
         read-only and their writes are skipped; newly written full pages
         register under their keys. Chain keys are compared by equality
-        (nested tuples), so a hash collision cannot alias content."""
+        (nested tuples), so a hash collision cannot alias content.
+
+        A ``("cross", (ks, vs))`` hint (Mllama image request) fills the
+        slot's cross-KV pool rows instead - the prompt's self-attention
+        rows then page exactly like a text request's."""
+        if self._cross_mode:
+            if isinstance(hint, tuple) and hint and hint[0] == "cross":
+                ks, vs = hint[1]          # [n_cross, 1, skv_real, kv, hd]
+                skv = ks.shape[2]
+                self._cross_k = self._cross_k.at[:, slot, :skv].set(ks[:, 0])
+                self._cross_v = self._cross_v.at[:, slot, :skv].set(vs[:, 0])
+                self._cross_len = self._cross_len.at[slot].set(skv)
+                hint = None               # paging below sees a plain prompt
+            else:                         # text request in this slot
+                self._cross_len = self._cross_len.at[slot].set(0)
         page = self.page
         n_pages = -(-n_prompt // page)
         keys: List[Any] = []
@@ -599,6 +623,17 @@ class PagedContinuousBatcher(ContinuousBatcher):
         sc = attn_scale(c)
         types = (c.layer_types_resolved
                  if getattr(c, "is_gemma3", False) else None)
+        cross_mode = self._cross_mode
+        if cross_mode:
+            mm = self.mm_engine
+            skv_max = self._cross_skv
+            # {self_layer_idx: [(pool_row, global_idx), ...]} - pool rows
+            # follow cfg.cross_attention_layers order (packed_cross_kv)
+            cross_slots = {}
+            order = {g: i for i, g in
+                     enumerate(mm.cfg.cross_attention_layers)}
+            for g, self_j in mm.cfg.cross_schedule:
+                cross_slots.setdefault(self_j, []).append((order[g], g))
 
         def layer_window(i: int) -> int:
             """0 = full causal; else the layer's sliding window (Gemma-3
@@ -607,8 +642,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
                 return int(c.sliding_window)
             return 0
 
-        def one_step(p, bt, kpools, vpools, tok, pos, length, temp, seed,
-                     remaining, gen_step, eos, top_p, top_k):
+        def one_step(p, bt, cross, kpools, vpools, tok, pos, length, temp,
+                     seed, remaining, gen_step, eos, top_p, top_k):
             x = eng._embed(p, tok[:, None])                     # [B, 1, H]
             active = remaining > 0
             rows = jnp.arange(b)
@@ -643,8 +678,31 @@ class PagedContinuousBatcher(ContinuousBatcher):
                     return paged_attention(q[:, 0], kp, vp, bt, att_len,
                                            scale=sc, window=layer_window(i))
 
+            inter = None
+            if cross_mode:
+                # Mllama cross hooks (the dense batcher's, verbatim): mm
+                # slots attend their pooled vision keys; text slots run
+                # the block under a uniform mask and DISCARD it (HF skips
+                # cross layers on text-only inputs)
+                cp, ckp, cvp, clen = cross
+                kmask = jnp.arange(skv_max)[None] < clen[:, None]
+                has = clen > 0
+                amask = (kmask | ~has[:, None])[:, None, None, :]
+
+                def make(entries):
+                    def hook(h):
+                        for row, g in entries:
+                            y = mm._cross_block(cp[str(g)], h, ckp[row],
+                                                cvp[row], amask, None)
+                            h = jnp.where(has[:, None, None], y, h)
+                        return h
+                    return hook
+
+                inter = {j: make(e) for j, e in cross_slots.items()}
+
             xx, (new_k, new_v) = layer_stack(p, c, x, pos[:, None],
-                                             kv_write, attend)
+                                             kv_write, attend,
+                                             interleave=inter)
             logits = eng._logits(p, xx[:, 0])                   # [B, V]
 
             nxt = sample_per_slot(logits, seed, gen_step, temp, top_p,
@@ -666,10 +724,31 @@ class PagedContinuousBatcher(ContinuousBatcher):
                      seed, remaining, gen_step, eos, top_p, top_k),
                     (nxt, lp, tid, tlp))
 
+        if cross_mode:
+            # cross pools/params are decode CONSTANTS (scan closure, not
+            # carry, never donated): written only at install time
+            def run(p, bt, cp, ck, cv, clen, kpools, vpools, tok, pos,
+                    length, temp, seed, remaining, gen_step, eos, top_p,
+                    top_k):
+                cross = (cp, ck, cv, clen)
+
+                def body(carry, _):
+                    carry, ys = one_step(p, bt, cross, *carry)
+                    return carry, ys
+
+                carry, ys = jax.lax.scan(
+                    body,
+                    (kpools, vpools, tok, pos, length, temp, seed,
+                     remaining, gen_step, eos, top_p, top_k),
+                    None, length=chunk)
+                return carry, ys
+
+            return jax.jit(run, donate_argnums=(6, 7))
+
         def run(p, bt, kpools, vpools, tok, pos, length, temp, seed,
                 remaining, gen_step, eos, top_p, top_k):
             def body(carry, _):
-                carry, ys = one_step(p, bt, *carry)
+                carry, ys = one_step(p, bt, None, *carry)
                 return carry, ys
 
             carry, ys = jax.lax.scan(
@@ -714,8 +793,11 @@ class PagedContinuousBatcher(ContinuousBatcher):
         if ("decode", flags) not in self._jit:
             self._jit[("decode", flags)] = self._decode_fn(self.chunk, *flags)
         rem_before = np.asarray(self._remaining)  # real tokens this chunk
+        extra = ((self.mm_engine.cross_params, self._cross_k,
+                  self._cross_v, self._cross_len)
+                 if self._cross_mode else ())
         carry, ys = self._jit[("decode", flags)](
-            self.engine.params, jnp.asarray(self._bt_host),
+            self.engine.params, jnp.asarray(self._bt_host), *extra,
             self._kpools, self._vpools, self._tok, self._pos, self._len,
             self._temp, self._seed, self._remaining, self._gen_step,
             self._eos, self._top_p, self._top_k)

@@ -490,12 +490,15 @@ class ContinuousBatcher:
         go through ``_mm_resume_prefill`` instead."""
         if mm and req.tokens:
             if self._cross_mode:
-                # unreachable in this tier (only the paged batcher
-                # preempts, and it refuses cross-decode engines)
-                raise RuntimeError(
-                    "resume of a cross-attention multimodal request is "
-                    "not supported (the causal extension would need the "
-                    "cross hooks)")
+                # Mllama resume (paged-tier preemption): ``_prefill_cross``
+                # is CAUSAL with plain sequential positions, so
+                # re-prefilling prompt+generated reproduces the rows the
+                # interrupted decode built bit for bit - every generated
+                # token sits after every <|image|> marker, so the prefill
+                # cross mask gives it all real-tile keys, exactly the
+                # decode hook's mask. No two-stage dance needed.
+                return self._prefill_raw(prompt_eff, s, True,
+                                         req.pixel_values, pix_digest)
             return self._mm_resume_prefill(req, s, pix_digest)
         return self._prefill_raw(prompt_eff, s, mm,
                                  req.pixel_values if mm else None, pix_digest)

@@ -375,6 +375,46 @@ def _make_speculative_batchers():
         def _spec_buf_width(self) -> int:
             return self.T
 
+        def _cross_setup(self):
+            """Static cross-layer schedule for the verify forward (None
+            when the engine has no cross decode). Every verify-window
+            token is a generated continuation - it sits after every
+            <|image|> marker - so the decode-time mask (all of the
+            slot's pooled real-tile rows) is exact for all k queries."""
+            if not self._cross_mode:
+                return None
+            mm = self.mm_engine
+            cross_slots = {}
+            order = {g: i for i, g in
+                     enumerate(mm.cfg.cross_attention_layers)}
+            for g, self_j in mm.cfg.cross_schedule:
+                cross_slots.setdefault(self_j, []).append((order[g], g))
+            return mm, self._cross_skv, cross_slots
+
+        def _cross_hooks(self, setup, cross):
+            """{self_layer_idx: hook} closing over the chunk's cross
+            pools; h is [B, S, H] (S = spec_k verify window). Mirrors
+            the dense/paged batchers' decode hooks: mm slots attend
+            their pooled vision keys, text slots run the block under a
+            uniform mask and DISCARD it (HF skips cross layers on
+            text-only inputs)."""
+            mm, skv_max, cross_slots = setup
+            cp, ckp, cvp, clen = cross
+            kmask = jnp.arange(skv_max)[None] < clen[:, None]
+            has = clen > 0
+            amask = (kmask | ~has[:, None])[:, None, None, :]
+
+            def make(entries):
+                def hook(h):
+                    for row, g in entries:
+                        y = mm._cross_block(cp[str(g)], h, ckp[row],
+                                            cvp[row], amask, None)
+                        h = jnp.where(has[:, None, None], y, h)
+                    return h
+                return hook
+
+            return {j: make(e) for j, e in cross_slots.items()}
+
         def _slot_capacity(self, s: int) -> int:
             # the verify window may write spec_k - 1 stale rows past the
             # last accepted token; keep that slack out of the budget
@@ -556,6 +596,10 @@ def _make_speculative_batchers():
     class _SpeculativePagedContinuousBatcher(_SpecHostMixin,
                                              PagedContinuousBatcher):
         __doc__ = SpeculativePagedContinuousBatcher.__doc__
+
+        # the paged parent now carries cross pools, but THIS tier's
+        # speculative verify forward has no cross hooks: keep refusing
+        supports_cross_decode = False
 
         @property
         def _spec_slack(self):

@@ -574,11 +574,10 @@ def test_serve_cli_mllama(workspace):
     """Driver 07 serves the Llama-3.2-Vision VLM class first-party (the
     reference's old-model tier runs
     AdaptLLM/biomed-Llama-3.2-11B-Vision-Instruct in a vLLM container,
-    00_run_docker_old_models.sh:8-22): text decodes through the paged
-    batcher (the renumbered self-attention stack is a plain Llama), an
-    image request runs the tiled vision tower + gated cross-attention
-    through the engine's own jits (the bare mm path - the batchers
-    refuse cross-decode engines)."""
+    00_run_docker_old_models.sh:8-22): text AND image requests decode
+    through the PAGED batcher (the renumbered self-attention stack is a
+    plain Llama; the image request's gated cross-attention rides the
+    tier's per-slot cross-KV pools)."""
     env = _env("http://unused")
     env.pop("OPENAI_BASE_URL")
     serve = subprocess.Popen(

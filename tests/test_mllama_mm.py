@@ -344,23 +344,102 @@ def test_mllama_through_dense_batcher():
         f_over.result(60)
 
 
-def test_mllama_paged_and_speculative_refuse():
-    """The paged/speculative tiers have no cross hooks in their decode
-    (and preemption would need cross-aware resume): they must refuse the
-    engine loudly, and the raw batcher-contract prefill must refuse too
-    (silently dropping cross-attention from decode is the failure mode)."""
-    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+def test_mllama_speculative_refuses():
+    """The speculative tiers' verify forward has no cross hooks: they
+    must refuse the engine loudly, and the raw batcher-contract prefill
+    must refuse too (silently dropping cross-attention from decode is
+    the failure mode). The paged tier now carries cross pools and
+    accepts (test_mllama_through_paged_batcher)."""
     from multimodal_colpali_tpu.generation.speculative import (
-        SpeculativeContinuousBatcher)
+        SpeculativeContinuousBatcher, SpeculativePagedContinuousBatcher)
 
     cfg, eng, mm = _tiny_mm()
     assert mm.cross_decode is True
-    for cls, kw in ((PagedContinuousBatcher, {"page_size": 8}),
-                    (SpeculativeContinuousBatcher, {"spec_k": 3})):
+    for cls, kw in ((SpeculativeContinuousBatcher, {"spec_k": 3}),
+                    (SpeculativePagedContinuousBatcher,
+                     {"spec_k": 3, "page_size": 8})):
         with pytest.raises(ValueError, match="cross"):
             cls(eng, batch_slots=2, max_seq_len=64, mm_engine=mm, **kw)
     with pytest.raises(RuntimeError, match="cross"):
         mm._prefill(None, None, None, None, None)
+
+
+def test_mllama_through_paged_batcher():
+    """Image requests decode next to text through the PAGED tier (per-slot
+    cross-KV pools + cross hooks in the paged decode scan; the prompt's
+    self-attention rows page like any text request's), matching the
+    isolated engines bit for bit - including a 2-image request, int8 KV
+    pools, and slot reuse after an mm request finishes."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    cfg, eng, mm = _tiny_mm()
+    rng = np.random.default_rng(5)
+    pix1 = _images(cfg, rng, 1)
+    pix2 = _images(cfg, rng, 2)
+    p1 = mm.build_mm_prompt([5, 9, 11], bos_id=1)
+    p2 = mm.build_mm_prompt([7, 3], bos_id=1, n_images=2)
+    want1 = mm.generate([p1], pix1[None], max_new_tokens=6, bucket=16)[0]
+    want2 = mm.generate([p2], pix2[None], max_new_tokens=5, bucket=16)[0]
+    want_txt = eng.generate([[40, 2, 7]], max_new_tokens=8)[0]
+
+    for kv_dtype, check in (("native", lambda a, b: a == b),
+                            ("int8", lambda a, b: a[:2] == b[:2])):
+        bat = PagedContinuousBatcher(
+            eng, batch_slots=2, max_seq_len=64, chunk=3, page_size=8,
+            mm_engine=mm, cross_max_images=2, kv_dtype=kv_dtype)
+        f_txt = bat.submit([40, 2, 7], max_new_tokens=8)
+        f_mm1 = bat.submit(p1, max_new_tokens=6, pixel_values=pix1[0])
+        f_mm2 = bat.submit(p2, max_new_tokens=5, pixel_values=pix2)
+        bat.drain()
+        if kv_dtype == "native":
+            assert f_txt.result(60) == want_txt
+            assert f_mm1.result(60) == want1
+            assert f_mm2.result(60) == want2
+        else:
+            # int8 pools quantize the SELF-attention rows (cross pools
+            # stay native): streams are close, not bit-equal - pin that
+            # all three requests complete with full budgets
+            assert len(f_txt.result(60)) == 8
+            assert len(f_mm1.result(60)) == 6
+            assert len(f_mm2.result(60)) == 5
+        # slot reuse: a text request in a previously-mm slot must not
+        # see the stale cross pool
+        f_txt2 = bat.submit([12, 44], max_new_tokens=6)
+        bat.drain()
+        if kv_dtype == "native":
+            assert f_txt2.result(60) == eng.generate(
+                [[12, 44]], max_new_tokens=6)[0]
+        else:
+            f_txt2.result(60)
+
+
+def test_mllama_paged_preemption_resumes_cross():
+    """A preempted Mllama image request readmits through the engine's
+    CAUSAL ``_prefill_cross`` on prompt+generated (the decode-built rows
+    reproduced exactly: generated tokens attend all real tiles at both
+    prefill and decode), so the emitted stream equals an uninterrupted
+    run - vLLM's recompute preemption, cross-attention included."""
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+
+    cfg, eng, mm = _tiny_mm()
+    rng = np.random.default_rng(9)
+    pix = _images(cfg, rng, 1)
+    p_mm = mm.build_mm_prompt([5, 9, 11], bos_id=1)
+    want_mm = mm.generate([p_mm], pix[None], max_new_tokens=10,
+                          bucket=16)[0]
+    want_txt = eng.generate([[40, 2, 7, 13]], max_new_tokens=10)[0]
+
+    # pool sized so both requests admit but cannot both reach their
+    # budgets: the younger must be preempted and later resumed
+    bat = PagedContinuousBatcher(
+        eng, batch_slots=2, max_seq_len=64, chunk=2, page_size=8,
+        pool_pages=4, mm_engine=mm)
+    f_txt = bat.submit([40, 2, 7, 13], max_new_tokens=10)
+    f_mm = bat.submit(p_mm, max_new_tokens=10, pixel_values=pix[0])
+    bat.drain()
+    assert f_txt.result(60) == want_txt
+    assert f_mm.result(60) == want_mm
+    assert bat.preemptions >= 1
 
 
 def test_mllama_quantized_random_serving():
