@@ -269,18 +269,14 @@ def main() -> None:
     backend = engine
     batcher = None
     if not args.no_batcher:
-        # cross-attention decode engines (Mllama) ride the dense AND
-        # paged batcher tiers (per-slot cross-KV pools); only the
-        # speculative tiers lack cross hooks in their verify forward -
-        # under --speculative their image requests fall back to the
-        # server's bare mm path while text keeps the batcher
-        bat_mm = mm_engine
-        if getattr(mm_engine, "cross_decode", False) and args.speculative:
-            bat_mm = None
+        # cross-attention decode engines (Mllama) ride EVERY batcher
+        # tier: dense/paged carry per-slot cross-KV pools in their
+        # decode scans, the speculative tiers inject the same hooks
+        # into their verify forwards
         kw = dict(batch_slots=args.slots, max_seq_len=args.max_seq_len,
                   chunk=args.chunk, eos_id=getattr(tok, "eos_id", -1),
-                  mm_engine=bat_mm, prefill_chunk=args.prefill_chunk)
-        if getattr(bat_mm, "cross_decode", False):
+                  mm_engine=mm_engine, prefill_chunk=args.prefill_chunk)
+        if getattr(mm_engine, "cross_decode", False):
             kw["cross_max_images"] = args.cross_max_images
         if args.paged:
             if args.speculative:

@@ -476,8 +476,12 @@ def _make_speculative_batchers():
     class _SpeculativeContinuousBatcher(_SpecHostMixin, ContinuousBatcher):
         __doc__ = SpeculativeContinuousBatcher.__doc__
 
-        # the speculative verify forward has no cross-attention hooks
-        supports_cross_decode = False
+        # Mllama rides this tier too: the verify forward injects the
+        # cross hooks over its [B, spec_k] window (every verify token is
+        # a generated continuation, so the decode-time cross mask is
+        # exact for all k queries; verify-then-accept never changes the
+        # attended keys).
+        supports_cross_decode = True
 
         def _decode_fn(self, chunk: int, with_filter: bool = True,
                        with_logprobs: bool = True):
@@ -492,9 +496,11 @@ def _make_speculative_batchers():
             sc = attn_scale(c)
             types = (c.layer_types_resolved
                      if getattr(c, "is_gemma3", False) else None)
+            cross_setup = self._cross_setup()
 
-            def one_step(p, caches, toks_dev, nlen, tok, pos, start, end,
-                         temp, seed, remaining, gen_step, eos, top_p, top_k):
+            def one_step(p, cross, caches, toks_dev, nlen, tok, pos, start,
+                         end, temp, seed, remaining, gen_step, eos, top_p,
+                         top_k):
                 kcs, vcs = caches[:n_layers], caches[n_layers:]
                 active = remaining > 0
                 first = jnp.zeros((b,), jnp.int32)
@@ -527,8 +533,10 @@ def _make_speculative_batchers():
                         m = sl_m
                     return L.attention(q, kc, vc, mask=m, scale=sc)
 
+                inter = (self._cross_hooks(cross_setup, cross)
+                         if cross_setup else None)
                 xx, (nk, nv) = layer_stack(p, c, x, positions, kv_write,
-                                           attend)
+                                           attend, interleave=inter)
                 logits = eng._logits(p, xx.reshape(b * k, -1)
                                      ).reshape(b, k, -1)
                 emit, can, n_emit, hit_eos = accept_emit(
@@ -557,10 +565,29 @@ def _make_speculative_batchers():
                          seed, remaining, gen_step, eos, top_p, top_k),
                         (emit, can, active))
 
+            if cross_setup:
+                # cross pools/params are decode CONSTANTS (scan closure)
+                def run(p, cp, ck, cv, clen, caches, toks_dev, nlen, tok,
+                        pos, start, end, temp, seed, remaining, gen_step,
+                        eos, top_p, top_k):
+                    cross = (cp, ck, cv, clen)
+
+                    def body(carry, _):
+                        carry, ys = one_step(p, cross, *carry)
+                        return carry, ys
+
+                    carry, ys = jax.lax.scan(
+                        body, (caches, toks_dev, nlen, tok, pos, start,
+                               end, temp, seed, remaining, gen_step, eos,
+                               top_p, top_k), None, length=chunk)
+                    return carry, ys
+
+                return jax.jit(run)
+
             def run(p, caches, toks_dev, nlen, tok, pos, start, end, temp,
                     seed, remaining, gen_step, eos, top_p, top_k):
                 def body(carry, _):
-                    carry, ys = one_step(p, *carry)
+                    carry, ys = one_step(p, None, *carry)
                     return carry, ys
 
                 carry, ys = jax.lax.scan(
@@ -582,8 +609,11 @@ def _make_speculative_batchers():
             if key not in self._jit:
                 self._jit[key] = self._decode_fn(self.chunk, flags[0],
                                                  False)
+            extra = ((self.mm_engine.cross_params, self._cross_k,
+                      self._cross_v, self._cross_len)
+                     if self._cross_mode else ())
             carry, ys = self._jit[key](
-                self.engine.params, self._caches, self._toks_dev,
+                self.engine.params, *extra, self._caches, self._toks_dev,
                 self._nlen, self._tok, self._pos, self._start, self._end,
                 self._temp, self._seed, self._remaining, self._gen_step,
                 self._eos, self._top_p, self._top_k)
@@ -597,9 +627,10 @@ def _make_speculative_batchers():
                                              PagedContinuousBatcher):
         __doc__ = SpeculativePagedContinuousBatcher.__doc__
 
-        # the paged parent now carries cross pools, but THIS tier's
-        # speculative verify forward has no cross hooks: keep refusing
-        supports_cross_decode = False
+        # Mllama rides this tier too (see the dense speculative class):
+        # the paged verify forward injects the same cross hooks, and
+        # preemption resumes through the causal _prefill_cross
+        supports_cross_decode = True
 
         @property
         def _spec_slack(self):
@@ -635,8 +666,10 @@ def _make_speculative_batchers():
                     return int(c.sliding_window)
                 return 0
 
-            def one_step(p, bt, kpools, vpools, toks_dev, nlen, tok, pos,
-                         length, temp, seed, remaining, gen_step, eos,
+            cross_setup = self._cross_setup()
+
+            def one_step(p, bt, cross, kpools, vpools, toks_dev, nlen, tok,
+                         pos, length, temp, seed, remaining, gen_step, eos,
                          top_p, top_k):
                 active = remaining > 0
                 first = jnp.zeros((b,), jnp.int32)
@@ -689,8 +722,10 @@ def _make_speculative_batchers():
                                               window=layer_window(i))
                         return out.reshape(b, k, -1)
 
+                inter = (self._cross_hooks(cross_setup, cross)
+                         if cross_setup else None)
                 xx, (nk, nv) = layer_stack(p, c, x, positions, kv_write,
-                                           attend)
+                                           attend, interleave=inter)
                 logits = eng._logits(p, xx.reshape(b * k, -1)
                                      ).reshape(b, k, -1)
                 emit, can, n_emit, hit_eos = accept_emit(
@@ -719,11 +754,31 @@ def _make_speculative_batchers():
                          top_p, top_k),
                         (emit, can, active))
 
+            if cross_setup:
+                # cross pools/params are decode CONSTANTS (scan closure,
+                # never donated)
+                def run(p, bt, cp, ck, cv, clen, kpools, vpools, toks_dev,
+                        nlen, tok, pos, length, temp, seed, remaining,
+                        gen_step, eos, top_p, top_k):
+                    cross = (cp, ck, cv, clen)
+
+                    def body(carry, _):
+                        carry, ys = one_step(p, bt, cross, *carry)
+                        return carry, ys
+
+                    carry, ys = jax.lax.scan(
+                        body, (kpools, vpools, toks_dev, nlen, tok, pos,
+                               length, temp, seed, remaining, gen_step,
+                               eos, top_p, top_k), None, length=chunk)
+                    return carry, ys
+
+                return jax.jit(run, donate_argnums=(6, 7))
+
             def run(p, bt, kpools, vpools, toks_dev, nlen, tok, pos,
                     length, temp, seed, remaining, gen_step, eos, top_p,
                     top_k):
                 def body(carry, _):
-                    carry, ys = one_step(p, bt, *carry)
+                    carry, ys = one_step(p, bt, None, *carry)
                     return carry, ys
 
                 carry, ys = jax.lax.scan(
@@ -748,8 +803,11 @@ def _make_speculative_batchers():
             if key not in self._jit:
                 self._jit[key] = self._decode_fn(self.chunk, flags[0],
                                                  False)
+            extra = ((self.mm_engine.cross_params, self._cross_k,
+                      self._cross_v, self._cross_len)
+                     if self._cross_mode else ())
             carry, ys = self._jit[key](
-                self.engine.params, jnp.asarray(self._bt_host),
+                self.engine.params, jnp.asarray(self._bt_host), *extra,
                 self._kpools, self._vpools, self._toks_dev, self._nlen,
                 self._tok, self._pos, self._len, self._temp, self._seed,
                 self._remaining, self._gen_step, self._eos, self._top_p,

@@ -344,24 +344,46 @@ def test_mllama_through_dense_batcher():
         f_over.result(60)
 
 
-def test_mllama_speculative_refuses():
-    """The speculative tiers' verify forward has no cross hooks: they
-    must refuse the engine loudly, and the raw batcher-contract prefill
-    must refuse too (silently dropping cross-attention from decode is
-    the failure mode). The paged tier now carries cross pools and
-    accepts (test_mllama_through_paged_batcher)."""
+def test_mllama_raw_prefill_contract_refuses():
+    """The raw batcher-contract ``_prefill`` must refuse (silently
+    dropping cross-attention from decode is the failure mode); every
+    batcher tier routes through ``_prefill_cross`` instead."""
+    cfg, eng, mm = _tiny_mm()
+    assert mm.cross_decode is True
+    with pytest.raises(RuntimeError, match="cross"):
+        mm._prefill(None, None, None, None, None)
+
+
+def test_mllama_through_speculative_batchers():
+    """Image requests decode through BOTH speculative tiers (the verify
+    forward injects the cross hooks over its [B, spec_k] window; every
+    verify token is a generated continuation, so the decode-time cross
+    mask is exact), streaming bit for bit what the isolated engines
+    emit - greedy speculation is lossless, cross-attention included."""
     from multimodal_colpali_tpu.generation.speculative import (
         SpeculativeContinuousBatcher, SpeculativePagedContinuousBatcher)
 
     cfg, eng, mm = _tiny_mm()
-    assert mm.cross_decode is True
-    for cls, kw in ((SpeculativeContinuousBatcher, {"spec_k": 3}),
-                    (SpeculativePagedContinuousBatcher,
-                     {"spec_k": 3, "page_size": 8})):
-        with pytest.raises(ValueError, match="cross"):
-            cls(eng, batch_slots=2, max_seq_len=64, mm_engine=mm, **kw)
-    with pytest.raises(RuntimeError, match="cross"):
-        mm._prefill(None, None, None, None, None)
+    rng = np.random.default_rng(5)
+    pix1 = _images(cfg, rng, 1)
+    p1 = mm.build_mm_prompt([5, 9, 11], bos_id=1)
+    want1 = mm.generate([p1], pix1[None], max_new_tokens=6, bucket=16)[0]
+    want_txt = eng.generate([[40, 2, 7]], max_new_tokens=8)[0]
+
+    for cls, kw in ((SpeculativeContinuousBatcher, {}),
+                    (SpeculativePagedContinuousBatcher, {"page_size": 8})):
+        bat = cls(eng, batch_slots=2, max_seq_len=64, chunk=3, spec_k=3,
+                  mm_engine=mm, cross_max_images=2, **kw)
+        f_txt = bat.submit([40, 2, 7], max_new_tokens=8)
+        f_mm1 = bat.submit(p1, max_new_tokens=6, pixel_values=pix1[0])
+        bat.drain()
+        assert f_txt.result(60) == want_txt
+        assert f_mm1.result(60) == want1
+        # slot reuse: text in a previously-mm slot ignores the stale pool
+        f_txt2 = bat.submit([12, 44], max_new_tokens=6)
+        bat.drain()
+        assert f_txt2.result(60) == eng.generate(
+            [[12, 44]], max_new_tokens=6)[0]
 
 
 def test_mllama_through_paged_batcher():
