@@ -36,8 +36,9 @@ import time
 
 import numpy as np
 
-# Peak dense bf16 throughput used for MFU accounting, per chip.
-PEAK_FLOPS = {"tpu": 197e12}  # TPU v5e
+# Peak dense throughput used for MFU accounting, per chip (TPU v5e).
+PEAK_FLOPS = {"tpu": 197e12}        # bf16 MXU peak
+PEAK_FLOPS_INT8 = {"tpu": 394e12}   # int8 MXU peak (2x bf16)
 TARGET_MS = 10.0
 
 
@@ -276,9 +277,11 @@ def _bench_one_embed(jax, jnp, backend: str, name: str, batch: int,
                      quantize=None) -> dict:
     """Pages/sec/chip + MFU for one retriever. Returns
     {pages_per_sec, mfu?, gflop_per_page?}; raises on failure.
-    ``quantize="int8"`` measures the W8A8 path (ops/quant.py): the int8
-    MXU runs at 2x the bf16 rate, so its "mfu" (still normalized to the
-    bf16 peak) can legitimately exceed 100%."""
+    ``quantize="int8"`` measures the W8A8 path (ops/quant.py): its "mfu"
+    is normalized to the chip's INT8 peak (394 TOPS on v5e, 2x bf16), so
+    it stays <= 1.0 and shows real headroom; the ratio vs the bf16 peak
+    (which can legitimately exceed 1.0) ships as ``mfu_vs_bf16_peak``
+    (VERDICT r3 weak #3)."""
     import gc
     import warnings
 
@@ -349,12 +352,17 @@ def _bench_one_embed(jax, jnp, backend: str, name: str, batch: int,
     out = {"pages_per_sec": round(batch / per_iter, 2)}
     msg = (f"[bench] embed throughput ({name}, batch {batch}): "
            f"{out['pages_per_sec']:.1f} pages/s/chip")
-    peak = PEAK_FLOPS.get(backend)
+    peak = (PEAK_FLOPS_INT8 if quantize == "int8" else PEAK_FLOPS).get(backend)
     if flops and peak:
         out["mfu"] = round(flops / per_iter / peak, 4)
         out["gflop_per_page"] = round(flops / batch / 1e9, 1)
         msg += (f", MFU {out['mfu']*100:.1f}% "
                 f"({out['gflop_per_page']:.1f} GFLOP/page)")
+        if quantize == "int8":
+            bf16_peak = PEAK_FLOPS.get(backend)
+            if bf16_peak:
+                out["mfu_vs_bf16_peak"] = round(flops / per_iter / bf16_peak, 4)
+                msg += f" [vs bf16 peak: {out['mfu_vs_bf16_peak']*100:.1f}%]"
     log(msg)
     return out
 

@@ -76,10 +76,12 @@ def parse_args() -> argparse.Namespace:
                         "gives document pages 4x the pixel budget; must "
                         "be one of the checkpoint's supported aspect "
                         "ratios).")
-    p.add_argument("--cross-max-images", type=int, default=1, metavar="N",
+    p.add_argument("--cross-max-images", type=int, default=10, metavar="N",
                    help="Mllama: cross-KV pool rows per slot, in images "
-                        "at the static tile layout (the reference's vLLM "
-                        "config allows 10 images per prompt).")
+                        "at the static tile layout. Default 10 matches the "
+                        "reference's vLLM --limit_mm_per_prompt "
+                        "(00_run_docker_old_models.sh); pool cost is "
+                        "per-slot and bounded.")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="Prompt-lookup speculative decoding: verify K "
                         "drafted tokens per slot per forward (greedy slots "

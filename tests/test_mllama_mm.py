@@ -464,6 +464,35 @@ def test_mllama_paged_preemption_resumes_cross():
     assert bat.preemptions >= 1
 
 
+def test_mllama_speculative_paged_preemption_resumes_cross():
+    """Same pool-starved preemption, through the SPECULATIVE paged tier
+    (ADVICE r3): the verify-window resume (plus its spec_k - 1 rows of
+    stale-draft slack in page accounting) must also reproduce the
+    uninterrupted stream bit for bit - preemption recompute goes through
+    the same ``_preempt``/``_full_prefill`` path, but the resumed slot
+    re-enters decode mid-verify-window."""
+    from multimodal_colpali_tpu.generation.speculative import (
+        SpeculativePagedContinuousBatcher)
+
+    cfg, eng, mm = _tiny_mm()
+    rng = np.random.default_rng(9)
+    pix = _images(cfg, rng, 1)
+    p_mm = mm.build_mm_prompt([5, 9, 11], bos_id=1)
+    want_mm = mm.generate([p_mm], pix[None], max_new_tokens=10,
+                          bucket=16)[0]
+    want_txt = eng.generate([[40, 2, 7, 13]], max_new_tokens=10)[0]
+
+    bat = SpeculativePagedContinuousBatcher(
+        eng, batch_slots=2, max_seq_len=64, chunk=2, page_size=8,
+        pool_pages=4, spec_k=3, mm_engine=mm)
+    f_txt = bat.submit([40, 2, 7, 13], max_new_tokens=10)
+    f_mm = bat.submit(p_mm, max_new_tokens=10, pixel_values=pix[0])
+    bat.drain()
+    assert f_txt.result(60) == want_txt
+    assert f_mm.result(60) == want_mm
+    assert bat.preemptions >= 1
+
+
 def test_mllama_quantized_random_serving():
     """The leaf-streamed quantized random builder (the 11B-on-one-chip
     path): LM + cross layers arrive pre-quantized, the engines detect
