@@ -82,6 +82,14 @@ def parse_args() -> argparse.Namespace:
                         "reference's vLLM --limit_mm_per_prompt "
                         "(00_run_docker_old_models.sh); pool cost is "
                         "per-slot and bounded.")
+    p.add_argument("--max-queue", type=int, default=0, metavar="N",
+                   help="Bound the admission queue: submits past N fail "
+                        "fast with HTTP 429 (0 = unbounded).")
+    p.add_argument("--admission-timeout", type=float, default=0.0,
+                   metavar="SECONDS",
+                   help="Per-request admission deadline: a request queued "
+                        "longer than this fails with HTTP 504 instead of "
+                        "starving (0 = none).")
     p.add_argument("--speculative", type=int, default=0, metavar="K",
                    help="Prompt-lookup speculative decoding: verify K "
                         "drafted tokens per slot per forward (greedy slots "
@@ -277,7 +285,9 @@ def main() -> None:
         # into their verify forwards
         kw = dict(batch_slots=args.slots, max_seq_len=args.max_seq_len,
                   chunk=args.chunk, eos_id=getattr(tok, "eos_id", -1),
-                  mm_engine=mm_engine, prefill_chunk=args.prefill_chunk)
+                  mm_engine=mm_engine, prefill_chunk=args.prefill_chunk,
+                  max_queue=args.max_queue,
+                  admission_timeout=args.admission_timeout)
         if getattr(mm_engine, "cross_decode", False):
             kw["cross_max_images"] = args.cross_max_images
         if args.paged:

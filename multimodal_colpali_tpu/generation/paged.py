@@ -63,7 +63,8 @@ class PagedContinuousBatcher(ContinuousBatcher):
                  prefill_cache_entries: int = 8, mm_engine: Any = None,
                  page_size: int = 16, pool_pages: Optional[int] = None,
                  kv_dtype: str = "native", prefix_caching: bool = False,
-                 prefill_chunk: int = 0, cross_max_images: int = 1):
+                 prefill_chunk: int = 0, cross_max_images: int = 1,
+                 max_queue: int = 0, admission_timeout: float = 0.0):
         """``pool_pages`` sizes the shared pool (default: enough for every
         slot to reach ``max_seq_len`` - set it lower to exercise
         oversubscription + preemption). ``page_size`` tokens per page.
@@ -92,7 +93,9 @@ class PagedContinuousBatcher(ContinuousBatcher):
                          prompt_bucket, eos_id, pad_id,
                          prefill_cache_entries, mm_engine,
                          prefill_chunk=prefill_chunk,
-                         cross_max_images=cross_max_images)
+                         cross_max_images=cross_max_images,
+                         max_queue=max_queue,
+                         admission_timeout=admission_timeout)
         c = self.cfg
         self.page = page_size
         self.NB = -(-max_seq_len // page_size)          # blocks per slot

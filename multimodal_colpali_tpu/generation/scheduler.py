@@ -39,6 +39,13 @@ from multimodal_colpali_tpu.generation.engine import (
     LOGPROB_K, GemmaDecodeEngine, _step_logprobs)
 
 
+class AdmissionQueueFull(RuntimeError):
+    """Raised into a submitted future when the admission queue is at its
+    configured bound (``max_queue``); GenerationServer maps it to HTTP
+    429, the back-pressure contract under the reference's 120-request
+    fan-out (functions.py:1050-1062)."""
+
+
 @dataclasses.dataclass
 class _Request:
     prompt: List[int]
@@ -47,6 +54,7 @@ class _Request:
     seed: int
     future: Future
     eos_id: int = -1
+    t_submit: float = 0.0           # monotonic clock at submit()
     tokens: List[int] = dataclasses.field(default_factory=list)
     slot: int = -1
     pixel_values: Optional[np.ndarray] = None  # [1, H, W, 3] -> multimodal
@@ -71,8 +79,21 @@ class ContinuousBatcher:
                  max_seq_len: int = 512, chunk: int = 8,
                  prompt_bucket: int = 16, eos_id: int = -1, pad_id: int = 0,
                  prefill_cache_entries: int = 8, mm_engine: Any = None,
-                 prefill_chunk: int = 0, cross_max_images: int = 1):
-        """``mm_engine`` (a PaliGemmaEngine over the same weights/dtype as
+                 prefill_chunk: int = 0, cross_max_images: int = 1,
+                 max_queue: int = 0, admission_timeout: float = 0.0):
+        """``max_queue > 0`` bounds the admission queue: a submit past the
+        bound fails fast with AdmissionQueueFull instead of queueing
+        unboundedly (back-pressure under the reference's all-at-once
+        120-request fan-out, functions.py:1050-1062).
+
+        ``admission_timeout > 0`` is the per-request admission deadline in
+        seconds: a request still queued (never admitted to a slot) that
+        long fails with TimeoutError at its next scheduling point, so a
+        stuck queue drains instead of starving late arrivals silently.
+        Requests already generating (incl. preempted/readmitted ones) are
+        never expired - they hold progress.
+
+        ``mm_engine`` (a PaliGemmaEngine over the same weights/dtype as
         ``engine``) enables multimodal requests: an image-conditioned prompt
         prefills through the PaliGemma path (merged image embeds,
         bidirectional prefix, 1-indexed positions) and then decodes in the
@@ -114,6 +135,10 @@ class ContinuousBatcher:
         self.eos_id = eos_id
         self.pad_id = pad_id
         self.prefill_chunk = int(prefill_chunk)
+        self.max_queue = int(max_queue)
+        self.admission_timeout = float(admission_timeout)
+        self.expired = 0            # requests failed by the deadline
+        self.rejected = 0           # submits refused by the queue bound
         self._chunked: Optional[Dict[str, Any]] = None
         self.chunked_prefill_segments = 0
 
@@ -436,6 +461,12 @@ class ContinuousBatcher:
         resolves to ``(tokens, logprobs, top_lists)`` instead of the bare
         token list."""
         fut: Future = Future()
+        if self.max_queue > 0 and self._queue.qsize() >= self.max_queue:
+            self.rejected += 1
+            fut.set_exception(AdmissionQueueFull(
+                f"admission queue at its bound ({self.max_queue}); "
+                "retry with backoff"))
+            return fut
         s = max(((len(prompt) + self.bucket - 1) // self.bucket) * self.bucket,
                 self.bucket)
         if s >= self.T:
@@ -467,13 +498,37 @@ class ContinuousBatcher:
                         f"cross-KV rows > pool {self._cross_skv}; raise "
                         "cross_max_images"))
                     return fut
+        import time as _time
+
         self._queue.put(_Request(
             list(prompt), max_new_tokens, float(temperature), seed, fut,
             eos_id=self.eos_id if eos_id is None else eos_id,
+            t_submit=_time.monotonic(),
             pixel_values=pixel_values, on_token=on_token,
             top_p=float(top_p), top_k=int(top_k),
             want_logprobs=max(0, min(int(logprobs), LOGPROB_K))))
         return fut
+
+    def _pop_live(self) -> Optional[_Request]:
+        """Next queued request that has not outlived the admission
+        deadline; expired requests fail with TimeoutError in queue order
+        (they never held a slot, so no device state needs cleanup)."""
+        import time as _time
+
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return None
+            if (self.admission_timeout > 0 and not req.tokens
+                    and _time.monotonic() - req.t_submit
+                    > self.admission_timeout):
+                self.expired += 1
+                req.future.set_exception(TimeoutError(
+                    f"request waited > {self.admission_timeout:.1f}s for "
+                    "admission"))
+                continue
+            return req
 
     @property
     def supports_multimodal(self) -> bool:
@@ -731,9 +786,8 @@ class ContinuousBatcher:
             if self._readmit:
                 req = self._readmit.pop(0)
             else:
-                try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
+                req = self._pop_live()
+                if req is None:
                     return
             prompt_eff = req.prompt + req.tokens
             s = max(((len(prompt_eff) + self.bucket - 1) // self.bucket)

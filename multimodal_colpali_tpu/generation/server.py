@@ -117,8 +117,16 @@ class GenerationServer:
                     resp = outer._complete(req)
                     code = 200
                 except Exception as e:  # noqa: BLE001 - protocol error reply
+                    from multimodal_colpali_tpu.generation.scheduler import (
+                        AdmissionQueueFull)
+
                     resp = {"error": {"message": str(e), "type": type(e).__name__}}
-                    code = 400
+                    # back-pressure surfaces as retryable statuses (the
+                    # reference's client backs off on them,
+                    # functions.py:1017-1034): 429 = bounded admission
+                    # queue full, 504 = admission deadline expired
+                    code = (429 if isinstance(e, AdmissionQueueFull)
+                            else 504 if isinstance(e, TimeoutError) else 400)
                 body = json.dumps(resp).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
@@ -126,7 +134,15 @@ class GenerationServer:
                 self.end_headers()
                 self.wfile.write(body)
 
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        class Server(ThreadingHTTPServer):
+            # the reference's client fires ALL its requests at once
+            # through TCPConnector(limit=512) (functions.py:1050): the
+            # default listen backlog of 5 resets connections under that
+            # burst, so match the connector's fan-out
+            request_queue_size = 512
+            daemon_threads = True
+
+        self._httpd = Server((host, port), Handler)
         self.host, self.port = self._httpd.server_address
         self.base_url = f"http://{self.host}:{self.port}/v1"
         self._thread: Optional[threading.Thread] = None
