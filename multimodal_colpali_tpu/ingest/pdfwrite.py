@@ -179,9 +179,14 @@ class PdfWriterXrefStream:
     def add_page(self, text_lines: Optional[Sequence[str]] = None,
                  image: Optional[np.ndarray] = None,
                  image_rect: Tuple[float, float, float, float] = (90, 380, 280, 180),
-                 font_size: float = 11) -> None:
+                 font_size: float = 11,
+                 runs: Optional[Sequence[Tuple[float, float, str]]] = None) -> None:
+        """``runs``: positioned text as (x, y-from-bottom, text) triples,
+        each shown as a kern-split ``Tm`` + ``TJ`` block (the matplotlib
+        style) - for multi-column layout fixtures in this dialect."""
         self.pages.append({"text": list(text_lines or []), "image": image,
-                           "image_rect": image_rect, "font_size": font_size})
+                           "image_rect": image_rect, "font_size": font_size,
+                           "runs": list(runs or [])})
 
     @staticmethod
     def _tj_segments(line: str) -> bytes:
@@ -259,6 +264,9 @@ class PdfWriterXrefStream:
                 content.append(b"BT /F1 %.1f Tf 1 0 0 1 %.1f %.1f Tm %s ET"
                                % (fs, 64.0, y, self._tj_segments(line)))
                 y -= fs * 1.5
+            for x, ry, text in page.get("runs", []):
+                content.append(b"BT /F1 %.1f Tf 1 0 0 1 %.1f %.1f Tm %s ET"
+                               % (fs, x, ry, self._tj_segments(text)))
             if page["image"] is not None:
                 img = np.ascontiguousarray(page["image"], dtype=np.uint8)
                 h, w, _ = img.shape

@@ -19,6 +19,7 @@
 //
 // C API at the bottom; Python binds with ctypes (ingest/rasterize.py).
 
+#include <algorithm>
 #include <cctype>
 #include <cmath>
 #include <cstdint>
@@ -1078,6 +1079,209 @@ struct PageRender {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Geometric reading order (the Docling layout-model role in the reference,
+// functions.py:58-131). Real papers are two-column, and a writer may emit
+// the content stream in visual-line order (col1-line1, col2-line1, ...);
+// joining runs in content order then garbles every chunk. Detect column
+// bands from the x-coverage of the page's text runs and return run indices
+// column-major via a recursive XY-cut:
+//   - "wide" runs (titles / abstracts / footers spanning the gutter) act as
+//     vertical band separators;
+//   - within a band, the left column is emitted before the right, each
+//     recursively re-cut (3-column layouts split again on recursion);
+//   - short aligned fragments (table cells) must NOT trigger column
+//     ordering - each side must look like body text (>=3 lines whose median
+//     width is several em) - detect_tables owns grids (ingest/tables.py).
+// When no multi-column structure is found the permutation is the IDENTITY,
+// so single-column pages keep their exact historical content-stream output.
+// ---------------------------------------------------------------------------
+
+struct ReadingOrder {
+  const std::vector<TextRun>& runs;
+  std::vector<size_t> order;
+  bool split_found = false;
+
+  explicit ReadingOrder(const std::vector<TextRun>& r) : runs(r) {
+    std::vector<size_t> idx(runs.size());
+    for (size_t i = 0; i < idx.size(); i++) idx[i] = i;
+    region(idx, 0);
+    if (!split_found) {
+      order.resize(runs.size());
+      for (size_t i = 0; i < order.size(); i++) order[i] = i;
+    }
+  }
+
+  static double median(std::vector<double> v) {
+    if (v.empty()) return 12.0;
+    size_t m = v.size() / 2;
+    std::nth_element(v.begin(), v.begin() + m, v.end());
+    return v[m];
+  }
+
+  double run_end(size_t i) const { return std::max(runs[i].x_end, runs[i].x); }
+
+  // distinct visual lines among idx (y clustered within 0.5*ms) and the
+  // median line extent (first x to last x_end per line)
+  void line_stats(const std::vector<size_t>& idx, double ms,
+                  int* n_lines, double* med_width) const {
+    std::vector<std::pair<double, size_t>> ys;
+    ys.reserve(idx.size());
+    for (size_t i : idx) ys.push_back({runs[i].y, i});
+    std::sort(ys.begin(), ys.end());
+    std::vector<double> widths;
+    double lx0 = 0, lx1 = 0, anchor = -1e18;
+    for (auto& p : ys) {
+      size_t i = p.second;
+      if (p.first - anchor > 0.5 * ms) {
+        if (anchor > -1e17) widths.push_back(lx1 - lx0);
+        lx0 = runs[i].x; lx1 = run_end(i); anchor = p.first;
+      } else {
+        lx0 = std::min(lx0, runs[i].x);
+        lx1 = std::max(lx1, run_end(i));
+      }
+    }
+    if (anchor > -1e17) widths.push_back(lx1 - lx0);
+    *n_lines = (int)widths.size();
+    *med_width = median(widths);
+  }
+
+  void emit(const std::vector<size_t>& idx) {
+    for (size_t i : idx) order.push_back(i);
+  }
+
+  void region(const std::vector<size_t>& idx, int depth) {
+    if (idx.size() < 6 || depth > 4) { emit(idx); return; }
+    double x0 = 1e18, x1 = -1e18;
+    std::vector<double> sizes;
+    sizes.reserve(idx.size());
+    for (size_t i : idx) {
+      x0 = std::min(x0, runs[i].x);
+      x1 = std::max(x1, run_end(i));
+      sizes.push_back(runs[i].size);
+    }
+    double ms = std::max(1.0, median(sizes));
+    double W = x1 - x0;
+    if (W < 8 * ms) { emit(idx); return; }
+    // x-coverage histogram over ALL runs in the region: the gutter is a
+    // LOW-coverage band (a few runs - title, abstract, footer - may cross
+    // it; they become band separators), with real column mass on each side
+    double bin = std::max(0.25 * ms, 1.0);
+    int nb = (int)(W / bin) + 1;
+    std::vector<int> cov(nb, 0);
+    for (size_t i : idx) {
+      int b0 = (int)((runs[i].x - x0) / bin);
+      int b1 = (int)((run_end(i) - x0) / bin);
+      for (int b = std::max(0, b0); b <= std::min(nb - 1, b1); b++) cov[b]++;
+    }
+    int nlines = 0;
+    double lwidth = 0;
+    line_stats(idx, ms, &nlines, &lwidth);
+    int cross_max = std::max(1, std::min(3, nlines / 4));
+    const int side_min = 3;
+    // prefix/suffix coverage maxima: a gutter needs >= side_min coverage
+    // somewhere on each side
+    std::vector<int> pmax(nb), smax(nb);
+    for (int b = 0; b < nb; b++)
+      pmax[b] = std::max(cov[b], b ? pmax[b - 1] : 0);
+    for (int b = nb - 1; b >= 0; b--)
+      smax[b] = std::max(cov[b], b + 1 < nb ? smax[b + 1] : 0);
+    double best_gap = 0, cut = 0;
+    double gap_min = std::max(1.2 * ms, 6.0);
+    for (int b = 0; b < nb;) {
+      if (cov[b] > cross_max) { b++; continue; }
+      int e = b;
+      while (e < nb && cov[e] <= cross_max) e++;
+      double g = (e - b) * bin;
+      bool internal = b > 0 && e < nb &&
+                      pmax[b - 1] >= side_min && smax[e] >= side_min;
+      if (internal && g >= gap_min && g > best_gap) {
+        best_gap = g;
+        cut = x0 + 0.5 * (b + e) * bin;
+      }
+      b = e + 1;
+    }
+    if (best_gap <= 0) { emit(idx); return; }
+    // Runs spanning the cut point become band separators (title/abstract/
+    // footer lines). Kern-split writers (TJ arrays) show one such line as
+    // MANY short runs, so absorb same-line neighbors connected to a
+    // crossing run through small gaps - but never across a gutter-sized
+    // gap (two independent column runs on one baseline must stay columns).
+    double absorb = std::min(1.5 * ms, 0.6 * best_gap);
+    std::vector<size_t> widev, left, right;
+    {
+      std::vector<size_t> byy(idx);
+      std::stable_sort(byy.begin(), byy.end(), [&](size_t a, size_t b) {
+        return runs[a].y < runs[b].y;
+      });
+      size_t c0 = 0;
+      for (size_t k = 0; k <= byy.size(); k++) {
+        bool flush = k == byy.size() ||
+                     (k > c0 && runs[byy[k]].y - runs[byy[c0]].y > 0.5 * ms);
+        if (!flush) continue;
+        std::vector<size_t> line(byy.begin() + c0, byy.begin() + k);
+        c0 = k;
+        std::sort(line.begin(), line.end(), [&](size_t a, size_t b) {
+          return runs[a].x < runs[b].x;
+        });
+        // connected components along x; a component containing a
+        // crossing run is a separator
+        size_t s0 = 0;
+        for (size_t m = 0; m <= line.size(); m++) {
+          bool cflush = m == line.size() ||
+                        (m > s0 && runs[line[m]].x - run_end(line[m - 1]) > absorb);
+          if (!cflush) continue;
+          bool crosses = false;
+          for (size_t q = s0; q < m; q++)
+            if (runs[line[q]].x <= cut && run_end(line[q]) >= cut) crosses = true;
+          for (size_t q = s0; q < m; q++) {
+            if (crosses) widev.push_back(line[q]);
+            else {
+              double c = 0.5 * (runs[line[q]].x + run_end(line[q]));
+              (c < cut ? left : right).push_back(line[q]);
+            }
+          }
+          s0 = m;
+        }
+        if (k < byy.size()) c0 = k;
+      }
+    }
+    int nl_l = 0, nl_r = 0;
+    double w_l = 0, w_r = 0;
+    line_stats(left, ms, &nl_l, &w_l);
+    line_stats(right, ms, &nl_r, &w_r);
+    // each side must look like body text (several lines of substantial
+    // width) - short aligned fragments are a table, not columns
+    if (left.size() < 3 || right.size() < 3 || nl_l < 3 || nl_r < 3 ||
+        w_l < 6 * ms || w_r < 6 * ms) { emit(idx); return; }
+    split_found = true;
+    // crossing runs separate the region into vertical bands; stable y-sort
+    // keeps kern-split title segments in content order
+    std::vector<size_t> seps = widev;
+    std::stable_sort(seps.begin(), seps.end(),
+                     [&](size_t a, size_t b) { return runs[a].y < runs[b].y; });
+    auto by_y = [&](std::vector<size_t>& v) {
+      std::stable_sort(v.begin(), v.end(),
+                       [&](size_t a, size_t b) { return runs[a].y < runs[b].y; });
+    };
+    by_y(left);
+    by_y(right);
+    double prev = -1e18;
+    for (size_t j = 0; j <= seps.size(); j++) {
+      double next = j < seps.size() ? runs[seps[j]].y - 0.25 * ms : 1e18;
+      std::vector<size_t> lb, rb;
+      for (size_t i : left)
+        if (runs[i].y > prev && runs[i].y <= next) lb.push_back(i);
+      for (size_t i : right)
+        if (runs[i].y > prev && runs[i].y <= next) rb.push_back(i);
+      region(lb, depth + 1);
+      region(rb, depth + 1);
+      if (j < seps.size()) order.push_back(seps[j]);
+      prev = next;
+    }
+  }
+};
+
 }  // namespace mmpdf
 
 // ---------------------------------------------------------------------------
@@ -1120,7 +1324,10 @@ uint8_t* mmpdf_render_page(mmpdf_doc* h, int page, double dpi, int* w, int* out_
 }
 
 // Returns malloc'd UTF-8-ish text (caller frees). Runs are emitted in
-// content order, newline-separated per run, double newline between y-jumps.
+// geometric reading order (column-major when a multi-column layout is
+// detected - the Docling layout role, reference functions.py:58-131 -
+// otherwise exact content order), newline-separated per run, double
+// newline between y-jumps.
 char* mmpdf_extract_text(mmpdf_doc* h, int page) {
   if (page < 0 || page >= (int)h->doc.pages.size()) return nullptr;
   mmpdf::PageRender pr;
@@ -1129,11 +1336,13 @@ char* mmpdf_extract_text(mmpdf_doc* h, int page) {
   pr.scale = 1.0;
   pr.raster = false;
   pr.run();
+  mmpdf::ReadingOrder ro(pr.runs);
   std::string out;
   double last_y = 1e18;
   double last_size = 12;
   double last_x_end = 0;
-  for (auto& r : pr.runs) {
+  for (size_t oi : ro.order) {
+    auto& r = pr.runs[oi];
     if (!out.empty()) {
       if (std::abs(r.y - last_y) > last_size * 1.6) out += "\n\n";
       else if (std::abs(r.y - last_y) > 1e-6) out += "\n";

@@ -1,0 +1,131 @@
+"""Geometric reading order (VERDICT r3 missing #2).
+
+The reference's corpus is two-column biomedical PDFs, ordered by Docling's
+layout model (reference functions.py:58-131). Writers may emit the content
+stream in visual-line order (col1-line1, col2-line1, ...); mmpdf's
+extract_text must detect the column bands geometrically and emit
+column-major - while keeping single-column pages byte-identical to their
+historical content-stream output, and never treating table grids as
+columns (detect_tables owns those).
+"""
+
+import pytest
+
+from multimodal_colpali_tpu.ingest import PdfDocument, pdf_loader
+from multimodal_colpali_tpu.ingest.pdfwrite import PdfWriter, PdfWriterXrefStream
+from multimodal_colpali_tpu.models.processing import SimpleTokenizer
+
+TITLE = "A Two Column Paper About Glycan Binding Structures And More"
+FOOTER = "Shared footer spanning the page gutter for the test"
+
+
+def _two_column_pdf(path, writer_cls=PdfWriter, n=10):
+    """Content stream INTERLEAVES columns line by line; a wide title and a
+    gutter-crossing footer span both columns."""
+    left = [f"Left col line {i} of flowing body text" for i in range(n)]
+    right = [f"Right col line {i} with more body text" for i in range(n)]
+    runs = [(72, 720, TITLE)]
+    for i in range(n):
+        y = 680 - i * 14
+        runs.append((72, y, left[i]))       # interleaved: col1, col2, col1...
+        runs.append((330, y, right[i]))
+    runs.append((120, 520, FOOTER))
+    w = writer_cls()
+    w.add_page(runs=runs, font_size=10)
+    w.save(path)
+    return left, right
+
+
+@pytest.mark.parametrize("writer_cls", [PdfWriter, PdfWriterXrefStream],
+                         ids=["classic-Td/Tj", "xrefstream-Tm/TJ-kernsplit"])
+def test_two_column_interleaved_reads_column_major(tmp_path, writer_cls):
+    p = str(tmp_path / "twocol.pdf")
+    left, right = _two_column_pdf(p, writer_cls)
+    t = PdfDocument(p).extract_text(0)
+    il = [t.find(s) for s in left]
+    ir = [t.find(s) for s in right]
+    assert all(v >= 0 for v in il + ir), "a column line was garbled"
+    assert il == sorted(il) and ir == sorted(ir)
+    assert max(il) < min(ir), "column 1 must read before column 2"
+    assert t.find(TITLE) < min(il), "title band reads first"
+    assert t.find(FOOTER) > max(ir), "footer band reads last"
+
+
+def test_two_column_chunks_read_column_major(tmp_path):
+    """Through pdf_loader: the text chunks a two-column page yields carry
+    column-1 text before column-2 text (the chunker consumes reading-order
+    text; reference data_preparation functions.py:246-406)."""
+    p = str(tmp_path / "twocol.pdf")
+    left, right = _two_column_pdf(p)
+    _, docs_text = pdf_loader([p], [""], ["twocol.pdf"],
+                              str(tmp_path / "vd"), SimpleTokenizer(1000, 999))
+    joined = "\n".join(d.page_content for d in docs_text)
+    assert all(s in joined for s in left + right)
+    assert joined.find(left[-1]) < joined.find(right[0])
+
+
+def test_three_column_recursion(tmp_path):
+    """A 3-column layout splits recursively: widest gutter first, then the
+    remaining two-column side again."""
+    cols = [[f"Col {c} ln {i} body text flow" for i in range(8)]
+            for c in range(3)]
+    runs = []
+    for i in range(8):
+        y = 700 - i * 13
+        for c, x in enumerate([50, 240, 430]):
+            runs.append((x, y, cols[c][i]))
+    w = PdfWriter()
+    w.add_page(runs=runs, font_size=9)
+    p = str(tmp_path / "threecol.pdf")
+    w.save(p)
+    t = PdfDocument(p).extract_text(0)
+    pos = [[t.find(s) for s in col] for col in cols]
+    for c in range(3):
+        assert all(v >= 0 for v in pos[c])
+        assert pos[c] == sorted(pos[c])
+    assert max(pos[0]) < min(pos[1]) < max(pos[1]) < min(pos[2])
+
+
+def test_single_column_keeps_content_order(tmp_path):
+    """No multi-column structure -> the IDENTITY permutation: a
+    single-column page authored with an out-of-visual-order content stream
+    keeps exact content-stream output (the historical behavior every
+    committed fixture pins)."""
+    lines = [f"Paragraph line {i} about sialyl glycans" for i in range(8)]
+    runs = [(72, 700 - 14 * i, s) for i, s in enumerate(lines)]
+    runs = runs[::-1]   # content stream bottom-up: no reordering may occur
+    w = PdfWriter()
+    w.add_page(runs=runs, font_size=10)
+    p = str(tmp_path / "onecol.pdf")
+    w.save(p)
+    t = PdfDocument(p).extract_text(0)
+    pos = [t.find(s) for s in lines]
+    assert pos == sorted(pos, reverse=True), (
+        "single-column page must keep content-stream order exactly")
+
+
+def test_table_grid_is_not_columnized(tmp_path):
+    """Aligned short fragments (a table grid) must NOT trigger column
+    ordering: cells read in content order (row-major, as authored), so
+    detect_tables sees what it expects."""
+    rows = [["Glycan", "Lectin", "Kd"],
+            ["sLex", "E-selectin", "870"],
+            ["sLea", "P-selectin", "220"],
+            ["GM1", "CTB", "45"],
+            ["Lewis-y", "DC-SIGN", "130"]]
+    runs = [(72, 700, "Table 1: Glycan binding affinities")]
+    y = 680
+    flat = []
+    for row in rows:
+        for x, cell in zip([72, 200, 320], row):
+            runs.append((x, y, cell))
+            flat.append(cell)
+        y -= 18
+    w = PdfWriter()
+    w.add_page(runs=runs, font_size=10)
+    p = str(tmp_path / "tab.pdf")
+    w.save(p)
+    t = PdfDocument(p).extract_text(0)
+    pos = [t.find(c) for c in flat]
+    assert all(v >= 0 for v in pos)
+    assert pos == sorted(pos), "table cells must stay row-major"
