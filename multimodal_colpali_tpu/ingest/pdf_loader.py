@@ -109,7 +109,10 @@ def data_preparation(
                     # OCR word x positions jitter by a couple of px
                     dets = detect_tables(page_runs, x_tol=5.0)
                 else:
-                    dets = detect_tables(doc.extract_runs(page_no - 1))
+                    page_rules = (doc.extract_rules(page_no - 1)
+                                  if hasattr(doc, "extract_rules") else None)
+                    dets = detect_tables(doc.extract_runs(page_no - 1),
+                                         rules=page_rules)
                 for det in dets:
                     table_counter += 1
                     if table_counter == 1:

@@ -32,9 +32,12 @@ class PdfWriter:
         font_size: float = 12,
         start_y: Optional[float] = None,
         runs: Optional[Sequence[Tuple[float, float, str]]] = None,
+        lines: Optional[Sequence[Tuple[float, float, float, float]]] = None,
     ) -> None:
         """``runs``: positioned text as (x, y-from-bottom, text) triples -
-        each becomes its own BT/Td/Tj block (for table-layout fixtures)."""
+        each becomes its own BT/Td/Tj block (for table-layout fixtures).
+        ``lines``: stroked segments (x0, y0, x1, y1, y-from-bottom) - ruled
+        borders for table fixtures."""
         self.pages.append({
             "text": list(text_lines or []),
             "image": image,
@@ -42,6 +45,7 @@ class PdfWriter:
             "font_size": font_size,
             "start_y": start_y if start_y is not None else self.height - 72,
             "runs": list(runs or []),
+            "lines": list(lines or []),
         })
 
     def tobytes(self) -> bytes:
@@ -75,6 +79,8 @@ class PdfWriter:
                     % (page["font_size"], x, y,
                        _esc(text).encode("latin-1", "replace"))
                 )
+            for x0, y0, x1, y1 in page.get("lines", []):
+                content.append(b"%.1f %.1f m %.1f %.1f l S" % (x0, y0, x1, y1))
             if page["image"] is not None:
                 img = np.ascontiguousarray(page["image"], dtype=np.uint8)
                 h, w, _ = img.shape

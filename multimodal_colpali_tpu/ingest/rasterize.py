@@ -85,6 +85,15 @@ def get_lib() -> ctypes.CDLL:
         lib.mmpdf_extract_runs.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                            ctypes.POINTER(ctypes.c_int)]
         lib.mmpdf_free_runs.argtypes = [ctypes.POINTER(_TextRun), ctypes.c_int]
+
+        class _Rule(ctypes.Structure):
+            _fields_ = [("x0", ctypes.c_double), ("y0", ctypes.c_double),
+                        ("x1", ctypes.c_double), ("y1", ctypes.c_double)]
+
+        lib._Rule = _Rule
+        lib.mmpdf_extract_rules.restype = ctypes.POINTER(_Rule)
+        lib.mmpdf_extract_rules.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                            ctypes.POINTER(ctypes.c_int)]
         lib.mmpdf_font_atlas.restype = ctypes.POINTER(ctypes.c_uint8)
         lib.mmpdf_font_atlas.argtypes = []
         _LIB = lib
@@ -185,6 +194,22 @@ class PdfDocument:
         finally:
             if count.value:
                 self._lib.mmpdf_free_runs(arr, count.value)
+        return out
+
+    def extract_rules(self, index: int):
+        """Ruled lines -> [(x0, y0, x1, y1)] in PDF units, top-left origin:
+        near-axis stroked segments and thin filled rects (table borders /
+        booktabs rules). Second structure signal for ``detect_tables``."""
+        count = ctypes.c_int(0)
+        arr = self._lib.mmpdf_extract_rules(self._h, index, ctypes.byref(count))
+        out = []
+        try:
+            for i in range(count.value):
+                r = arr[i]
+                out.append((r.x0, r.y0, r.x1, r.y1))
+        finally:
+            if count.value:
+                self._lib.mmpdf_free(arr)
         return out
 
     def has_text(self, index: int = 0) -> bool:

@@ -749,8 +749,20 @@ struct PageRender {
   Canvas canvas;
   std::vector<TextRun> runs;
   std::vector<ExtractedImage> images;
+  // ruled lines (table borders / booktabs rules): near-axis-aligned stroked
+  // segments and thin filled rects, in page units, y-down (like runs) -
+  // second structure signal for the table detector (ingest/tables.py)
+  std::vector<std::array<double, 4>> rules;
   bool raster = true;
   bool collect_images = false;
+  bool collect_rules = false;
+
+  void add_rule(double x0, double y0, double x1, double y1) {
+    if (x1 < x0) { std::swap(x0, x1); std::swap(y0, y1); }
+    double dx = std::abs(x1 - x0), dy = std::abs(y1 - y0);
+    if ((dx > 1.5 && dy > 1.5) || (dx < 2.0 && dy < 2.0)) return;
+    rules.push_back({x0 / scale, y0 / scale, x1 / scale, y1 / scale});
+  }
 
   void load_mediabox() {
     ObjPtr m = doc->dget(page, "MediaBox");
@@ -794,6 +806,10 @@ struct PageRender {
     double fill_rgb[3] = {0, 0, 0};
     bool in_text = false;
     (void)in_text;
+    // current path (m/l segments, device coords) for stroked-rule capture
+    double path_cur_x = 0, path_cur_y = 0;
+    bool path_has_cur = false;
+    std::vector<std::array<double, 4>> path_segs;
 
     Lexer lx((const uint8_t*)content.data(), content.size());
     Parser ps(lx);
@@ -891,13 +907,68 @@ struct PageRender {
           pending_rects.push_back({v[0]->as_num(), v[1]->as_num(), v[2]->as_num(), v[3]->as_num()});
         }
       }
+      else if (op == "m") {
+        auto v = popn(2);
+        if (v.size() == 2) {
+          dev(ctm, v[0]->as_num(), v[1]->as_num(), path_cur_x, path_cur_y);
+          path_has_cur = true;
+        }
+      }
+      else if (op == "l") {
+        auto v = popn(2);
+        if (v.size() == 2) {
+          double px, py;
+          dev(ctm, v[0]->as_num(), v[1]->as_num(), px, py);
+          if (path_has_cur)
+            path_segs.push_back({path_cur_x, path_cur_y, px, py});
+          path_cur_x = px;
+          path_cur_y = py;
+          path_has_cur = true;
+        }
+      }
       else if (op == "f" || op == "F" || op == "f*" || op == "b" || op == "B") {
         if (raster)
           for (auto& r : pending_rects) fill_rect(r[0], r[1], r[2], r[3], ctm, fill_rgb);
+        if (collect_rules) {
+          // a THIN filled rect is a rule (the common \hline encoding)
+          for (auto& r : pending_rects) {
+            double ax, ay, bx, by;
+            dev(ctm, r[0], r[1], ax, ay);
+            dev(ctm, r[0] + r[2], r[1] + r[3], bx, by);
+            double x0 = std::min(ax, bx), x1 = std::max(ax, bx);
+            double y0 = std::min(ay, by), y1 = std::max(ay, by);
+            if (y1 - y0 <= 2.5 * scale)
+              add_rule(x0, 0.5 * (y0 + y1), x1, 0.5 * (y0 + y1));
+            else if (x1 - x0 <= 2.5 * scale)
+              add_rule(0.5 * (x0 + x1), y0, 0.5 * (x0 + x1), y1);
+          }
+        }
         pending_rects.clear();
+        path_segs.clear();
+        path_has_cur = false;
       }
-      else if (op == "n" || op == "S" || op == "s" || op == "W" || op == "W*") {
+      else if (op == "S" || op == "s") {
+        if (collect_rules) {
+          for (auto& sgm : path_segs) add_rule(sgm[0], sgm[1], sgm[2], sgm[3]);
+          for (auto& r : pending_rects) {
+            // stroked rect: its four edges are rules
+            double ax, ay, bx, by;
+            dev(ctm, r[0], r[1], ax, ay);
+            dev(ctm, r[0] + r[2], r[1] + r[3], bx, by);
+            add_rule(ax, ay, bx, ay);
+            add_rule(ax, by, bx, by);
+            add_rule(ax, ay, ax, by);
+            add_rule(bx, ay, bx, by);
+          }
+        }
         pending_rects.clear();
+        path_segs.clear();
+        path_has_cur = false;
+      }
+      else if (op == "n" || op == "W" || op == "W*") {
+        pending_rects.clear();
+        path_segs.clear();
+        path_has_cur = false;
       }
       else if (op == "Do") {
         auto v = popn(1);
@@ -1423,6 +1494,36 @@ void mmpdf_free_images(mmpdf_image_desc* arr, int count) {
   if (!arr) return;
   for (int i = 0; i < count; i++) free(arr[i].rgb);
   free(arr);
+}
+
+// Ruled lines (x0,y0,x1,y1 in PDF units, top-left origin): near-axis
+// stroked segments and thin filled rects - the border/booktabs-rule signal
+// the table detector uses for borderless/irregular tables (the TableFormer
+// role, reference functions.py:85-93). Free with mmpdf_free.
+typedef struct {
+  double x0, y0, x1, y1;
+} mmpdf_rule;
+
+mmpdf_rule* mmpdf_extract_rules(mmpdf_doc* h, int page, int* count) {
+  *count = 0;
+  if (page < 0 || page >= (int)h->doc.pages.size()) return nullptr;
+  mmpdf::PageRender pr;
+  pr.doc = &h->doc;
+  pr.page = h->doc.pages[page];
+  pr.scale = 1.0;
+  pr.raster = false;
+  pr.collect_rules = true;
+  pr.run();
+  if (pr.rules.empty()) return nullptr;
+  auto* out = (mmpdf_rule*)malloc(sizeof(mmpdf_rule) * pr.rules.size());
+  for (size_t i = 0; i < pr.rules.size(); i++) {
+    out[i].x0 = pr.rules[i][0];
+    out[i].y0 = pr.rules[i][1];
+    out[i].x1 = pr.rules[i][2];
+    out[i].y1 = pr.rules[i][3];
+  }
+  *count = (int)pr.rules.size();
+  return out;
 }
 
 // Positioned text runs (x, y in PDF units, top-left origin): the layout
