@@ -38,4 +38,12 @@ if _os.environ.get("MMCP_FUSED_ATTENTION") in ("0", "1"):
 
     _layers.set_fused_attention(_os.environ["MMCP_FUSED_ATTENTION"] == "1")
 
+if _os.environ.get("MMCP_FUSED_LAYER") in ("0", "1"):
+    # Fused transformer-layer Pallas kernels (ops/fused_layer.py) for the
+    # small-encoder hot path. Default auto (on for TPU when the layer shape
+    # fits VMEM); =1 forces on (interpret mode off-TPU), =0 forces off.
+    from multimodal_colpali_tpu.models import layers as _layers2
+
+    _layers2.set_fused_layer(_os.environ["MMCP_FUSED_LAYER"] == "1")
+
 from multimodal_colpali_tpu.documents import Document  # noqa: F401

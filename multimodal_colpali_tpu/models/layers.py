@@ -126,6 +126,36 @@ def _fused_attention_enabled(seq_len: int) -> bool:
     return jax.default_backend() == "tpu"
 
 
+# Global toggle for the fused transformer-LAYER kernels (ops/fused_layer.py:
+# LN1+QKV+attention+proj+residual and LN2+MLP+residual each as one Pallas
+# kernel, eliminating the per-layer activation HBM round-trips that cap
+# ColSmol at ~49% MFU). None = auto: enabled on TPU backends when the layer
+# shape fits the kernels' VMEM plan (SigLIP-768 does; SO400M does not and
+# keeps the unfused path). Override with set_fused_layer(True/False) or
+# MMCP_FUSED_LAYER=1/0 (on CPU the kernels run in interpret mode).
+_FUSED_LAYER: Optional[bool] = None
+
+
+def set_fused_layer(enabled: Optional[bool]) -> None:
+    global _FUSED_LAYER
+    _FUSED_LAYER = None if enabled is None else bool(enabled)
+
+
+def _fused_layer_enabled(seq_len: int, hidden: int, inter: int,
+                         heads: int, dtype_bytes: int = 2) -> bool:
+    if _FUSED_LAYER is False:
+        return False
+    from multimodal_colpali_tpu.ops.fused_layer import (
+        attention_block_plan, mlp_block_plan)
+
+    if (attention_block_plan(seq_len, hidden, heads, dtype_bytes) is None
+            or mlp_block_plan(hidden, inter, dtype_bytes) is None):
+        return False
+    if _FUSED_LAYER:
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,

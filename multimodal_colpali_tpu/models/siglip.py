@@ -49,10 +49,67 @@ class SiglipAttention(nn.Module):
 class SiglipEncoderLayer(nn.Module):
     cfg: SiglipVisionConfig
 
+    def _fused_layer_params(self, x):
+        """This layer's param arrays when the fused-layer kernels apply,
+        else None (init pass, shape over VMEM budget, int8-quantized
+        kernels, or the gate is off)."""
+        c = self.cfg
+        if self.is_initializing() or not L._fused_layer_enabled(
+                x.shape[1], c.hidden_size, c.intermediate_size,
+                c.num_attention_heads, x.dtype.itemsize):
+            return None
+        try:
+            p = self.variables["params"]
+        except KeyError:
+            return None
+        mods = [("layer_norm1", "weight"), ("layer_norm1", "bias")]
+        for m in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            mods += [("self_attn", m, "kernel"), ("self_attn", m, "bias")]
+        mods += [("layer_norm2", "weight"), ("layer_norm2", "bias")]
+        for m in ("fc1", "fc2"):
+            mods += [("mlp", m, "kernel"), ("mlp", m, "bias")]
+        leaves = []
+        for path in mods:
+            node = p
+            for key in path:
+                if not isinstance(node, (dict,)) and not hasattr(node, "get"):
+                    return None
+                node = node.get(key) if hasattr(node, "get") else None
+                if node is None:
+                    return None
+            if isinstance(node, dict):    # int8-quantized kernel dict
+                return None
+            leaves.append(node)
+        return leaves
+
     @nn.compact
     def __call__(self, x):
-        y = L.LayerNorm(eps=self.cfg.layer_norm_eps, name="layer_norm1")(x)
-        x = x + SiglipAttention(self.cfg, name="self_attn")(y)
+        import os
+
+        fused = self._fused_layer_params(x)
+        # MMCP_FUSED_PARTS isolates the two kernels for hardware A/B runs
+        parts = os.environ.get("MMCP_FUSED_PARTS", "both")
+        use_attn = fused is not None and parts in ("both", "attn")
+        use_mlp = fused is not None and parts in ("both", "mlp")
+        if fused is not None:
+            from multimodal_colpali_tpu.ops import fused_layer as FL
+
+            (g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
+             g2, b2, w1, bb1, w2, bb2) = fused
+            interp = jax.default_backend() != "tpu"
+        if use_attn:
+            x = FL.fused_vit_attention_block(
+                x, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
+                heads=self.cfg.num_attention_heads,
+                eps=self.cfg.layer_norm_eps, interpret=interp)
+        else:
+            y = L.LayerNorm(eps=self.cfg.layer_norm_eps,
+                            name="layer_norm1")(x)
+            x = x + SiglipAttention(self.cfg, name="self_attn")(y)
+        if use_mlp:
+            return FL.fused_mlp_block(
+                x, g2, b2, w1, bb1, w2, bb2,
+                eps=self.cfg.layer_norm_eps, interpret=interp)
         y = L.LayerNorm(eps=self.cfg.layer_norm_eps, name="layer_norm2")(x)
         x = x + SiglipMLP(self.cfg, name="mlp")(y)
         return x
