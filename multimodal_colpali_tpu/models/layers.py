@@ -126,13 +126,14 @@ def _fused_attention_enabled(seq_len: int) -> bool:
     return jax.default_backend() == "tpu"
 
 
-# Global toggle for the fused transformer-LAYER kernels (ops/fused_layer.py:
-# LN1+QKV+attention+proj+residual and LN2+MLP+residual each as one Pallas
-# kernel, eliminating the per-layer activation HBM round-trips that cap
-# ColSmol at ~49% MFU). None = auto: enabled on TPU backends when the layer
-# shape fits the kernels' VMEM plan (SigLIP-768 does; SO400M does not and
-# keeps the unfused path). Override with set_fused_layer(True/False) or
-# MMCP_FUSED_LAYER=1/0 (on CPU the kernels run in interpret mode).
+# Global toggle for the fused transformer-LAYER kernel (ops/fused_layer.py:
+# the ENTIRE encoder layer - LN1+QKV+attention+proj+residual+LN2+MLP+
+# residual - as one Pallas kernel with a raised scoped-VMEM limit,
+# eliminating the per-layer activation HBM round-trips that cap ColSmol
+# at ~49% MFU). None = auto: enabled on TPU backends when the layer shape
+# fits the kernel's VMEM plan (SigLIP-768 does; SO400M does not and keeps
+# the unfused path). Override with set_fused_layer(True/False) or
+# MMCP_FUSED_LAYER=1/0 (on CPU the kernel runs in interpret mode).
 _FUSED_LAYER: Optional[bool] = None
 
 
@@ -145,11 +146,9 @@ def _fused_layer_enabled(seq_len: int, hidden: int, inter: int,
                          heads: int, dtype_bytes: int = 2) -> bool:
     if _FUSED_LAYER is False:
         return False
-    from multimodal_colpali_tpu.ops.fused_layer import (
-        attention_block_plan, mlp_block_plan)
+    from multimodal_colpali_tpu.ops.fused_layer import layer_plan
 
-    if (attention_block_plan(seq_len, hidden, heads, dtype_bytes) is None
-            or mlp_block_plan(hidden, inter, dtype_bytes) is None):
+    if layer_plan(seq_len, hidden, inter, heads, dtype_bytes) is None:
         return False
     if _FUSED_LAYER:
         return True

@@ -87,16 +87,23 @@ class SiglipEncoderLayer(nn.Module):
         import os
 
         fused = self._fused_layer_params(x)
-        # MMCP_FUSED_PARTS isolates the two kernels for hardware A/B runs
+        # MMCP_FUSED_PARTS isolates the partial kernels for hardware A/B
+        # runs ("attn"/"mlp"); the default "both" is the whole-layer kernel
         parts = os.environ.get("MMCP_FUSED_PARTS", "both")
-        use_attn = fused is not None and parts in ("both", "attn")
-        use_mlp = fused is not None and parts in ("both", "mlp")
+        use_attn = fused is not None and parts == "attn"
+        use_mlp = fused is not None and parts == "mlp"
         if fused is not None:
             from multimodal_colpali_tpu.ops import fused_layer as FL
 
             (g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
              g2, b2, w1, bb1, w2, bb2) = fused
             interp = jax.default_backend() != "tpu"
+            if parts == "both":
+                return FL.fused_vit_layer(
+                    x, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,
+                    g2, b2, w1, bb1, w2, bb2,
+                    heads=self.cfg.num_attention_heads,
+                    eps=self.cfg.layer_norm_eps, interpret=interp)
         if use_attn:
             x = FL.fused_vit_attention_block(
                 x, g1, b1, wq, bq, wk, bk, wv, bv, wo, bo,

@@ -55,14 +55,20 @@ def measure(name: str, batch: int, n_iters: int, fused: bool) -> dict:
         def fwd(params, *a):
             return model.apply({"params": params}, *a)
 
+        # FLOPs always from the UNFUSED lowering: XLA's cost_analysis does
+        # not count Pallas custom-call FLOPs, so the fused variant would
+        # report a bogus low MFU. The math is identical either way.
         flops = None
         try:
+            L.set_fused_layer(False)
             cost = jax.jit(fwd).lower(params, *args).compile().cost_analysis()
             if cost:
                 c = cost[0] if isinstance(cost, (list, tuple)) else cost
                 flops = float(c.get("flops", 0)) or None
         except Exception as e:  # noqa: BLE001
             log(f"[fused-bench] cost_analysis unavailable: {e}")
+        finally:
+            L.set_fused_layer(fused)
 
         pix_idx = len(args) - 1
 

@@ -519,6 +519,9 @@ def main() -> None:
             encoder_mfu("vidore/colSmol-256M", batch=16, fused=True)
             encoder_mfu("vidore/colSmol-256M", batch=32, fused=True)
             encoder_mfu("vidore/colSmol-256M", batch=64, fused=True)
+        # fused transformer-LAYER kernels (ops/fused_layer.py, round 4):
+        # scripts/tpu_colsmol_fused.py is the dedicated A/B harness
+        # (--mode both; MMCP_FUSED_PARTS isolates attn vs mlp)
     if args.flagship:
         encoder_mfu("vidore/colpali-v1.3", batch=8, fused=False)
         if fused_ok:

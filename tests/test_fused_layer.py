@@ -18,7 +18,7 @@ from multimodal_colpali_tpu.models.configs import SiglipVisionConfig
 from multimodal_colpali_tpu.models.siglip import SiglipEncoderLayer
 from multimodal_colpali_tpu.ops.fused_layer import (
     attention_block_plan, fused_mlp_block, fused_vit_attention_block,
-    mlp_block_plan)
+    fused_vit_layer, layer_plan, mlp_block_plan)
 
 CFG = SiglipVisionConfig(hidden_size=256, intermediate_size=512,
                          num_hidden_layers=1, num_attention_heads=4,
@@ -115,6 +115,21 @@ def test_mlp_block_matches_flax(layer_and_params):
                                    atol=3e-2, rtol=3e-2)
 
 
+def test_whole_layer_kernel_matches_flax(layer_and_params):
+    """fused_vit_layer (the single whole-layer kernel, raised VMEM limit)
+    against the full unfused SiglipEncoderLayer apply."""
+    layer, params = layer_and_params
+    x = jax.random.normal(jax.random.PRNGKey(7), (3, 256, 256),
+                          jnp.float32).astype(jnp.bfloat16)
+    want = layer.apply(params, x)
+    got = fused_vit_layer(
+        x, *_flat(params), heads=CFG.num_attention_heads,
+        eps=CFG.layer_norm_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=3e-2, rtol=3e-2)
+
+
 def test_full_layer_through_flax_gate(layer_and_params):
     """set_fused_layer(True) routes SiglipEncoderLayer through both kernels
     (interpret mode off-TPU) and matches the unfused apply."""
@@ -136,15 +151,19 @@ def test_full_layer_through_flax_gate(layer_and_params):
 
 
 def test_vmem_plans_gate_shapes():
-    # ColSmol's SigLIP-768 tower fits both kernels
+    # ColSmol's SigLIP-768 tower fits the whole-layer kernel
+    assert layer_plan(1024, 768, 3072, 12) is not None
+    # and the partial A/B kernels
     assert attention_block_plan(1024, 768, 12) is not None
     assert mlp_block_plan(768, 3072) is not None
-    # ColPali's SO400M tower (H=1152, I=4304) exceeds the weight-residency
-    # budget - stays on the unfused path
+    # ColPali's SO400M tower (H=1152, I=4304, head_dim 72) exceeds the
+    # plan ceiling - stays on the unfused path
+    assert layer_plan(1024, 1152, 4304, 16) is None
     assert mlp_block_plan(1152, 4304) is None
     # sequences that are not 128-multiples (tiny test configs) are rejected
+    assert layer_plan(16, 768, 3072, 12) is None
     assert attention_block_plan(16, 768, 12) is None
-    # the flax gate composes the plans
+    # the flax gate composes the plan
     assert not L._fused_layer_enabled(16, 768, 3072, 12)
     assert not L._fused_layer_enabled(1024, 1152, 4304, 16)
 
