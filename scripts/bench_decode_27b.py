@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""gemma-3-27b int4 single-chip decode benchmark (one JSON line on stdout).
+
+The reference's ACTUAL generator is google/gemma-3-27b-it served by vLLM
+(/root/reference/00_run_docker_containers.sh:26-39). VERDICT r3 weak #2
+asked for a driver-verifiable 27B number measured in the span-copying
+regime RAG answers live in (prompt-lookup speculation accelerates decode
+exactly when the answer copies spans from the context - the 120-MCQ
+answers do). This script:
+
+1. probes that the chip has the ~15 GB of free HBM the int4 27B needs
+   (packed nibble codes ~14.6 GB); exits with {"skipped": ...} otherwise;
+2. measures plain paged decode (int8 KV, int4 weights, 4 slots);
+3. measures speculative k=4 on SPAN-COPYING prompts (periodic token
+   sequences - the prompt-lookup drafter's intended regime, matching how
+   the 2B was measured at 2.15 accepted tokens/forward in round 3) and on
+   RANDOM prompts (the drafter's worst case), reporting accepted
+   tokens/forward for both.
+
+Run as a subprocess of bench.py (fresh process = clean HBM next to the
+retrieval corpus the parent already holds). Shapes match
+scripts/tpu_validate.py's gemma3_decode_throughput so the persistent
+compilation cache (JAX_COMPILATION_CACHE_DIR) is shared.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MODEL = "gemma-3-27b"
+SLOTS = 4
+CHUNK = 16
+MAX_NEW = 64
+SPEC_K = 4
+HBM_NEEDED = 15.2e9   # int4 codes ~14.6 GB + KV pools + activations
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def span_copy_prompts(slots: int, period: int = 6, reps: int = 4,
+                      seed: int = 0):
+    """Periodic token prompts: the regime where RAG answers copy spans
+    from their context and prompt-lookup drafting pays."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(slots):
+        pat = rng.integers(3, 200, (period,)).tolist()
+        out.append((pat * reps)[: period * reps])
+    return out
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp")
+    result: dict = {}
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        print(json.dumps({"skipped": "not a tpu backend"}))
+        return
+
+    dev = jax.devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+        free = stats.get("bytes_limit", 0) - stats.get("bytes_in_use", 0)
+    except Exception:  # noqa: BLE001 - stats unsupported through the tunnel
+        free = None
+    if free is not None and free < HBM_NEEDED:
+        print(json.dumps({"skipped": f"free HBM {free/1e9:.1f} GB < "
+                                     f"{HBM_NEEDED/1e9:.1f} GB needed"}))
+        return
+
+    from multimodal_colpali_tpu.generation.engine import GemmaDecodeEngine
+    from multimodal_colpali_tpu.generation.paged import PagedContinuousBatcher
+    from multimodal_colpali_tpu.generation.speculative import (
+        SpeculativePagedContinuousBatcher)
+    from multimodal_colpali_tpu.models.registry import load_gemma3_lm
+
+    t0 = time.time()
+    cfg, params, _ = load_gemma3_lm(MODEL, dtype=jnp.bfloat16,
+                                    device_init=True, weight_dtype="int4")
+    eng = GemmaDecodeEngine(cfg, params, dtype=jnp.bfloat16,
+                            weight_dtype="int4")
+    log(f"[27b] params on device in {time.time()-t0:.0f}s (int4)")
+
+    prompts_span = span_copy_prompts(SLOTS)
+    prompts_rand = [np.random.default_rng(1 + i).integers(
+        3, 200, (24,)).tolist() for i in range(SLOTS)]
+
+    # plain paged (int8 KV)
+    bat = PagedContinuousBatcher(eng, batch_slots=SLOTS, max_seq_len=256,
+                                 chunk=CHUNK, page_size=32, kv_dtype="int8")
+    t0 = time.time()
+    bat.generate(prompts_rand, max_new_tokens=2)
+    log(f"[27b] paged compiles warm in {time.time()-t0:.0f}s")
+    t0 = time.time()
+    outs = bat.generate(prompts_rand, max_new_tokens=MAX_NEW)
+    dt = time.time() - t0
+    paged_tok_s = sum(len(o) for o in outs) / dt
+    log(f"[27b] paged int4+int8kv: {paged_tok_s:.1f} tok/s")
+    result["decode_27b_tok_s_paged"] = round(paged_tok_s, 1)
+
+    # speculative paged, span-copying then random prompts
+    sbat = SpeculativePagedContinuousBatcher(
+        eng, batch_slots=SLOTS, max_seq_len=256, chunk=CHUNK,
+        page_size=32, kv_dtype="int8", spec_k=SPEC_K)
+    t0 = time.time()
+    sbat.generate(prompts_span, max_new_tokens=2)
+    log(f"[27b] spec compiles warm in {time.time()-t0:.0f}s")
+    for label, prompts in (("span", prompts_span), ("random", prompts_rand)):
+        sbat.spec_forwards = 0
+        sbat.spec_accepted = 0
+        t0 = time.time()
+        outs = sbat.generate(prompts, max_new_tokens=MAX_NEW)
+        dt = time.time() - t0
+        tok_s = sum(len(o) for o in outs) / dt
+        acc = (sbat.spec_accepted / sbat.spec_forwards
+               if sbat.spec_forwards else 0.0)
+        log(f"[27b] spec k={SPEC_K} {label} prompts: {tok_s:.1f} tok/s, "
+            f"{acc:.2f} accepted tokens/forward")
+        key = "spec_span" if label == "span" else "spec_random"
+        result[f"decode_27b_tok_s_{key}"] = round(tok_s, 1)
+        result[f"decode_27b_acc_per_fwd_{key}"] = round(acc, 2)
+
+    # the headline 27B number: the best RAG-regime configuration
+    result["decode_27b_tok_s"] = max(
+        result["decode_27b_tok_s_paged"],
+        result.get("decode_27b_tok_s_spec_span", 0.0))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
