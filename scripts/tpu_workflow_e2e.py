@@ -1,0 +1,437 @@
+#!/usr/bin/env python
+"""Compose the WHOLE reference workflow on the real TPU, staged.
+
+VERDICT r3 next-round #1: the framework replaces Docker+Qdrant+vLLM, but
+the composed pipeline (ingest -> index -> retrieve -> first-party
+generate -> aggregate) had only ever run as CPU e2e tests at tiny scale.
+This script runs the reference workflow
+(/root/reference/03_experiment01_run.py:44-90 and
+/root/reference/05_experiment02.py:437-466) end-to-end ON THE CHIP:
+
+  prep      - mixed fixture corpus: native PdfWriter dialect,
+              xref-stream/ObjStm dialect, a matplotlib-authored paper,
+              and an image-only scanned page (OCR path), plus the
+              placeholder-schema MCQ benchmark.
+  ingest    - driver 01 with a REAL-sized retriever (ColSmol-256M) and
+              bge text encoder; VLM image summaries flow through a live
+              first-party gemma-3-4b multimodal server (driver 07,
+              paged + int8 weights + int8 KV) - the reference's
+              process_models seam (functions.py:1299-1308).
+  exp01     - driver 02 x all four RAG modes (no_RAG / text_RAG /
+              mm_RAG / colpali) against the same live server.
+  exp02     - driver 05, one iteration with image context through the
+              server; corpus embeddings cached per the reference's
+              {retriever}_pdf_emb.pkl contract.
+  aggregate - drivers 04 + 06 + evalstats.run_ci_summary consume the
+              artifacts unchanged (CPU; byte-compatible formats).
+
+Every stage appends wall-clock + evidence to the record JSON
+(records/workflow_e2e_r4.json). Stages are idempotent; run them one
+foreground call each (tunnel rule: <= 600 s per call):
+
+  python scripts/tpu_workflow_e2e.py --stage prep
+  python scripts/tpu_workflow_e2e.py --stage ingest
+  python scripts/tpu_workflow_e2e.py --stage exp01
+  python scripts/tpu_workflow_e2e.py --stage exp02
+  python scripts/tpu_workflow_e2e.py --stage aggregate
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+RETRIEVER = "vidore/colSmol-256M"
+SERVE_MODEL = "gemma-3-4b"
+TEXT_ENCODER = "bge-base"
+PORT = 18297   # the axon tunnel helper squats much of 80xx-81xx
+SERVE_EXTRA = ["--paged", "--weight-dtype", "int8", "--kv-dtype", "int8",
+               "--vision-dtype", "int8"]
+# Real-mode inner deadlines: first-touch remote compiles (gemma-3-4b
+# decode/prefill buckets, ColSmol embed) run minutes each through the
+# tunnel. The CALLER keeps individual foreground calls alive per the
+# harness-backgrounding pattern; these are the per-subprocess budgets.
+TIMEOUT = 2400
+
+
+def _apply_smoke():
+    """CPU smoke mode: tiny models, same composition - shakes out CLI
+    contract mismatches before spending tunnel time."""
+    global RETRIEVER, SERVE_MODEL, TEXT_ENCODER, SERVE_EXTRA, TIMEOUT
+    RETRIEVER = "tiny-colpali"
+    SERVE_MODEL = "tiny-colpali"
+    TEXT_ENCODER = "tiny"
+    SERVE_EXTRA = ["--paged"]
+    TIMEOUT = 560
+    os.environ["MMCP_JAX_PLATFORMS"] = "cpu"
+
+
+def log(*a):
+    print("[workflow]", *a, file=sys.stderr, flush=True)
+
+
+def record(path: Path, stage: str, **fields):
+    rec = {}
+    if path.exists():
+        rec = json.loads(path.read_text())
+    rec[stage] = {"at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                  **fields}
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(rec, indent=2) + "\n")
+    log(f"stage {stage} recorded -> {path}")
+
+
+def _env():
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+    # big-model init: materialize random/quantized params ON the device
+    # (CLAUDE.md: 3B cold start ~49 s instead of ~10 min of host init)
+    env.setdefault("MMCP_DEVICE_INIT", "1")
+    return env
+
+
+@contextlib.contextmanager
+def serve(ws: Path, extra=()):
+    """First-party generation server (driver 07): gemma-3-4b multimodal,
+    paged + int8 weights + int8 KV - the role vLLM's gemma-3-27b container
+    plays for the reference (00_run_docker_containers.sh:26-39)."""
+    cmd = [sys.executable, str(REPO / "drivers" / "07_serve.py"),
+           "--model", SERVE_MODEL, "--port", str(PORT), "--slots", "4",
+           *SERVE_EXTRA, "--chunk", "16",
+           "--max-seq-len", "8192", "--max-new-tokens", "32",
+           *extra]
+    slog = open(ws / "serve.log", "ab")
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, stdout=slog, stderr=slog, env=_env())
+    try:
+        deadline = time.time() + TIMEOUT
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise RuntimeError(
+                    f"serve died rc={proc.returncode}; see {ws}/serve.log")
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{PORT}/health", timeout=2) as r:
+                    if r.status == 200:
+                        break
+            except Exception:  # noqa: BLE001
+                time.sleep(2.0)
+        else:
+            raise RuntimeError("serve did not become healthy in time")
+        log(f"serve healthy in {time.time()-t0:.0f}s")
+        yield time.time() - t0
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+        slog.close()
+
+
+def run(cmd, timeout=None, **kw):
+    timeout = timeout or TIMEOUT
+    log("run:", " ".join(str(c) for c in cmd))
+    t0 = time.time()
+    r = subprocess.run([str(c) for c in cmd], env=_env(),
+                       capture_output=True, text=True, timeout=timeout, **kw)
+    dt = time.time() - t0
+    if r.returncode != 0:
+        log(f"FAILED rc={r.returncode} in {dt:.0f}s")
+        log("STDOUT:", r.stdout[-1500:])
+        log("STDERR:", r.stderr[-1500:])
+        raise SystemExit(1)
+    log(f"ok in {dt:.0f}s")
+    return dt
+
+
+def stage_prep(ws: Path, rec: Path):
+    import numpy as np
+    import pandas as pd
+    from PIL import Image, ImageDraw, ImageFont
+
+    from multimodal_colpali_tpu.ingest.pdfwrite import (PdfWriter,
+                                                        PdfWriterXrefStream,
+                                                        make_sample_pdf)
+
+    t0 = time.time()
+    papers = ws / "papers"
+    papers.mkdir(parents=True, exist_ok=True)
+    # dialect 1: native PdfWriter paper (text + figures)
+    make_sample_pdf(str(papers / "Paper01.pdf"), n_pages=3,
+                    lines_per_page=14, seed=0)
+    # dialect 2: xref-stream/ObjStm paper
+    w = PdfWriterXrefStream()
+    for p in range(2):
+        w.add_page(text_lines=[
+            f"Sialic acid biology volume page {p + 1}",
+            "Neuraminidase cleaves terminal sialic acids",
+            "Influenza entry depends on sialylated receptors",
+        ] + [f"Finding {i}: receptor affinity varies with linkage type {i}."
+             for i in range(8)])
+    w.save(str(papers / "Paper02.pdf"))
+    # dialect 3: matplotlib-authored paper (foreign writer: embedded
+    # Type1 font program, Tm/TJ content streams)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(6, 8))
+    fig.text(0.08, 0.92, "Glycan microarray screening of lectins",
+             fontsize=14)
+    for i in range(10):
+        fig.text(0.08, 0.84 - 0.06 * i,
+                 f"Lectin {i} bound preferentially to fucosylated "
+                 f"structures in replicate {i}.", fontsize=9)
+    fig.savefig(papers / "Paper03.pdf", format="pdf")
+    plt.close(fig)
+    # dialect 4: image-only scanned page (OCR path; DejaVu = non-atlas)
+    fpath = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                         "fonts", "ttf", "DejaVuSans.ttf")
+    font = ImageFont.truetype(fpath, 22)
+    im = Image.new("RGB", (900, 600), (255, 255, 255))
+    d = ImageDraw.Draw(im)
+    for i, line in enumerate([
+            "Scanned appendix: glycosylation assay protocols",
+            "Samples were desialylated before lectin binding",
+            "Heparan sulfate chains were depolymerized enzymatically"]):
+        d.text((40, 50 + 60 * i), line, font=font, fill=(0, 0, 0))
+    sw = PdfWriter(width=im.width / 2, height=im.height / 2)
+    sw.add_page(image=np.asarray(im),
+                image_rect=(0, 0, im.width / 2, im.height / 2))
+    sw.save(str(papers / "Paper04.pdf"))
+
+    bench = pd.DataFrame({
+        "Question_nr": [1, 2, 3, 4, 5, 6],
+        "Paper_id": ["Paper01", "Paper02", "Paper03", "Paper04",
+                     "Paper01", "Paper02"],
+        "Nr_data_suppl": [0] * 6,
+        "doi": [f"10.0/p{i}" for i in range(6)],
+        "title": ["t1", "t2", "t3", "t4", "t5", "t6"],
+        "question": [
+            "What binds selectins?",
+            "What cleaves terminal sialic acids?",
+            "What did lectins bind preferentially?",
+            "What was done to samples before lectin binding?",
+            "Which structure is named in the sample paper?",
+            "What does influenza entry depend on?"],
+        "A": ["sialyl-Lewis-x", "neuraminidase", "fucosylated structures",
+              "desialylation", "sialyl-Lewis-x", "sialylated receptors"],
+        "B": ["starch", "kinase", "metals", "heating", "cellulose",
+              "cholesterol"],
+        "C": ["iron", "protease", "planets", "dilution", "iron", "actin"],
+        "D": ["nothing", "lipase", "nothing", "nothing", "keratin",
+              "nothing"],
+        "Correct": ["A", "A", "A", "A", "A", "A"],
+        "Difficulty": ["Easy", "Medium", "Hard", "Easy", "Medium", "Hard"],
+    })
+    bench.to_csv(ws / "benchmark.csv", index=False)
+    (ws / "models.json").write_text(json.dumps([{
+        "model_name": SERVE_MODEL, "model_short": "gemma3",
+        "port": PORT, "text_vd": "RAG_TEXT", "mm_vd": "RAG_MM_gemma3",
+        "late_inter": RETRIEVER, "late_inter_short": "colsmol",
+    }]))
+    record(rec, "prep", wall_s=round(time.time() - t0, 1),
+           papers=sorted(p.name for p in papers.glob("*.pdf")),
+           questions=6)
+
+
+def stage_warm(ws: Path, rec: Path):
+    """Compile-warm the server's jits with the tunnel otherwise idle.
+
+    Two processes compiling through the tunnel concurrently degrade it
+    hard; this stage drives one text and one multimodal request (the two
+    prefill/decode jit families the composed stages hit) so later stages
+    run against a warm JAX persistent cache, then warms the retriever's
+    embed jit the same way after the server exits."""
+    import base64
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    t0 = time.time()
+    timings = {}
+    with serve(ws) as boot_s:
+        timings["serve_boot_s"] = round(boot_s, 1)
+        buf = io.BytesIO()
+        Image.fromarray(np.full((224, 224, 3), 200, np.uint8)).save(
+            buf, format="PNG")
+        data_url = ("data:image/png;base64,"
+                    + base64.b64encode(buf.getvalue()).decode())
+        for label, content in (
+                ("text_req_s", "Name one sugar."),
+                ("mm_req_s", [{"type": "text", "text": "Describe."},
+                              {"type": "image_url",
+                               "image_url": {"url": data_url}}])):
+            body = json.dumps({
+                "model": SERVE_MODEL, "max_tokens": 8,
+                "messages": [{"role": "user", "content": content}],
+            }).encode()
+            t1 = time.time()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{PORT}/v1/chat/completions", data=body,
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=TIMEOUT) as r:
+                json.loads(r.read())
+            timings[label] = round(time.time() - t1, 1)
+            log(f"warm {label}: {timings[label]}s")
+    t1 = time.time()
+    run([sys.executable, "-c", (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import numpy as np\n"
+        "from PIL import Image\n"
+        "from multimodal_colpali_tpu.models.registry import load_retriever\n"
+        "r = load_retriever(%r)\n"
+        "imgs = [Image.fromarray(np.zeros((448, 448, 3), np.uint8))] * 2\n"
+        "embs = r.embed_images(imgs, batch_size=2)\n"
+        "import numpy as _np\n"
+        "print(len(embs), _np.asarray(embs[0]).shape)\n"
+    ) % (str(REPO), RETRIEVER)])
+    timings["retriever_embed_warm_s"] = round(time.time() - t1, 1)
+    record(rec, "warm", wall_s=round(time.time() - t0, 1), **timings)
+
+
+def stage_ingest(ws: Path, rec: Path):
+    t0 = time.time()
+    with serve(ws) as boot_s:
+        dt = run([sys.executable, REPO / "drivers" / "01_create_context.py",
+                  "--papers-dir", ws / "papers",
+                  "--vd-dir", ws / "vd",
+                  "--models-config", ws / "models.json",
+                  "--prompts-path", "",
+                  "--text-encoder-config", TEXT_ENCODER,
+                  "--base-url", f"http://127.0.0.1:{PORT}/v1"])
+    storage = ws / "vd" / "storage"
+    cols = sorted(p.name for p in storage.iterdir()) if storage.exists() else []
+    pages = sorted(os.listdir(ws / "vd" / "pg_images"))
+    record(rec, "ingest", wall_s=round(time.time() - t0, 1),
+           serve_boot_s=round(boot_s, 1), driver01_s=round(dt, 1),
+           collections=cols, page_images=len(pages),
+           retriever=RETRIEVER, generator=SERVE_MODEL)
+
+
+def stage_exp01(ws: Path, rec: Path):
+    t0 = time.time()
+    results = ws / "results" / "eval"
+    results.mkdir(parents=True, exist_ok=True)
+    # the colpali-mode collection is named per the reference's
+    # --vd_colpali_name seam (03_experiment01_run.py:27,48): the
+    # retriever short name written into models.json at prep
+    late_short = json.loads((ws / "models.json").read_text()
+                            )[0]["late_inter_short"]
+    modes = [("no_RAG", "", ""),
+             ("text_RAG", "RAG_TEXT", "mm_RAG"),
+             ("mm_RAG", "RAG_MM_gemma3", "mm_RAG"),
+             ("colpali", late_short, "colpali")]
+    timings = {}
+    with serve(ws) as boot_s:
+        for label, vdb, typ in modes:
+            timings[label] = round(run(
+                [sys.executable, REPO / "drivers" / "02_experiment01.py",
+                 "--vllm_port", str(PORT), "--model_name", SERVE_MODEL,
+                 "--filepath_output",
+                 results / f"eval_gemma3_{label}_no_perm_benchmark",
+                 "--vector_db", vdb, "--type", typ,
+                 "--qa_path", ws / "benchmark.csv",
+                 "--storage-path", ws / "vd" / "storage",
+                 "--retriever", RETRIEVER,
+                 "--text-encoder-config", TEXT_ENCODER,
+                 "--base-url", f"http://127.0.0.1:{PORT}/v1",
+                 "--seed", "0"]), 1)
+    pkls = sorted(results.glob("*.pkl"))
+    record(rec, "exp01", wall_s=round(time.time() - t0, 1),
+           serve_boot_s=round(boot_s, 1), per_mode_s=timings,
+           artifacts=[p.name for p in pkls])
+
+
+def stage_exp02(ws: Path, rec: Path):
+    t0 = time.time()
+    with serve(ws) as boot_s:
+        dt = run([sys.executable, REPO / "drivers" / "05_experiment02.py",
+                  "--qa_path", ws / "benchmark.csv",
+                  "--pdf_dir", ws / "papers",
+                  "--results_dir", ws / "results" / "evals",
+                  "--cache_dir", ws / "cache",
+                  "--models", SERVE_MODEL,
+                  "--retrievers", RETRIEVER,
+                  "--iterations", "1", "--top_k", "2", "--context",
+                  "--base-url", f"http://127.0.0.1:{PORT}/v1",
+                  "--seed", "0"])
+    csvs = sorted((ws / "results" / "evals").glob("eval_*.csv"))
+    cache = sorted((ws / "cache").glob("*_pdf_emb.pkl"))
+    record(rec, "exp02", wall_s=round(time.time() - t0, 1),
+           serve_boot_s=round(boot_s, 1), driver05_s=round(dt, 1),
+           artifacts=[p.name for p in csvs],
+           embed_cache=[p.name for p in cache])
+
+
+def stage_aggregate(ws: Path, rec: Path):
+    import pandas as pd
+
+    t0 = time.time()
+    run([sys.executable, REPO / "drivers" / "04_experiment01_eval.py",
+         "--eval-dir", ws / "results" / "eval",
+         "--benchmark-path", ws / "benchmark.csv",
+         "--summary-path", ws / "results" / "eval_results.xlsx",
+         "--majority-path", ws / "results" / "eval_maj_results.xlsx",
+         "--full-path", ws / "results" / "eval_full_results.xlsx"])
+    run([sys.executable, REPO / "drivers" / "06_experiment02_eval.py",
+         "--results_dir", ws / "results" / "evals",
+         "--output", ws / "results" / "summary.xlsx",
+         "--models", SERVE_MODEL, "--retrievers", RETRIEVER])
+    # the CI summary layer over the exp-02 artifacts (functions.py:2305)
+    from multimodal_colpali_tpu.evalstats.summary import run_ci_summary
+
+    per_iter, summary, merged = run_ci_summary(
+        str(ws / "results" / "evals"), ["Model", "Model_ret"], top_k=2)
+    summary.to_csv(ws / "results" / "ci_summary.csv")
+    s04 = pd.read_csv(ws / "results" / "eval_results.csv")
+    s06 = pd.read_csv(ws / "results" / "summary.csv")
+    record(rec, "aggregate", wall_s=round(time.time() - t0, 1),
+           exp01_summary_cols=list(s04.columns),
+           exp02_summary_cols=list(s06.columns),
+           ci_rows=len(summary),
+           exp01_accuracy=(
+               float(s04["Overall"].iloc[0])
+               if "Overall" in s04.columns else None))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", required=True,
+                    choices=["prep", "warm", "ingest", "exp01", "exp02",
+                             "aggregate"])
+    ap.add_argument("--ws", default="/tmp/mmcp_workflow")
+    ap.add_argument("--record",
+                    default=str(REPO / "records" / "workflow_e2e_r4.json"))
+    ap.add_argument("--smoke", action="store_true",
+                    help="CPU smoke mode: tiny models, same composition.")
+    ap.add_argument("--port", type=int, default=None)
+    args = ap.parse_args()
+    if args.smoke:
+        _apply_smoke()
+    if args.port:
+        global PORT
+        PORT = args.port
+    ws = Path(args.ws)
+    ws.mkdir(parents=True, exist_ok=True)
+    rec = Path(args.record)
+    {"prep": stage_prep, "warm": stage_warm, "ingest": stage_ingest,
+     "exp01": stage_exp01, "exp02": stage_exp02,
+     "aggregate": stage_aggregate}[args.stage](ws, rec)
+
+
+if __name__ == "__main__":
+    main()
