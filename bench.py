@@ -486,6 +486,27 @@ def bench_decode_27b(backend: str, timeout_s: float = 2400.0) -> dict:
     return {}
 
 
+def workflow_record() -> dict:
+    """Fold the committed composed-workflow record (VERDICT r3 #1:
+    scripts/tpu_workflow_e2e.py, ingest -> index -> exp01/exp02 against
+    the first-party server -> aggregate, run staged on the real chip)
+    into the bench line so the per-stage wall-clocks are
+    driver-verifiable. Reads the record; never re-runs the workflow."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "records", "workflow_e2e_r4.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        rec = json.load(f)
+    out = {}
+    for stage, fields in rec.items():
+        if isinstance(fields, dict) and "wall_s" in fields:
+            out[f"workflow_{stage}_wall_s"] = fields["wall_s"]
+    if "aggregate" in rec and rec["aggregate"].get("exp01_accuracy") is not None:
+        out["workflow_exp01_accuracy"] = rec["aggregate"]["exp01_accuracy"]
+    return out
+
+
 def main() -> None:
     # persistent compile cache: the decode/embed stages recompile-free
     # across driver runs (works through the remote-TPU tunnel)
@@ -529,6 +550,11 @@ def main() -> None:
             result.update(bench_decode_27b(backend))
         except Exception as e:  # noqa: BLE001 - diagnostics must not kill the line
             log(f"[bench] 27b decode stage skipped: {type(e).__name__}: {e}")
+
+        try:
+            result.update(workflow_record())
+        except Exception as e:  # noqa: BLE001 - diagnostics must not kill the line
+            log(f"[bench] workflow record skipped: {type(e).__name__}: {e}")
     except BaseException as e:  # noqa: BLE001 - the JSON line must survive anything
         log(f"[bench] FAILED: {type(e).__name__}: {e}")
     emit(result)
