@@ -14,12 +14,15 @@ Pipeline per page:
 2. text lines from the row-ink projection;
 3. glyphs from connected components (scipy.ndimage.label), merged when
    their x-spans overlap within a line (i/j dots, '=', ':', '"');
-4. every glyph crop normalized to a 16x16 box (aspect preserved) plus
-   three layout features the shape alone cannot carry - relative height,
-   vertical offset in the line, aspect ratio - which disambiguate
-   case pairs like c/C o/O s/S x/X;
-5. one batched conv forward -> characters; spaces from the gap
-   statistics (inter-word gaps are ~5x inter-letter gaps).
+4. every glyph crop normalized to a 20x20 box (aspect preserved, cut
+   from the grayscale intensity) plus six layout features the shape
+   alone cannot carry - relative height, vertical offset in the line,
+   aspect ratio, x-height ratio, serif/flag width profiles - which
+   disambiguate case pairs like c/C o/O s/S x/X and the 1/l/I family;
+5. one batched conv forward -> characters, with classifier-arbitrated
+   segmentation repairs (splits of touching glyphs, joins of fragments)
+   and a per-line case-pair second pass; spaces from the gap statistics
+   (inter-word gaps are ~5x inter-letter gaps).
 
 ``AutoOcr`` composes the two engines: the template matcher's mean-IoU
 score says whether the page is the native dialect (IoU ~0.9 on its own
@@ -43,8 +46,23 @@ import numpy as np
 # joins them, so no caller changes.
 LIGATURES = ("ff", "fi", "fl", "ffi", "ffl")
 CHARSET = [chr(c) for c in range(33, 127)] + list(LIGATURES)  # space is geometric
-PATCH = 16
-N_FEATS = 3
+# One extra JUNK logit ("<bad>"): trained on merged non-ligature clusters
+# ('ru' touching, reading 'm' otherwise) and glyph fragments (the stem of
+# a broken 'n', reading 'l' otherwise). Decode never emits it; its mass
+# collapses the REAL-class confidence, which is what lets
+# ``_arbitrate_boxes`` pick the right segmentation when the wrong reading
+# would otherwise be confidently in-distribution.
+BAD_IDX = len(CHARSET)
+PATCH = 20   # 20x20 crops: 16x16 lost the serif/flag detail separating 1/l/I
+N_FEATS = 6
+
+# Case pairs whose glyphs are the same shape at different scale - the
+# classifier cannot separate them from the crop alone; a second pass
+# re-decides them against the line's x-height (see _resolve_case_pairs).
+CASE_PAIRS = {c: c.swapcase() for c in "zZoOsSxXcCwWvVuU"}
+# Lowercase letters whose height IS the x-height and whose shapes are not
+# case-ambiguous: the anchors the second pass calibrates scale from.
+X_ANCHORS = set("aemnr")
 
 _WEIGHTS_PATH = os.path.join(os.path.dirname(__file__),
                              "ocr_conv_weights.npz")
@@ -62,17 +80,17 @@ def conv_ocr_init(seed: int = 0) -> Dict[str, np.ndarray]:
                 ).astype(np.float32)
 
     return {
-        "c1": he(3, 3, 1, 16), "b1": np.zeros(16, np.float32),
-        "c2": he(3, 3, 16, 32), "b2": np.zeros(32, np.float32),
-        "w1": he(4 * 4 * 32 + N_FEATS, 128),
-        "bw1": np.zeros(128, np.float32),
-        "w2": he(128, len(CHARSET)), "bw2": np.zeros(len(CHARSET),
-                                                     np.float32),
+        "c1": he(3, 3, 1, 32), "b1": np.zeros(32, np.float32),
+        "c2": he(3, 3, 32, 64), "b2": np.zeros(64, np.float32),
+        "w1": he((PATCH // 4) ** 2 * 64 + N_FEATS, 256),
+        "bw1": np.zeros(256, np.float32),
+        "w2": he(256, len(CHARSET) + 1),              # +1: the junk logit
+        "bw2": np.zeros(len(CHARSET) + 1, np.float32),
     }
 
 
 def conv_ocr_logits(params, patches, feats):
-    """[N, 16, 16] crops + [N, 3] layout features -> [N, n_classes]."""
+    """[N, 20, 20] crops + [N, 6] layout features -> [N, n_classes+1]\n    (the last logit is the junk class, ``BAD_IDX``)."""
     import jax
     import jax.numpy as jnp
 
@@ -91,7 +109,7 @@ def conv_ocr_logits(params, patches, feats):
                               (1, 2, 2, 1), "VALID")
     x = x.reshape(x.shape[0], -1)
     # the layout features are the ONLY signal separating case pairs; scale
-    # them up so the 512-dim conv activations don't drown their gradient
+    # them up so the conv activations don't drown their gradient
     x = jnp.concatenate([x, feats * 8.0], axis=1)
     x = jax.nn.relu(x @ params["w1"] + params["bw1"])
     return x @ params["w2"] + params["bw2"]
@@ -99,17 +117,159 @@ def conv_ocr_logits(params, patches, feats):
 
 # -- segmentation (shared by inference and training-data generation) ---------
 
-def binarize(image, ink_threshold: int = 128) -> np.ndarray:
+def estimate_skew(ink: np.ndarray, max_angle: float = 3.0,
+                  coarse: float = 0.25, fine: float = 0.05) -> float:
+    """Page skew angle in degrees from the row-projection profile.
+
+    The reference's EasyOCR (functions.py:78-80) reads skewed scans; the
+    row-ink segmentation here assumes horizontal lines, so skew must be
+    estimated and removed first. Classic projection-profile method: shear
+    the ink coordinates by candidate angles and pick the angle whose row
+    histogram has maximal energy (text rows concentrate ink into few rows
+    exactly when the shear matches the skew). Coarse-to-fine sweep over
+    +-``max_angle`` degrees; O(n_ink) per candidate, ink subsampled to
+    200k pixels.
+
+    Returns the angle to pass to ``deskew`` (positive = text baselines
+    rise left-to-right in image coordinates, i.e. the page was rotated
+    counterclockwise on the scanner).
+    """
+    ys, xs = np.nonzero(ink)
+    if ys.size < 100:
+        return 0.0
+    if ys.size > 200_000:
+        step = ys.size // 200_000 + 1
+        ys, xs = ys[::step], xs[::step]
+    ysf = ys.astype(np.float64)
+    xsf = xs.astype(np.float64)
+
+    def energy(angle_deg: float) -> float:
+        yy = np.round(ysf + xsf * np.tan(np.radians(angle_deg))).astype(np.int64)
+        yy -= yy.min()
+        counts = np.bincount(yy).astype(np.float64)
+        return float((counts * counts).sum())
+
+    angles = np.arange(-max_angle, max_angle + 1e-9, coarse)
+    best = max(angles, key=energy)
+    fine_angles = np.arange(best - coarse, best + coarse + 1e-9, fine)
+    best = float(max(fine_angles, key=energy))
+    # never report a skew the flat page would not beat: tiny estimates on
+    # genuinely straight pages are noise
+    return best if energy(best) > 1.02 * energy(0.0) else 0.0
+
+
+def deskew(gray: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Rotate a grayscale page by ``-angle_deg`` (undoing ``estimate_skew``'s
+    angle), white background fill, bilinear."""
+    from scipy import ndimage
+
+    return ndimage.rotate(gray.astype(np.float32), -angle_deg,
+                          reshape=False, order=1, mode="constant",
+                          cval=255.0).clip(0, 255)
+
+
+def upscale_if_small(gray: np.ndarray, min_h: float = 20.0,
+                     ink_threshold: Optional[int] = None):
+    """-> (gray, scale). Pages whose median text-line height is below
+    ``min_h`` px are pixel-doubled (up to 4x) before segmentation.
+
+    Scale normalization is the second half of the EasyOCR robustness
+    role (arbitrary-DPI scans, reference functions.py:78-80): small
+    print keeps its 1-px antialiased marks (cmr10's i-dots die as
+    isolated pixels in the salt filter at native scale) and glyph crops
+    land in the scale band the classifier was trained on. Training data
+    generation applies the SAME rule (scripts/train_ocr.harvest), so the
+    distributions match. Nearest (pixel replication) keeps binarization
+    decisions identical to the source pixels."""
+    scale = 1
+    for _ in range(2):
+        spans = _line_spans(binarize(gray, ink_threshold))
+        hs = [e - s + 1 for s, e in spans]
+        if not hs or float(np.median(hs)) >= min_h:
+            break
+        gray = np.repeat(np.repeat(np.asarray(gray), 2, axis=0), 2, axis=1)
+        scale *= 2
+    return gray, scale
+
+
+def _to_gray(image) -> np.ndarray:
     arr = np.asarray(image)
     if arr.ndim == 3:
         arr = arr.mean(axis=-1)
-    ink = arr < ink_threshold
-    n4 = np.zeros_like(ink)
-    n4[1:, :] |= ink[:-1, :]
-    n4[:-1, :] |= ink[1:, :]
-    n4[:, 1:] |= ink[:, :-1]
-    n4[:, :-1] |= ink[:, 1:]
-    return ink & n4
+    return arr
+
+
+def otsu_threshold(gray: np.ndarray) -> float:
+    """Otsu's between-class-variance threshold, clamped to [64, 224].
+
+    A fixed 128 threshold erases light-stroke print: antialiased glyph
+    strokes (thin serif fonts, scans resampled to the working DPI) land
+    at gray 140-210 and vanish, fragmenting glyphs - the failure mode
+    behind cmr10's dotless 'i' -> 'l' confusions and the garbled
+    downsampled-scan path. Otsu splits the page's own ink/background
+    modes instead (the adaptive piece of the EasyOCR robustness role,
+    reference functions.py:78-80)."""
+    hist = np.bincount(np.clip(gray.astype(np.int64).ravel(), 0, 255),
+                       minlength=256).astype(np.float64)
+    total = hist.sum()
+    if total == 0:
+        return 128.0
+    w = np.cumsum(hist)
+    m = np.cumsum(hist * np.arange(256))
+    valid = (w > 0) & (w < total)
+    if not valid.any():
+        return 128.0   # constant page (blank): nothing to split
+    between = np.zeros(256)
+    mg = m[-1] / total
+    between[valid] = ((mg * w[valid] - m[valid]) ** 2
+                      / (w[valid] * (total - w[valid])))
+    t = float(between.argmax())
+    # never let a dark page invert the ink sense
+    if w[int(t)] / total > 0.5:
+        return 128.0
+    return min(max(t, 64.0), 224.0)
+
+
+def binarize(image, ink_threshold: Optional[int] = None) -> np.ndarray:
+    """Page gray -> ink mask. ``ink_threshold=None`` (the default) picks
+    the threshold per page via Otsu; isolated salt pixels (no ink in the
+    8-neighborhood) are removed. The old 4-neighbor erosion also thinned
+    diagonal strokes and deleted 2-px i-dots; 8-neighbor support keeps
+    them while still killing scanner salt."""
+    arr = np.asarray(image)
+    if arr.ndim == 3:
+        arr = arr.mean(axis=-1)
+    thr = otsu_threshold(arr) if ink_threshold is None else ink_threshold
+    ink = arr < thr
+    n8 = np.zeros_like(ink)
+    n8[1:, :] |= ink[:-1, :]
+    n8[:-1, :] |= ink[1:, :]
+    n8[:, 1:] |= ink[:, :-1]
+    n8[:, :-1] |= ink[:, 1:]
+    n8[1:, 1:] |= ink[:-1, :-1]
+    n8[1:, :-1] |= ink[:-1, 1:]
+    n8[:-1, 1:] |= ink[1:, :-1]
+    n8[:-1, :-1] |= ink[1:, 1:]
+    return ink & n8
+
+
+def weak_ink(image, ink_threshold: Optional[int] = None) -> np.ndarray:
+    """Permissive companion mask to ``binarize`` for CONNECTIVITY only
+    (hysteresis thresholding, Canny-style): pixels darker than
+    ``thr + 0.4 * (255 - thr)``.
+
+    Serif hairlines at small sizes render their stem/arch joins
+    antialiased at gray ~thr+25..thr+45 - above Otsu's ink/background
+    split - so the strong mask fragments an 'h' into a stem (reads 'l'
+    or 'n') plus an arch, the dominant residual error family on thin-
+    stroke held-out fonts. ``segment_glyphs`` uses weak pixels as glue
+    between strong components; weak-only specks never become glyphs.
+    Inter-letter gaps render near-white (above even the weak threshold),
+    so letters do not merge."""
+    arr = _to_gray(image)
+    thr = (otsu_threshold(arr) if ink_threshold is None
+           else float(ink_threshold))
+    return arr < (thr + 0.4 * (255.0 - thr))
 
 
 def _line_spans(ink: np.ndarray, min_row_ink: int = 3) -> List[Tuple[int, int]]:
@@ -136,30 +296,133 @@ def _line_spans(ink: np.ndarray, min_row_ink: int = 3) -> List[Tuple[int, int]]:
     return merged
 
 
-def segment_glyphs(ink: np.ndarray):
+def _valley_split(ink: np.ndarray, box,
+                  ref_h: Optional[float] = None
+                  ) -> List[Tuple[int, int, int, int]]:
+    """Split an over-wide glyph box at near-empty column valleys.
+
+    Adjacent glyphs can touch at the STRONG ink level - serif capitals
+    kern until their serifs meet ('WVI' segmenting as one component,
+    read back as one garbage glyph), 'r'+'t' joining at the arm. Such
+    merges are anomalously wide (w > ~1.18 of the line's glyph height -
+    ``ref_h``, the caller's per-line median, so a descender-bearing merge
+    like 'rp' cannot hide behind its own taller box) and their junction
+    columns carry almost no ink (the 1-2 px serif touch). Cut at
+    interior column runs whose ink count is at or below the touch
+    thickness, keep pieces at least ~0.18 h wide, and re-tighten each
+    piece's y-extent.
+
+    PROPOSES pieces only: a thin-arched 'm' also has near-empty interior
+    columns (its pieces read '111'), and no pixel statistic separates an
+    arch junction from a serif touch. ``ConvOcr._arbitrate_boxes``
+    accepts a split only when the classifier is collectively more
+    confident on the pieces than on the whole box."""
+    x0, y0, x1, y1 = box
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    if ref_h is None:
+        ref_h = h
+    if w <= 1.18 * min(ref_h, h):
+        return [tuple(box)]
+    col = ink[y0:y1 + 1, x0:x1 + 1].sum(axis=0)
+    thr = max(1, int(round(h / 18.0)))
+    margin = max(2, int(round(0.18 * h)))
+    cuts, i = [], margin
+    while i < w - margin:
+        if col[i] <= thr:
+            j = i
+            while j < w - margin and col[j] <= thr:
+                j += 1
+            cuts.append((i + j - 1) // 2)
+            i = j + margin
+        else:
+            i += 1
+    if not cuts:
+        return [tuple(box)]
+    pieces, prev = [], 0
+    for c in cuts + [w]:
+        seg = col[prev:c]
+        nz = np.flatnonzero(seg > thr)
+        if nz.size:
+            pieces.append((x0 + prev + int(nz[0]), x0 + prev + int(nz[-1])))
+        prev = c
+    if len(pieces) < 2:
+        return [tuple(box)]
+    out = []
+    for a, b in pieces:
+        ys = np.flatnonzero(ink[y0:y1 + 1, a:b + 1].sum(axis=1) > 0)
+        out.append((a, y0 + int(ys[0]), b, y0 + int(ys[-1])))
+    return out
+
+
+def segment_glyphs(ink: np.ndarray, weak: Optional[np.ndarray] = None,
+                   return_candidates: bool = False):
     """-> [(line_y0, line_y1, [glyph boxes (x0, y0, x1, y1)])] per line.
 
     Components whose x-spans overlap within a line merge into one glyph
-    (dots over i/j, the bars of '=', quotes).
+    (dots over i/j, the bars of '=', quotes). When ``weak`` is given
+    (see ``weak_ink``), strong components connected through weak pixels
+    are JOIN CANDIDATES - hysteresis segmentation for glyphs whose
+    hairline joins fall below the ink threshold (a serif 'h' fragmenting
+    into stem + arch). A candidate group joins only when the union stays
+    glyph-plausible: clearly taller than wide (fragments of one glyph
+    stack around its waist) or absorbing a tiny broken-off piece.
+    Unconditional weak connectivity would also glue adjacent LETTERS
+    whose antialiased halos touch ('rs' reading as 'x') - measured CER
+    on held-out fonts is worse than no hysteresis at all; the gate keeps
+    the repair without the gluing.
+
+    ``return_candidates=True`` additionally returns the weak-connected
+    groups the gate REJECTED (side-by-side fragments of an 'n' and
+    touching letter pairs look identical to geometry) as
+    ``[[member boxes...], ...]`` for ``ConvOcr._arbitrate_boxes`` to
+    decide with the classifier.
     """
     from scipy import ndimage
 
     labels, n = ndimage.label(ink, structure=np.ones((3, 3), int))
     if n == 0:
-        return []
+        return ([], []) if return_candidates else []
     objs = ndimage.find_objects(labels)
+    raw = [[xs.start, ys.start, xs.stop - 1, ys.stop - 1]
+           for ys, xs in (sl for sl in objs if sl is not None)]
+    cand_groups: List[List[Tuple[int, int, int, int]]] = []
+    if weak is not None and raw:
+        areas = ndimage.sum(ink, labels, index=np.arange(1, n + 1))
+        lab_w, nw = ndimage.label(weak | ink, structure=np.ones((3, 3), int))
+        # each strong component lies inside exactly one weak component
+        wid = ndimage.maximum(lab_w, labels, index=np.arange(1, n + 1))
+        groups: dict = {}
+        for ci, w in enumerate(wid):
+            groups.setdefault(int(w), []).append(ci)
+        used, joined = set(), []
+        for comps in groups.values():
+            if len(comps) < 2:
+                continue
+            bs = [raw[c] for c in comps]
+            ux0 = min(b[0] for b in bs)
+            uy0 = min(b[1] for b in bs)
+            ux1 = max(b[2] for b in bs)
+            uy1 = max(b[3] for b in bs)
+            uw, uh = ux1 - ux0 + 1, uy1 - uy0 + 1
+            a = sorted(float(areas[c]) for c in comps)
+            if uw <= 0.85 * uh or a[-2] <= 0.25 * a[-1]:
+                used.update(comps)
+                joined.append([ux0, uy0, ux1, uy1])
+            elif uw <= 2.2 * uh:
+                # geometry cannot tell side-by-side fragments of one
+                # glyph from a touching letter pair; hand the group to
+                # the classifier arbitration
+                cand_groups.append([tuple(raw[c]) for c in comps])
+        raw = [b for i, b in enumerate(raw) if i not in used] + joined
     lines = _line_spans(ink)
     out = []
     for y0, y1 in lines:
         boxes = []
-        for sl in objs:
-            if sl is None:
-                continue
-            ys, xs = sl
-            cy = (ys.start + ys.stop - 1) / 2.0
+        for bx in raw:
+            cy = (bx[1] + bx[3]) / 2.0
             if not (y0 - 1 <= cy <= y1 + 1):
                 continue
-            boxes.append([xs.start, ys.start, xs.stop - 1, ys.stop - 1])
+            boxes.append(list(bx))
         if not boxes:
             continue
         boxes.sort(key=lambda b: b[0])
@@ -176,6 +439,8 @@ def segment_glyphs(ink: np.ndarray):
                     continue
             groups.append(list(b))
         out.append((y0, y1, [tuple(g) for g in groups]))
+    if return_candidates:
+        return out, cand_groups
     return out
 
 
@@ -195,44 +460,129 @@ def _glyph_crop(ink: np.ndarray, box) -> np.ndarray:
     return patch
 
 
-def line_samples(ink: np.ndarray, boxes) -> Tuple[np.ndarray, np.ndarray]:
-    """(patches [N, 16, 16], features [N, 3]) for one line's glyph boxes.
+def line_samples(ink: np.ndarray, boxes,
+                 gray: Optional[np.ndarray] = None,
+                 stats: Optional[Tuple[float, float, float]] = None
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """(patches [N, 20, 20], features [N, 6]) for one line's glyph boxes.
+
+    When ``gray`` (the original grayscale page, same frame as ``ink``) is
+    given, crops are cut from its ink INTENSITY (1 - gray/255) instead of
+    the binary mask: at small sizes the antialiased sub-threshold pixels
+    carry the stroke detail binarization destroys ('h' arches clipped to
+    'n', thin diagonals of 'v'/'w' dropped - the dominant held-out error
+    families on light-stroke fonts). Segmentation stays binary.
 
     Features are BASELINE- and CAP-HEIGHT-relative, estimated from the
     line's own box statistics (baseline = median glyph bottom, cap
-    height = 90th-percentile glyph height) - stable under the content
-    mix of a real text line, unlike line-span-relative offsets, and the
-    only signal separating case pairs (s/S x/X o/O), ascender bars
-    (l vs |) and descenders (p q g j y):
+    height = 90th-percentile glyph height, x-height proxy = median glyph
+    height) - stable under the content mix of a real text line, unlike
+    line-span-relative offsets, and the only signal separating case
+    pairs (s/S x/X o/O z/Z), ascender bars (l vs |) and descenders
+    (p q g j y):
 
-      [height / cap_h, descent-below-baseline / cap_h, aspect w/h]
+      [height / cap_h, descent-below-baseline / cap_h, aspect w/h,
+       height / median_h]
+
+    The median-height reference covers lowercase-heavy lines where the
+    90th percentile collapses to the x-height (an all-lowercase line
+    makes 'z' read as 'Z' on the cap feature alone).
 
     Returns (patches, features, baseline, cap_h) so callers that also
     position words (ConvOcr._page_words) consume the SAME line statistics
-    the classifier features were built from.
+    the classifier features were built from. ``stats`` injects
+    (baseline, cap_h, med_h) computed from ANOTHER box list - the split
+    arbitration classifies candidate pieces under the real line's
+    statistics, not statistics polluted by the pieces themselves.
     """
     ys1 = np.asarray([b[3] for b in boxes], np.float32)
     hs = np.asarray([b[3] - b[1] + 1 for b in boxes], np.float32)
-    baseline = float(np.median(ys1))
-    cap_h = float(max(np.quantile(hs, 0.9), 1.0))
+    if stats is not None:
+        baseline, cap_h, med_h = stats
+    else:
+        baseline = float(np.median(ys1))
+        cap_h = float(max(np.quantile(hs, 0.9), 1.0))
+        med_h = float(max(np.median(hs), 1.0))
+    if gray is not None:
+        intensity = (1.0 - np.asarray(gray, np.float32) / 255.0).clip(0, 1)
     patches, feats = [], []
     for (x0, y0, x1, y1) in boxes:
-        patches.append(_glyph_crop(ink, (x0, y0, x1, y1)))
+        src = intensity if gray is not None else ink
+        patches.append(_glyph_crop(src, (x0, y0, x1, y1)))
         h = y1 - y0 + 1
+        # width-profile features from the RAW crop (full resolution -
+        # the 20x20 resample destroys them for narrow glyphs): serif/flag
+        # width at the top third and bottom fifth relative to the stem.
+        # '1' carries a flag (top) + base serif, 'l' serifs only, '|'
+        # neither, 'I' both - the family behind a third of the held-out
+        # errors, indistinguishable in the resampled crop.
+        crop = ink[y0:y1 + 1, x0:x1 + 1]
+        rowink = crop.sum(axis=1).astype(np.float32)
+        nz = rowink[rowink > 0]
+        stem = float(np.median(nz)) if nz.size else 1.0
+        top = float(rowink[: max(h // 3, 1)].max()) if h else 0.0
+        bot = float(rowink[-max(h // 5, 1):].max()) if h else 0.0
         feats.append([h / cap_h, (y1 - baseline) / cap_h,
-                      (x1 - x0 + 1) / max(h, 1)])
+                      (x1 - x0 + 1) / max(h, 1), h / med_h,
+                      min(top / max(stem, 1.0), 4.0),
+                      min(bot / max(stem, 1.0), 4.0)])
     return np.stack(patches), np.asarray(feats, np.float32), baseline, cap_h
+
+
+def _resolve_case_pairs(logits: np.ndarray, best: np.ndarray,
+                        boxes) -> np.ndarray:
+    """Second pass over ONE line: re-decide case-pair glyphs (z/Z o/O s/S
+    x/X c/C w/W v/V u/U) against the line's x-height.
+
+    The pairs are the same shape at different scale; the per-line glyph
+    statistics the crop features carry are too noisy to separate them
+    (an all-lowercase line has median == x-height == the glyph's own
+    height). Anchors: confidently-predicted {a, e, m, n, r} - lowercase,
+    x-height, shape-unambiguous. A case-pair glyph flips to the pair
+    member its height supports when the classifier's own margin between
+    the two is small."""
+    idx = {c: CHARSET.index(c) for c in CASE_PAIRS}
+    hs = np.asarray([b[3] - b[1] + 1 for b in boxes], np.float32)
+    anchors = [i for i, b in enumerate(best)
+               if CHARSET[b] in X_ANCHORS
+               and logits[i, b] - np.partition(logits[i], -2)[-2] > 2.0]
+    if len(anchors) < 2:
+        return best
+    x_h = float(np.median(hs[anchors]))
+    out = best.copy()
+    for i, b in enumerate(best):
+        ch = CHARSET[b]
+        if ch not in CASE_PAIRS:
+            continue
+        ratio = hs[i] / x_h
+        lower, upper = (ch, CASE_PAIRS[ch]) if ch.islower() else \
+                       (CASE_PAIRS[ch], ch)
+        # Decisive bands override the classifier outright: for same-shape
+        # pairs the crop carries NO case signal, so a confident-but-wrong
+        # logit margin must not veto solid height evidence (lowercase
+        # overshoot tops out ~1.08x the x-height; capitals start ~1.35x).
+        if ratio <= 1.12:
+            out[i] = idx[lower]
+        elif ratio >= 1.32:
+            out[i] = idx[upper]
+        elif logits[i, b] - logits[i, idx[CASE_PAIRS[ch]]] <= 4.0:
+            # ambiguous band: height tiebreak only when the classifier
+            # itself is unsure (small caps / superscripts live here)
+            out[i] = idx[upper if ratio > 1.22 else lower]
+    return out
 
 
 class ConvOcr:
     """Font-general glyph recognizer. Callable as ``ocr_fn``."""
 
     def __init__(self, weights: Optional[Any] = None,
-                 ink_threshold: int = 128, dpi: float = 144.0,
-                 space_gap: float = 0.33):
+                 ink_threshold: Optional[int] = None, dpi: float = 144.0,
+                 space_gap: float = 0.33, deskew: bool = True):
         """``space_gap``: inter-glyph gap (fraction of line height) above
         which a word break is emitted (words sit ~0.25-0.35 em apart,
-        letters ~0.02-0.08 em)."""
+        letters ~0.02-0.08 em). ``deskew``: estimate and remove page skew
+        before segmentation (on by default; the projection-profile sweep
+        costs ~20 ms/page and is a no-op within 0.15 degrees)."""
         if weights is None:
             if not os.path.exists(_WEIGHTS_PATH):
                 raise FileNotFoundError(
@@ -246,6 +596,7 @@ class ConvOcr:
         self.ink_threshold = ink_threshold
         self.dpi = dpi
         self.space_gap = space_gap
+        self.deskew = deskew
         self._jit = None
 
     def _forward(self, patches: np.ndarray, feats: np.ndarray):
@@ -255,15 +606,115 @@ class ConvOcr:
             self._jit = jax.jit(conv_ocr_logits)
         return np.asarray(self._jit(self.params, patches, feats))
 
+    def _arbitrate_boxes(self, ink, gray, boxes, join_groups=(),
+                         split_margin: float = 0.10,
+                         join_margin: float = 0.02):
+        """Classifier-arbitrated segmentation repairs for one line.
+
+        SPLITS: over-wide boxes get candidate pieces from
+        ``_valley_split``; accepted when the pieces' geometric-mean
+        confidence beats the unsplit box's by ``split_margin``.
+        Touching-glyph merges ('WVI' one component, 'gx' reading 'X')
+        split - the whole classifies poorly, each piece cleanly - but a
+        thin-arched 'm' (pieces read '111' with middling confidence
+        against the whole glyph's near-1.0) stays whole.
+
+        JOINS: weak-connected groups the geometric gate rejected
+        (``segment_glyphs(..., return_candidates=True)``) - a fragmented
+        'n' whose stem and arch-leg sit SIDE BY SIDE looks exactly like a
+        touching letter pair to geometry; the union joins when its
+        confidence beats the fragments' geometric mean by ``join_margin``
+        (fragments of one glyph read as confident-but-wrong stems only
+        while the union reads near-1.0; a real letter pair reads cleanly
+        as fragments and poorly as a union).
+
+        One extra batched forward per line that has candidates; lines
+        without candidates pay nothing."""
+        boxes = [tuple(b) for b in boxes]
+        ref_h = float(np.median([b[3] - b[1] + 1 for b in boxes]))
+        splits = []
+        for i, b in enumerate(boxes):
+            ps = _valley_split(ink, b, ref_h)
+            if len(ps) >= 2:
+                splits.append((i, ps))
+        joins = []
+        for grp in join_groups:
+            idx = [boxes.index(m) for m in grp if m in boxes]
+            if len(idx) != len(grp):
+                continue   # members were regrouped (i-dot merge) - skip
+            ux0 = min(b[0] for b in grp)
+            uy0 = min(b[1] for b in grp)
+            ux1 = max(b[2] for b in grp)
+            uy1 = max(b[3] for b in grp)
+            joins.append((sorted(idx), (ux0, uy0, ux1, uy1)))
+        if not splits and not joins:
+            return boxes
+        ys1 = np.asarray([b[3] for b in boxes], np.float32)
+        hs = np.asarray([b[3] - b[1] + 1 for b in boxes], np.float32)
+        stats = (float(np.median(ys1)),
+                 float(max(np.quantile(hs, 0.9), 1.0)),
+                 float(max(np.median(hs), 1.0)))
+        ext = (list(boxes) + [p for _, ps in splits for p in ps]
+               + [u for _, u in joins])
+        patches, feats, _, _ = line_samples(ink, ext, gray, stats=stats)
+        logits = np.asarray(self._forward(patches, feats))
+        ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+        # REAL-class confidence: junk probability mass (merged clusters,
+        # fragments) counts against a box without being pickable
+        conf = (ex / ex.sum(axis=1, keepdims=True))[:, :BAD_IDX].max(axis=1)
+
+        def gmean(c):
+            return float(np.exp(np.log(np.maximum(c, 1e-9)).mean()))
+
+        repl, drop = {}, set()
+        k = len(boxes)
+        for i, ps in splits:
+            if gmean(conf[k:k + len(ps)]) > conf[i] + split_margin:
+                repl[i] = list(ps)
+            k += len(ps)
+        for idx, union in joins:
+            if any(i in repl or i in drop for i in idx):
+                k += 1
+                continue
+            if conf[k] > gmean(conf[np.asarray(idx)]) + join_margin:
+                repl[idx[0]] = [union]
+                drop.update(idx[1:])
+            k += 1
+        if not repl:
+            return boxes
+        out = []
+        for i, b in enumerate(boxes):
+            if i in drop:
+                continue
+            out.extend(repl.get(i, [b]))
+        out.sort(key=lambda b: b[0])
+        return out
+
     def _page_words(self, image):
         """-> ([per line: (baseline_y, cap_h, [(x0_px, word), ...])],
         mean classifier confidence). The shared engine behind text AND
-        positioned-run extraction."""
-        ink = binarize(image, self.ink_threshold)
-        lines = segment_glyphs(ink)
+        positioned-run extraction.
+
+        Skew is estimated and removed before segmentation (the EasyOCR
+        robustness role, reference functions.py:78-80): a page scanned at
+        1-2 degrees rotation merges adjacent text rows in the raw row-ink
+        projection; deskewing first restores clean line spans. Word
+        coordinates are reported in the DESKEWED frame - the frame the
+        text actually lives in."""
+        gray = _to_gray(image)
+        ink = binarize(gray, self.ink_threshold)
+        angle = estimate_skew(ink) if self.deskew else 0.0
+        if abs(angle) >= 0.15:
+            gray = deskew(gray, angle)
+        gray, scale = upscale_if_small(gray, ink_threshold=self.ink_threshold)
+        ink = binarize(gray, self.ink_threshold)
+        lines, jcands = segment_glyphs(ink, weak_ink(gray, self.ink_threshold),
+                                       return_candidates=True)
+        lines = [(y0, y1, self._arbitrate_boxes(ink, gray, boxes, jcands))
+                 for y0, y1, boxes in lines]
         batches, feats, stats = [], [], []
         for y0, y1, boxes in lines:
-            p, f, baseline, cap_h = line_samples(ink, boxes)
+            p, f, baseline, cap_h = line_samples(ink, boxes, gray)
             batches.append(p)
             feats.append(f)
             stats.append((baseline, cap_h))
@@ -273,7 +724,16 @@ class ConvOcr:
                                np.concatenate(feats))
         ex = np.exp(logits - logits.max(axis=1, keepdims=True))
         probs = ex / ex.sum(axis=1, keepdims=True)
-        best = probs.argmax(axis=1)
+        # decode over REAL classes only: junk is an arbitration signal,
+        # never an emission (a leaked merged box reads its best real char)
+        best = probs[:, :BAD_IDX].argmax(axis=1)
+        # per-line second pass: case pairs against the line's x-height
+        k0 = 0
+        for y0, y1, boxes in lines:
+            n = len(boxes)
+            best[k0:k0 + n] = _resolve_case_pairs(
+                logits[k0:k0 + n], best[k0:k0 + n], boxes)
+            k0 += n
         conf = probs[np.arange(len(best)), best]
         out = []
         k = 0
@@ -287,8 +747,10 @@ class ConvOcr:
                 words[-1][1].append(CHARSET[int(best[k])])
                 prev_x1 = box[2]
                 k += 1
-            out.append((baseline, cap_h,
-                        [(x0, "".join(cs)) for x0, cs in words]))
+            # coordinates map back to the ORIGINAL page frame (callers
+            # scale them to PDF points by 72/dpi)
+            out.append((baseline / scale, cap_h / scale,
+                        [(x0 / scale, "".join(cs)) for x0, cs in words]))
         return out, float(conf.mean()) if len(conf) else 0.0
 
     def recognize(self, image, return_score: bool = False):
@@ -368,12 +830,33 @@ class AutoOcr:
             return text
         return self.conv.recognize(image)
 
+    def _conv_render(self, doc, i):
+        """Page render for the CONV path at 2x the working DPI.
+
+        The conv recognizer's accuracy is resolution-bound: at 144 DPI a
+        scanned page embedded at 200 DPI is DOWNSAMPLED 0.72x (losing
+        stroke continuity no threshold recovers) and 9-pt print lands at
+        ~18 px lines where ``upscale_if_small`` can only replicate
+        pixels. Re-rendering at 288 DPI keeps the embedded image's
+        native detail and turns small print into real 36 px glyphs - the
+        arbitrary-DPI half of the EasyOCR robustness role (reference
+        functions.py:78-80). The template path stays at the working DPI
+        (its atlas geometry is DPI-locked)."""
+        return np.asarray(doc.render(i, dpi=self.dpi * 2))
+
     def __call__(self, pdf_path: str) -> List[str]:
         from multimodal_colpali_tpu.ingest.rasterize import PdfDocument
 
         doc = PdfDocument(pdf_path)
-        return [self.recognize(np.asarray(doc.render(i, dpi=self.dpi)))
-                for i in range(len(doc))]
+        out = []
+        for i in range(len(doc)):
+            text, score = self.template.recognize(
+                np.asarray(doc.render(i, dpi=self.dpi)), return_score=True)
+            if score >= self.threshold or self.conv is None:
+                out.append(text)
+            else:
+                out.append(self.conv.recognize(self._conv_render(doc, i)))
+        return out
 
     def pdf_text_and_runs(self, pdf_path: str):
         """(per-page texts, per-page positioned word runs). Text comes
@@ -382,14 +865,20 @@ class AutoOcr:
         (the template decoder has no positioned-run surface) so scanned
         tables reach ``detect_tables`` regardless of font. Without
         trained conv weights the runs are empty - table detection then
-        simply stays text-layer-only, the round-2 behavior."""
+        simply stays text-layer-only, the round-2 behavior. The conv
+        stages read a 2x-DPI render (see ``_conv_render``)."""
         from multimodal_colpali_tpu.ingest.rasterize import PdfDocument
 
         doc = PdfDocument(pdf_path)
         texts, runs = [], []
         for i in range(len(doc)):
             arr = np.asarray(doc.render(i, dpi=self.dpi))
-            texts.append(self.recognize(arr))
-            runs.append(self.conv.recognize_runs(arr, dpi=self.dpi)
+            text, score = self.template.recognize(arr, return_score=True)
+            hi = self._conv_render(doc, i) if self.conv is not None else None
+            if score >= self.threshold or self.conv is None:
+                texts.append(text)
+            else:
+                texts.append(self.conv.recognize(hi))
+            runs.append(self.conv.recognize_runs(hi, dpi=self.dpi * 2)
                         if self.conv is not None else [])
         return texts, runs

@@ -4,11 +4,11 @@
 Synthetic supervision: render random text lines with every usable TTF the
 environment ships (matplotlib's DejaVu / STIX / Computer Modern families +
 the system DejaVu set) at several sizes, push each render through the SAME
-segmentation the recognizer uses, and label the resulting glyph crops by
-aligning segments to the known text (lines whose segment count mismatches
-the label count are dropped - ligature/touching cases stay out of the
-training set exactly as they fail at inference). Augmentation: salt
-noise, threshold jitter, 1-px shifts.
+segmentation the recognizer uses, and label the resulting glyph crops
+POSITIONALLY against the font's own advance metrics (merged non-ligature
+clusters and glyph fragments get the junk class - the arbitration signal
+ConvOcr._arbitrate_boxes votes with). Augmentation: salt noise, stroke
+thickness jitter, box blur, 1-px shifts.
 
 Usage:
   python scripts/train_ocr.py [--steps 3000] [--holdout cmr10 STIX]
@@ -29,8 +29,9 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from multimodal_colpali_tpu.ingest.ocr_conv import (   # noqa: E402
-    CHARSET, LIGATURES, _WEIGHTS_PATH, binarize, conv_ocr_init,
-    conv_ocr_logits, line_samples, segment_glyphs)
+    BAD_IDX, CHARSET, LIGATURES, _WEIGHTS_PATH, binarize, conv_ocr_init,
+    conv_ocr_logits, line_samples, segment_glyphs, upscale_if_small,
+    weak_ink)
 
 
 def find_fonts():
@@ -68,14 +69,80 @@ def _rand_word(rng) -> str:
     return w
 
 
-def harvest(font_path: str, rng, sizes=(14, 18, 24, 34), n_lines: int = 30):
+def _pos_aligned_labels(boxes, text, font, scale=1, pad=6):
+    """POSITIONAL label alignment: each character's advance span - from
+    the font's own metrics under the same basic layout the render used -
+    is matched to the segment box with maximal x-overlap; boxes that
+    collect exactly one character (or a ligature sequence) become labeled
+    samples. Returns (kept box indices, labels).
+
+    Replaces the earlier count-based word alignment: whenever one glyph
+    SPLIT and another MERGED in the same word the counts coincided and
+    every label between the incidents shifted one position - silently
+    corrupted samples that poisoned both training and the held-out
+    accuracy (a 'v' labeled onto an ascender fragment etc.; the dominant
+    residual "confusions" were these, not classifier errors). Font
+    metrics pin each label to the pixels it actually names.
+
+    Fragments and merged non-ligature clusters are labeled ``None`` (the
+    junk class, ocr_conv.BAD_IDX): the arbitration in
+    ``ConvOcr._arbitrate_boxes`` needs the classifier to RECOGNIZE a
+    broken-'n' stem or a touching 'ru' pair as not-a-glyph - untrained,
+    those crops read as confident 'l'/'m' and the wrong segmentation
+    wins its confidence contest.
+    """
+    x_off = pad - font.getbbox(text)[0]
+    spans, chars = [], []
+    for k, ch in enumerate(text):
+        if ch == " ":
+            continue
+        spans.append(((x_off + font.getlength(text[:k])) * scale,
+                      (x_off + font.getlength(text[:k + 1])) * scale))
+        chars.append(ch)
+    assign: dict = {}
+    frag_boxes: set = set()
+    for ci, (sx0, sx1) in enumerate(spans):
+        best, bov, claimed = None, 0.0, []
+        for bi, b in enumerate(boxes):
+            ov = min(sx1, b[2] + 1.0) - max(sx0, b[0])
+            if ov > 0.35 * max(sx1 - sx0, 1.0):
+                claimed.append(bi)
+            if ov > bov:
+                best, bov = bi, ov
+        if len(claimed) >= 2:
+            # the char's ink split across boxes: every piece is a fragment
+            frag_boxes.update(claimed)
+        # a char whose ink vanished (or sits mostly outside every box)
+        # is skipped alone; if it merged into a neighbor the shared box
+        # collects 2 chars and is handled below
+        if best is not None and bov > 0.3 * max(sx1 - sx0, 1.0):
+            assign.setdefault(best, []).append(ci)
+    keep, labels = [], []
+    for bi in sorted(assign):
+        seq = "".join(chars[c] for c in assign[bi])
+        if len(seq) == 1 and bi not in frag_boxes:
+            keep.append(bi)
+            labels.append(seq)
+        elif seq in LIGATURES and bi not in frag_boxes:
+            keep.append(bi)
+            labels.append(seq)
+        else:
+            keep.append(bi)
+            labels.append(None)   # fragment or merged cluster -> junk
+    return keep, labels
+
+
+def harvest(font_path: str, rng, sizes=(12, 14, 18, 24, 34, 46),
+            n_lines: int = 30):
     """Labeled (patch, feats, class) samples from one font.
 
     Two line styles per size: glyphs spaced wide apart (covers the whole
     charset uniformly) and realistic word lines (so the baseline/cap
     statistics behind the layout features match inference). Labels align
-    to segments positionally; lines whose segment count mismatches are
-    dropped (touching glyphs stay out of distribution, as at inference).
+    positionally against the font's own advance metrics (see
+    ``_pos_aligned_labels``); merged non-ligature clusters and glyph
+    fragments train the junk class the inference-time arbitration votes
+    with.
     """
     from PIL import ImageFont
 
@@ -96,33 +163,36 @@ def harvest(font_path: str, rng, sizes=(14, 18, 24, 34), n_lines: int = 30):
                 if li % 4 == 0:
                     # merged-cluster tokens: when the font renders the
                     # f-sequence as ONE component the box gets the
-                    # ligature label; when it splits, the count
-                    # mismatches and the line drops - exactly the
-                    # distribution the recognizer sees at inference.
-                    # Only every other spaced line carries them so
-                    # non-merging fonts keep their charset coverage.
+                    # ligature label; when it splits, the word is
+                    # dropped - exactly the distribution the recognizer
+                    # sees at inference. Only every other spaced line
+                    # carries them so non-merging fonts keep coverage.
                     for lig in rng.choice(list(LIGATURES), size=2):
                         toks.insert(int(rng.integers(0, len(toks) + 1)),
                                     str(lig))
                 text = " ".join(toks)
-                labels = toks
             else:
-                text = " ".join(_rand_word(rng)
-                                for _ in range(int(rng.integers(3, 7))))
-                labels = [c for c in text if c != " "]
+                toks = [_rand_word(rng)
+                        for _ in range(int(rng.integers(3, 7)))]
+                text = " ".join(toks)
             arr = render_line(font, text)
+            # the recognizer's own scale normalization (small print is
+            # pixel-doubled before segmentation) - applied here so the
+            # training crop distribution matches inference exactly
+            arr, scl = upscale_if_small(arr)
             ink = binarize(arr)
-            lines = segment_glyphs(ink)
+            lines = segment_glyphs(ink, weak_ink(arr))
             if len(lines) != 1:
                 continue
             _, _, boxes = lines[0]
-            if len(boxes) != len(labels):
-                continue   # touching/split glyphs: out of distribution
-            patches, feats, _, _ = line_samples(ink, boxes)
-            for p, f, ch in zip(patches, feats, labels):
-                xs.append(p)
-                fs.append(f)
-                ys.append(CHARSET.index(ch))
+            if not boxes:
+                continue
+            patches, feats, _, cap_h = line_samples(ink, boxes, arr)
+            keep, labels = _pos_aligned_labels(boxes, text, font, scl)
+            for i, ch in zip(keep, labels):
+                xs.append(patches[i])
+                fs.append(feats[i])
+                ys.append(BAD_IDX if ch is None else CHARSET.index(ch))
     return xs, fs, ys
 
 
@@ -136,11 +206,24 @@ def _n4(x, op):
     return y
 
 
+def _blur3(x):
+    """3x3 box blur over a batch of [N, H, W] patches (separable sums)."""
+    y = x.copy()
+    y[:, 1:, :] += x[:, :-1, :]
+    y[:, :-1, :] += x[:, 1:, :]
+    z = y.copy()
+    z[:, :, 1:] += y[:, :, :-1]
+    z[:, :, :-1] += y[:, :, 1:]
+    return z / 9.0
+
+
 def augment(x, rng):
     """Salt noise + edge erosion jitter on a batch of patches, plus
     stroke-thickness jitter (1-px dilate/erode on a random slice of the
     batch) - fonts differ in weight more than in skeleton, so thickness
-    invariance is the cheapest unseen-font generalization lever."""
+    invariance is the cheapest unseen-font generalization lever - and
+    box blur on another slice (scan softness / low-DPI anti-aliasing,
+    the EasyOCR DPI-robustness role)."""
     x = x.copy()
     r = rng.random(len(x))
     thick, thin = r < 0.18, r > 0.85
@@ -148,6 +231,9 @@ def augment(x, rng):
         x[thick] = _n4(x[thick], np.maximum)
     if thin.any():
         x[thin] = _n4(x[thin], np.minimum)
+    soft = rng.random(len(x)) < 0.25
+    if soft.any():
+        x[soft] = _blur3(x[soft])
     noise = rng.random(x.shape) < 0.02
     x = np.clip(x + noise * rng.random(x.shape), 0, 1)
     drop = rng.random(x.shape) < 0.03
@@ -160,7 +246,7 @@ def augment(x, rng):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--steps", type=int, default=9000)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--holdout", nargs="*", default=["cmr10", "STIXGeneral."])
     ap.add_argument("--out", default=_WEIGHTS_PATH)
@@ -192,7 +278,7 @@ def main():
     print(f"[train_ocr] total {len(X)} samples")
 
     params = {k: jnp.asarray(v) for k, v in conv_ocr_init().items()}
-    opt = optax.adam(1e-3)
+    opt = optax.adam(optax.cosine_decay_schedule(1.5e-3, args.steps, 0.02))
     opt_state = opt.init(params)
 
     @jax.jit

@@ -149,6 +149,71 @@ def test_auto_ocr_routes_by_dialect(tmp_path):
     assert "Glycans bind selectins" in auto.recognize(foreign)
 
 
+def test_estimate_skew_and_deskew():
+    """Projection-profile skew estimation: known rotations recovered
+    within 0.15 degrees, residual after deskew ~0, straight pages report
+    exactly 0 (the noise floor guard)."""
+    from multimodal_colpali_tpu.ingest.ocr_conv import (_to_gray, binarize,
+                                                        deskew,
+                                                        estimate_skew)
+
+    im = _page_image([f"Skew estimation reference line {i}" for i in
+                      range(8)], _font(), size=(760, 400), y0=30)
+    assert estimate_skew(binarize(np.asarray(im))) == 0.0
+    for rot in (-2.0, -1.0, 1.5, 2.5):
+        r = im.rotate(rot, resample=Image.BILINEAR, fillcolor=(255,) * 3)
+        a = estimate_skew(binarize(np.asarray(r)))
+        assert abs(a - rot) <= 0.15, (rot, a)
+        fixed = deskew(_to_gray(np.asarray(r)), a)
+        assert abs(estimate_skew(binarize(fixed))) <= 0.1
+
+
+def test_skewed_scan_roundtrips_to_text_chunks(tmp_path):
+    """VERDICT r3 #4 'done' criterion: a 1.5-degree-skewed 200-DPI scan
+    of a non-built-in font round-trips to correct text chunks through the
+    FULL pdf_loader pipeline (check_ocr -> AutoOcr deskew -> chunker).
+    The raw row-ink projection merges adjacent lines at this skew; only
+    the deskew stage makes the page readable."""
+    im = _page_image(["Glycans mediate selectin adhesion",
+                      "Binding constants reach 12 nM",
+                      "Sialylated structures dominate the corpus"],
+                     _font("DejaVuSerif.ttf", size=26),
+                     size=(1000, 240), y0=25, dy=60)
+    rot = im.rotate(1.5, resample=Image.BILINEAR, fillcolor=(255,) * 3,
+                    expand=True)
+    # embed at 200 DPI: page points = pixels * 72 / 200 (the AutoOcr
+    # render at 144 DPI then resamples - the scale-robustness half)
+    scale = 72.0 / 200.0
+    w = PdfWriter(width=rot.width * scale, height=rot.height * scale)
+    w.add_page(image=np.asarray(rot),
+               image_rect=(0, 0, rot.width * scale, rot.height * scale))
+    p = str(tmp_path / "skewed_scan.pdf")
+    w.save(p)
+    assert check_ocr(p)
+
+    docs_multi, docs_text = pdf_loader(
+        [p], [""], ["skewed_scan.pdf"], str(tmp_path / "vd"),
+        SimpleTokenizer(1000, 999))
+    texts = [d for d in docs_text if d.metadata["type"] == "text"]
+    assert texts
+    joined = " ".join(d.page_content for d in texts)
+    assert "Glycans mediate selectin adhesion" in joined
+    assert "Binding constants reach 12 nM" in joined
+    assert "Sialylated structures dominate the corpus" in joined
+
+
+def test_conv_ocr_scale_sweep():
+    """The same sentence reads back across a 3x font-size sweep (the
+    arbitrary-DPI robustness EasyOCR provides, functions.py:78-80)."""
+    ocr = ConvOcr()
+    for size in (14, 20, 28, 40):
+        im = _page_image(["Selectins bind sialylated glycans"],
+                         _font(size=size),
+                         size=(40 + 22 * size, 3 * size), y0=size // 2)
+        text = ocr.recognize(np.asarray(im))
+        assert text == "Selectins bind sialylated glycans", (size, text)
+
+
 def test_conv_ocr_runs_are_positioned(tmp_path):
     """recognize_runs returns (x, y, size, word) in page points, the
     extract_runs shape detect_tables consumes."""
