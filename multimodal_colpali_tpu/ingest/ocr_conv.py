@@ -297,7 +297,8 @@ def _line_spans(ink: np.ndarray, min_row_ink: int = 3) -> List[Tuple[int, int]]:
 
 
 def _valley_split(ink: np.ndarray, box,
-                  ref_h: Optional[float] = None
+                  ref_h: Optional[float] = None,
+                  force: bool = False, _depth: int = 0
                   ) -> List[Tuple[int, int, int, int]]:
     """Split an over-wide glyph box at near-empty column valleys.
 
@@ -316,7 +317,17 @@ def _valley_split(ink: np.ndarray, box,
     columns (its pieces read '111'), and no pixel statistic separates an
     arch junction from a serif touch. ``ConvOcr._arbitrate_boxes``
     accepts a split only when the classifier is collectively more
-    confident on the pieces than on the whole box."""
+    confident on the pieces than on the whole box.
+
+    ``force=True`` adds a FALLBACK cut when no near-empty valley exists:
+    downsampled-scan merges ('ru' reading 'm', 'rp', 're') join through
+    antialiasing halos thicker than the touch threshold, so the valley
+    pass finds nothing - yet the classifier flags the merged box as junk
+    with certainty. The forced proposal cuts at the global interior
+    ink-minimum column (recursing while a piece stays over-wide). Safe
+    to propose unconditionally: a genuine wide glyph ('m', 'w') reads at
+    ~1.0 real-class confidence, which the pieces' geometric mean can
+    never beat by ``split_margin``, so the arbitration rejects the cut."""
     x0, y0, x1, y1 = box
     w, h = x1 - x0 + 1, y1 - y0 + 1
     if ref_h is None:
@@ -352,6 +363,75 @@ def _valley_split(ink: np.ndarray, box,
         ys = np.flatnonzero(ink[y0:y1 + 1, a:b + 1].sum(axis=1) > 0)
         out.append((a, y0 + int(ys[0]), b, y0 + int(ys[-1])))
     return out
+
+
+def _forced_split_candidates(ink: np.ndarray, box,
+                             ref_h: Optional[float] = None,
+                             n_cands: int = 3, _depth: int = 0
+                             ) -> List[List[Tuple[int, int, int, int]]]:
+    """Candidate cuts for an over-wide box that has NO near-empty valley.
+
+    Downsampled-scan merges ('ru' reading 'm', 'rp', 're') join through
+    antialiasing halos thicker than ``_valley_split``'s touch threshold,
+    so the valley pass proposes nothing - yet the junk class flags the
+    merged box with certainty. No pixel statistic locates the junction
+    reliably (the interior of a serif 'r' can carry LESS column ink than
+    the r-u junction), so this returns the ``n_cands`` lowest well-
+    separated interior ink minima as ALTERNATIVE two-piece splits and
+    lets ``ConvOcr._arbitrate_boxes`` score every candidate with the
+    classifier and keep the best - or none. Safe to propose on any wide
+    box: a genuine 'm'/'w' reads at ~1.0 real-class confidence, which no
+    piece pair can beat by the (stiffened) forced-split margin. A piece
+    that is itself still over-wide recurses (triple merges like 'rum')."""
+    x0, y0, x1, y1 = box
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    if ref_h is None:
+        ref_h = h
+    if w <= 1.18 * min(ref_h, h):
+        return []
+    col = ink[y0:y1 + 1, x0:x1 + 1].sum(axis=0).astype(np.int64)
+    margin = max(2, int(round(0.18 * h)))
+    if w - 2 * margin <= 0:
+        return []
+    interior = col[margin:w - margin]
+    order = np.argsort(interior, kind="stable")
+    cuts: List[int] = []
+    for idx in order:
+        c = margin + int(idx)
+        if all(abs(c - p) >= margin for p in cuts):
+            cuts.append(c)
+        if len(cuts) >= n_cands:
+            break
+    out: List[List[Tuple[int, int, int, int]]] = []
+    for c in cuts:
+        pieces = []
+        for a, b in ((x0, x0 + c - 1), (x0 + c, x1)):
+            ys = np.flatnonzero(ink[y0:y1 + 1, a:b + 1].sum(axis=1) > 0)
+            xs = np.flatnonzero(ink[y0:y1 + 1, a:b + 1].sum(axis=0) > 0)
+            if not ys.size or not xs.size:
+                pieces = []
+                break
+            pieces.append((a + int(xs[0]), y0 + int(ys[0]),
+                           a + int(xs[-1]), y0 + int(ys[-1])))
+        if len(pieces) != 2:
+            continue
+        variants: List[List[Tuple[int, int, int, int]]] = [[]]
+        for piece in pieces:
+            pw = piece[2] - piece[0] + 1
+            ph = piece[3] - piece[1] + 1
+            # a still-over-wide piece MAY be a further merge ('rum') or a
+            # genuine wide glyph after a correct cut ('mi' -> 'm' + 'i',
+            # the 'm' is over-wide on its own): offer both the unsplit
+            # piece and its sub-splits as alternatives and let the
+            # classifier scoring pick
+            opts = [[piece]]
+            if pw > 1.18 * min(ref_h, ph) and _depth < 2:
+                opts += _forced_split_candidates(ink, piece, ref_h,
+                                                 n_cands=1,
+                                                 _depth=_depth + 1)
+            variants = [v + list(o) for v in variants for o in opts]
+        out.extend(v for v in variants if len(v) >= 2)
+    return out[:12]
 
 
 def segment_glyphs(ink: np.ndarray, weak: Optional[np.ndarray] = None,
@@ -608,7 +688,8 @@ class ConvOcr:
 
     def _arbitrate_boxes(self, ink, gray, boxes, join_groups=(),
                          split_margin: float = 0.10,
-                         join_margin: float = 0.02):
+                         join_margin: float = 0.02,
+                         forced_margin: float = 0.25):
         """Classifier-arbitrated segmentation repairs for one line.
 
         SPLITS: over-wide boxes get candidate pieces from
@@ -632,11 +713,20 @@ class ConvOcr:
         without candidates pay nothing."""
         boxes = [tuple(b) for b in boxes]
         ref_h = float(np.median([b[3] - b[1] + 1 for b in boxes]))
-        splits = []
+        splits = []   # (box index, pieces, margin to beat, forced?)
         for i, b in enumerate(boxes):
             ps = _valley_split(ink, b, ref_h)
             if len(ps) >= 2:
-                splits.append((i, ps))
+                splits.append((i, ps, split_margin, False))
+            else:
+                # no valley: propose classifier-scored forced cuts (see
+                # _forced_split_candidates). Accepted only for boxes the
+                # classifier itself flags as junk (merged clusters) AND
+                # under a stiffer margin - pixel evidence for the cut
+                # position is absent, so forced cuts are strictly a
+                # rescue path, never a re-reading of a clean glyph
+                for ps in _forced_split_candidates(ink, b, ref_h):
+                    splits.append((i, ps, forced_margin, True))
         joins = []
         for grp in join_groups:
             idx = [boxes.index(m) for m in grp if m in boxes]
@@ -654,24 +744,43 @@ class ConvOcr:
         stats = (float(np.median(ys1)),
                  float(max(np.quantile(hs, 0.9), 1.0)),
                  float(max(np.median(hs), 1.0)))
-        ext = (list(boxes) + [p for _, ps in splits for p in ps]
+        ext = (list(boxes) + [p for _, ps, _m, _f in splits for p in ps]
                + [u for _, u in joins])
         patches, feats, _, _ = line_samples(ink, ext, gray, stats=stats)
         logits = np.asarray(self._forward(patches, feats))
         ex = np.exp(logits - logits.max(axis=1, keepdims=True))
         # REAL-class confidence: junk probability mass (merged clusters,
         # fragments) counts against a box without being pickable
-        conf = (ex / ex.sum(axis=1, keepdims=True))[:, :BAD_IDX].max(axis=1)
+        probs = ex / ex.sum(axis=1, keepdims=True)
+        conf = probs[:, :BAD_IDX].max(axis=1)
+        junk = probs[:, BAD_IDX]
+        real = probs[:, :BAD_IDX].argmax(axis=1)
 
         def gmean(c):
             return float(np.exp(np.log(np.maximum(c, 1e-9)).mean()))
 
         repl, drop = {}, set()
         k = len(boxes)
-        for i, ps in splits:
-            if gmean(conf[k:k + len(ps)]) > conf[i] + split_margin:
-                repl[i] = list(ps)
+        best_split: dict = {}   # i -> (gmean score, pieces)
+        for i, ps, m, forced in splits:
+            g = gmean(conf[k:k + len(ps)])
+            ok = g > conf[i] + m
+            if forced:
+                # rescue path only: the whole box must read as a merge
+                # (junk), and the pieces must mostly read as characters
+                # a merge is made of - a junky capital splitting into
+                # punctuation ('M' -> '\' '[') is a misread, not a cut
+                alnum = sum(CHARSET[int(real[j])].isalnum()
+                            for j in range(k, k + len(ps)))
+                ok = ok and junk[i] > 0.5 and 2 * alnum >= len(ps)
+            # prefer fewer pieces on near-ties: each extra cut must
+            # pay for itself (beam-search-style length penalty)
+            score = g - 0.02 * len(ps)
+            if ok and score > best_split.get(i, (-1.0,))[0]:
+                best_split[i] = (score, list(ps))
             k += len(ps)
+        for i, (_g, ps) in best_split.items():
+            repl[i] = ps
         for idx, union in joins:
             if any(i in repl or i in drop for i in idx):
                 k += 1
