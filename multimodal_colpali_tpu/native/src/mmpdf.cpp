@@ -360,6 +360,9 @@ struct Document {
   std::map<int, ObjPtr> cache;
   std::vector<ObjPtr> pages;
   std::string error;
+  // per-/Font decoded FontRes (see get_font; void to keep Document above
+  // the font machinery in the file)
+  std::map<Obj*, std::shared_ptr<void>> font_cache;
 
   ObjPtr resolve(const ObjPtr& o) {
     if (!o) return mk(Obj::Null);
@@ -696,6 +699,799 @@ struct Font8x13 {
 static const Font8x13 kFont;
 
 // ---------------------------------------------------------------------------
+// Glyph names -> Unicode (Adobe Glyph List subset)
+//
+// Real-world PDFs address glyphs by NAME in /Encoding /Differences arrays
+// (reference corpus: pypdfium decodes these, functions.py:22). This covers
+// the ASCII range, the common Latin-1 punctuation/typography names writers
+// emit (matplotlib Type3, TeX), f-ligatures, and the uniXXXX / uXXXX[XX]
+// conventions. Unknown names return -1 (callers skip them for text and
+// fall back to the atlas for raster).
+// ---------------------------------------------------------------------------
+
+static int glyph_name_to_unicode(const std::string& n) {
+  static const std::map<std::string, int>* kMap = [] {
+    auto* m = new std::map<std::string, int>;
+    const char* names32[] = {  // ASCII 32..126 in order
+      "space", "exclam", "quotedbl", "numbersign", "dollar", "percent",
+      "ampersand", "quotesingle", "parenleft", "parenright", "asterisk",
+      "plus", "comma", "hyphen", "period", "slash", "zero", "one", "two",
+      "three", "four", "five", "six", "seven", "eight", "nine", "colon",
+      "semicolon", "less", "equal", "greater", "question", "at",
+      "A", "B", "C", "D", "E", "F", "G", "H", "I", "J", "K", "L", "M",
+      "N", "O", "P", "Q", "R", "S", "T", "U", "V", "W", "X", "Y", "Z",
+      "bracketleft", "backslash", "bracketright", "asciicircum",
+      "underscore", "grave",
+      "a", "b", "c", "d", "e", "f", "g", "h", "i", "j", "k", "l", "m",
+      "n", "o", "p", "q", "r", "s", "t", "u", "v", "w", "x", "y", "z",
+      "braceleft", "bar", "braceright", "asciitilde"};
+    for (int i = 0; i < 95; i++) (*m)[names32[i]] = 32 + i;
+    struct NV { const char* n; int v; };
+    static const NV extra[] = {
+      {"quoteleft", 0x2018}, {"quoteright", 0x2019},
+      {"quotedblleft", 0x201C}, {"quotedblright", 0x201D},
+      {"quotesinglbase", 0x201A}, {"quotedblbase", 0x201E},
+      {"endash", 0x2013}, {"emdash", 0x2014}, {"bullet", 0x2022},
+      {"dagger", 0x2020}, {"daggerdbl", 0x2021}, {"ellipsis", 0x2026},
+      {"fi", 0xFB01}, {"fl", 0xFB02}, {"ff", 0xFB00}, {"ffi", 0xFB03},
+      {"ffl", 0xFB04}, {"degree", 0x00B0}, {"plusminus", 0x00B1},
+      {"mu", 0x00B5}, {"multiply", 0x00D7}, {"divide", 0x00F7},
+      {"minus", 0x2212}, {"periodcentered", 0x00B7}, {"middot", 0x00B7},
+      {"copyright", 0x00A9}, {"registered", 0x00AE}, {"trademark", 0x2122},
+      {"section", 0x00A7}, {"paragraph", 0x00B6}, {"cent", 0x00A2},
+      {"sterling", 0x00A3}, {"yen", 0x00A5}, {"Euro", 0x20AC},
+      {"florin", 0x0192}, {"fraction", 0x2044}, {"percent", 0x0025},
+      {"perthousand", 0x2030}, {"guilsinglleft", 0x2039},
+      {"guilsinglright", 0x203A}, {"guillemotleft", 0x00AB},
+      {"guillemotright", 0x00BB}, {"exclamdown", 0x00A1},
+      {"questiondown", 0x00BF}, {"circumflex", 0x02C6}, {"tilde", 0x02DC},
+      {"macron", 0x00AF}, {"breve", 0x02D8}, {"dotaccent", 0x02D9},
+      {"dieresis", 0x00A8}, {"ring", 0x02DA}, {"cedilla", 0x00B8},
+      {"hungarumlaut", 0x02DD}, {"ogonek", 0x02DB}, {"caron", 0x02C7},
+      {"Agrave", 0xC0}, {"Aacute", 0xC1}, {"Acircumflex", 0xC2},
+      {"Atilde", 0xC3}, {"Adieresis", 0xC4}, {"Aring", 0xC5}, {"AE", 0xC6},
+      {"Ccedilla", 0xC7}, {"Egrave", 0xC8}, {"Eacute", 0xC9},
+      {"Ecircumflex", 0xCA}, {"Edieresis", 0xCB}, {"Igrave", 0xCC},
+      {"Iacute", 0xCD}, {"Icircumflex", 0xCE}, {"Idieresis", 0xCF},
+      {"Eth", 0xD0}, {"Ntilde", 0xD1}, {"Ograve", 0xD2}, {"Oacute", 0xD3},
+      {"Ocircumflex", 0xD4}, {"Otilde", 0xD5}, {"Odieresis", 0xD6},
+      {"Oslash", 0xD8}, {"Ugrave", 0xD9}, {"Uacute", 0xDA},
+      {"Ucircumflex", 0xDB}, {"Udieresis", 0xDC}, {"Yacute", 0xDD},
+      {"Thorn", 0xDE}, {"germandbls", 0xDF},
+      {"agrave", 0xE0}, {"aacute", 0xE1}, {"acircumflex", 0xE2},
+      {"atilde", 0xE3}, {"adieresis", 0xE4}, {"aring", 0xE5}, {"ae", 0xE6},
+      {"ccedilla", 0xE7}, {"egrave", 0xE8}, {"eacute", 0xE9},
+      {"ecircumflex", 0xEA}, {"edieresis", 0xEB}, {"igrave", 0xEC},
+      {"iacute", 0xED}, {"icircumflex", 0xEE}, {"idieresis", 0xEF},
+      {"eth", 0xF0}, {"ntilde", 0xF1}, {"ograve", 0xF2}, {"oacute", 0xF3},
+      {"ocircumflex", 0xF4}, {"otilde", 0xF5}, {"odieresis", 0xF6},
+      {"oslash", 0xF8}, {"ugrave", 0xF9}, {"uacute", 0xFA},
+      {"ucircumflex", 0xFB}, {"udieresis", 0xFC}, {"yacute", 0xFD},
+      {"thorn", 0xFE}, {"ydieresis", 0xFF},
+      {"Gamma", 0x0393}, {"Delta", 0x0394}, {"Theta", 0x0398},
+      {"Lambda", 0x039B}, {"Xi", 0x039E}, {"Pi", 0x03A0},
+      {"Sigma", 0x03A3}, {"Phi", 0x03A6}, {"Psi", 0x03A8},
+      {"Omega", 0x03A9}, {"alpha", 0x03B1}, {"beta", 0x03B2},
+      {"gamma", 0x03B3}, {"delta", 0x03B4}, {"epsilon", 0x03B5},
+      {"lambda", 0x03BB}, {"pi", 0x03C0}, {"sigma", 0x03C3},
+      {"tau", 0x03C4}, {"phi", 0x03C6}, {"omega", 0x03C9},
+      {"nbspace", 0x00A0}, {"softhyphen", 0x00AD}, {"brokenbar", 0xA6},
+      {"currency", 0xA4}, {"onequarter", 0xBC}, {"onehalf", 0xBD},
+      {"threequarters", 0xBE}, {"onesuperior", 0xB9},
+      {"twosuperior", 0xB2}, {"threesuperior", 0xB3},
+      {"ordfeminine", 0xAA}, {"ordmasculine", 0xBA}, {"logicalnot", 0xAC},
+      {"Lslash", 0x0141}, {"lslash", 0x0142}, {"OE", 0x0152},
+      {"oe", 0x0153}, {"Scaron", 0x0160}, {"scaron", 0x0161},
+      {"Ydieresis", 0x0178}, {"Zcaron", 0x017D}, {"zcaron", 0x017E},
+      {"dotlessi", 0x0131},
+    };
+    for (auto& e : extra) (*m)[e.n] = e.v;
+    return m;
+  }();
+  auto it = kMap->find(n);
+  if (it != kMap->end()) return it->second;
+  // uniXXXX / uXXXX / uXXXXXX hex conventions
+  auto hexval = [](const std::string& h) -> long {
+    if (h.empty()) return -1;
+    for (char c : h) if (!isxdigit((uint8_t)c)) return -1;
+    return strtol(h.c_str(), nullptr, 16);
+  };
+  if (n.size() == 7 && n.compare(0, 3, "uni") == 0) {
+    long v = hexval(n.substr(3));
+    if (v >= 0) return (int)v;
+  }
+  if ((n.size() >= 5 && n.size() <= 7) && n[0] == 'u') {
+    long v = hexval(n.substr(1));
+    if (v >= 0) return (int)v;
+  }
+  // gXX / cidXX subset names carry no unicode
+  return -1;
+}
+
+// WinAnsiEncoding high range (128..255) as Unicode; 32..126 is ASCII in
+// every standard PDF base encoding. StandardEncoding/MacRomanEncoding
+// differ up there but agree on ASCII - papers overwhelmingly either stay
+// in ASCII or carry /Differences / /ToUnicode, so WinAnsi is the fallback.
+static const uint16_t kWinAnsiHigh[128] = {
+  0x20AC, 0, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+  0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0, 0x017D, 0,
+  0, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+  0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0, 0x017E, 0x0178,
+  0x00A0, 0x00A1, 0x00A2, 0x00A3, 0x00A4, 0x00A5, 0x00A6, 0x00A7,
+  0x00A8, 0x00A9, 0x00AA, 0x00AB, 0x00AC, 0x00AD, 0x00AE, 0x00AF,
+  0x00B0, 0x00B1, 0x00B2, 0x00B3, 0x00B4, 0x00B5, 0x00B6, 0x00B7,
+  0x00B8, 0x00B9, 0x00BA, 0x00BB, 0x00BC, 0x00BD, 0x00BE, 0x00BF,
+  0x00C0, 0x00C1, 0x00C2, 0x00C3, 0x00C4, 0x00C5, 0x00C6, 0x00C7,
+  0x00C8, 0x00C9, 0x00CA, 0x00CB, 0x00CC, 0x00CD, 0x00CE, 0x00CF,
+  0x00D0, 0x00D1, 0x00D2, 0x00D3, 0x00D4, 0x00D5, 0x00D6, 0x00D7,
+  0x00D8, 0x00D9, 0x00DA, 0x00DB, 0x00DC, 0x00DD, 0x00DE, 0x00DF,
+  0x00E0, 0x00E1, 0x00E2, 0x00E3, 0x00E4, 0x00E5, 0x00E6, 0x00E7,
+  0x00E8, 0x00E9, 0x00EA, 0x00EB, 0x00EC, 0x00ED, 0x00EE, 0x00EF,
+  0x00F0, 0x00F1, 0x00F2, 0x00F3, 0x00F4, 0x00F5, 0x00F6, 0x00F7,
+  0x00F8, 0x00F9, 0x00FA, 0x00FB, 0x00FC, 0x00FD, 0x00FE, 0x00FF};
+
+static void utf8_append(std::string& out, int cp) {
+  if (cp < 0) return;
+  if (cp < 0x80) out += (char)cp;
+  else if (cp < 0x800) {
+    out += (char)(0xC0 | (cp >> 6));
+    out += (char)(0x80 | (cp & 0x3F));
+  } else if (cp < 0x10000) {
+    out += (char)(0xE0 | (cp >> 12));
+    out += (char)(0x80 | ((cp >> 6) & 0x3F));
+    out += (char)(0x80 | (cp & 0x3F));
+  } else {
+    out += (char)(0xF0 | (cp >> 18));
+    out += (char)(0x80 | ((cp >> 12) & 0x3F));
+    out += (char)(0x80 | ((cp >> 6) & 0x3F));
+    out += (char)(0x80 | (cp & 0x3F));
+  }
+}
+
+// ---------------------------------------------------------------------------
+// /ToUnicode CMap parsing (bfchar / bfrange)
+//
+// The authoritative text-decode table subset writers embed (pdfTeX, Word,
+// matplotlib fonttype 42 - reference corpus per functions.py:22). The CMap
+// is PostScript-ish; the lexer already tokenizes hex strings and names, so
+// a light pass over tokens suffices.
+// ---------------------------------------------------------------------------
+
+static std::string utf16be_to_utf8(const std::string& s) {
+  std::string out;
+  for (size_t i = 0; i + 1 < s.size(); i += 2) {
+    unsigned cp = ((uint8_t)s[i] << 8) | (uint8_t)s[i + 1];
+    if (cp >= 0xD800 && cp < 0xDC00 && i + 3 < s.size()) {
+      unsigned lo = ((uint8_t)s[i + 2] << 8) | (uint8_t)s[i + 3];
+      if (lo >= 0xDC00 && lo < 0xE000) {
+        cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00);
+        i += 2;
+      }
+    }
+    utf8_append(out, (int)cp);
+  }
+  return out;
+}
+
+static long hex_code(const std::string& bytes) {
+  long v = 0;
+  for (unsigned char c : bytes) v = (v << 8) | c;
+  return v;
+}
+
+static void parse_tounicode(const std::string& cmap,
+                            std::map<long, std::string>& out) {
+  Lexer lx((const uint8_t*)cmap.data(), cmap.size());
+  Parser ps(lx);
+  std::vector<ObjPtr> window;
+  auto tok = [&]() -> ObjPtr { return ps.parse(); };
+  while (ps.lx.p < ps.lx.n) {
+    ObjPtr o = tok();
+    if (o->is(Obj::Null) && ps.lx.p >= ps.lx.n) break;
+    if (o->is(Obj::Name) && !o->slash && o->str == "beginbfchar") {
+      while (ps.lx.p < ps.lx.n) {
+        ObjPtr a = tok();
+        if (a->is(Obj::Name) && !a->slash && a->str == "endbfchar") break;
+        ObjPtr b = tok();
+        if (a->is(Obj::Str) && b->is(Obj::Str))
+          out[hex_code(a->str)] = utf16be_to_utf8(b->str);
+      }
+    } else if (o->is(Obj::Name) && !o->slash && o->str == "beginbfrange") {
+      while (ps.lx.p < ps.lx.n) {
+        ObjPtr a = tok();
+        if (a->is(Obj::Name) && !a->slash && a->str == "endbfrange") break;
+        ObjPtr b = tok();
+        ObjPtr c = tok();
+        if (!a->is(Obj::Str) || !b->is(Obj::Str)) continue;
+        long lo = hex_code(a->str), hi = hex_code(b->str);
+        if (hi - lo > 65535) continue;
+        if (c->is(Obj::Str)) {
+          std::string base = c->str;  // UTF-16BE, last code unit increments
+          for (long k = lo; k <= hi; k++) {
+            std::string u = base;
+            if (u.size() >= 2) {
+              unsigned last = ((uint8_t)u[u.size() - 2] << 8) |
+                              (uint8_t)u[u.size() - 1];
+              last += (unsigned)(k - lo);
+              u[u.size() - 2] = (char)(last >> 8);
+              u[u.size() - 1] = (char)(last & 0xFF);
+            }
+            out[k] = utf16be_to_utf8(u);
+          }
+        } else if (c->is(Obj::Arr)) {
+          for (long k = lo; k <= hi && (size_t)(k - lo) < c->arr.size(); k++)
+            if (c->arr[k - lo]->is(Obj::Str))
+              out[k] = utf16be_to_utf8(c->arr[k - lo]->str);
+        }
+      }
+    }
+  }
+  (void)window;
+}
+
+struct Canvas {
+  int w = 0, h = 0;
+  std::vector<uint8_t> rgb;  // row-major, origin top-left
+  void init(int W, int H) { w = W; h = H; rgb.assign((size_t)w * h * 3, 255); }
+  void put(int x, int y, uint8_t r, uint8_t g, uint8_t b) {
+    if (x < 0 || y < 0 || x >= w || y >= h) return;
+    size_t i = ((size_t)y * w + x) * 3;
+    rgb[i] = r; rgb[i + 1] = g; rgb[i + 2] = b;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Embedded TrueType (FontFile2) parsing + glyph outlines
+//
+// Glyph-faithful rendering of embedded-font pages (the poppler role,
+// reference functions.py:678-694): subsetted TrueType programs carry the
+// real outlines; rasterizing them is what makes the page image ColPali
+// embeds look like the real page. sfnt tables: head (unitsPerEm, loca
+// format), maxp (numGlyphs), loca, glyf (simple + composite), cmap
+// (formats 0/4/6/12, for SIMPLE TrueType fonts addressed by character
+// code), hmtx/hhea (advance fallback). No hinting - outlines are exact
+// at 144 DPI and the fill is antialiased.
+// ---------------------------------------------------------------------------
+
+struct TrueTypeFont {
+  std::string d;
+  bool ok = false;
+  int units_per_em = 1000;
+  bool long_loca = false;
+  int num_glyphs = 0;
+  size_t loca = 0, loca_len = 0, glyf = 0, glyf_len = 0;
+  size_t hmtx = 0, hmtx_len = 0;
+  int num_hmetrics = 0;
+  std::map<uint32_t, uint16_t> cmap;  // unicode (or code) -> gid
+
+  uint16_t u16(size_t o) const {
+    if (o + 2 > d.size()) return 0;
+    return ((uint8_t)d[o] << 8) | (uint8_t)d[o + 1];
+  }
+  int16_t s16(size_t o) const { return (int16_t)u16(o); }
+  uint32_t u32(size_t o) const {
+    if (o + 4 > d.size()) return 0;
+    return ((uint32_t)(uint8_t)d[o] << 24) | ((uint32_t)(uint8_t)d[o + 1] << 16) |
+           ((uint32_t)(uint8_t)d[o + 2] << 8) | (uint8_t)d[o + 3];
+  }
+
+  void parse(std::string bytes) {
+    d = std::move(bytes);
+    if (d.size() < 12) return;
+    uint32_t tag = u32(0);
+    size_t base = 0;
+    if (tag == 0x74746366) {  // 'ttcf' collection: first font
+      if (u32(8) < 1) return;
+      base = u32(12);
+    }
+    if (u32(base) != 0x00010000 && u32(base) != 0x74727565 /*'true'*/)
+      return;
+    int n_tables = u16(base + 4);
+    size_t head = 0, maxp = 0, cmap_off = 0, hhea = 0;
+    for (int i = 0; i < n_tables; i++) {
+      size_t rec = base + 12 + 16 * (size_t)i;
+      uint32_t t = u32(rec);
+      size_t off = u32(rec + 8), len = u32(rec + 12);
+      if (off + len > d.size()) continue;
+      switch (t) {
+        case 0x68656164: head = off; break;          // head
+        case 0x6D617870: maxp = off; break;          // maxp
+        case 0x6C6F6361: loca = off; loca_len = len; break;   // loca
+        case 0x676C7966: glyf = off; glyf_len = len; break;   // glyf
+        case 0x636D6170: cmap_off = off; break;      // cmap
+        case 0x68686561: hhea = off; break;          // hhea
+        case 0x686D7478: hmtx = off; hmtx_len = len; break;   // hmtx
+      }
+    }
+    if (!head || !maxp || !loca || !glyf) return;
+    units_per_em = u16(head + 18);
+    if (units_per_em <= 0) units_per_em = 1000;
+    long_loca = s16(head + 50) != 0;
+    num_glyphs = u16(maxp + 4);
+    if (hhea) num_hmetrics = u16(hhea + 34);
+    if (cmap_off) parse_cmap(cmap_off);
+    ok = true;
+  }
+
+  void parse_cmap(size_t off) {
+    int n = u16(off + 2);
+    size_t best = 0;
+    int best_score = -1;
+    for (int i = 0; i < n; i++) {
+      size_t rec = off + 4 + 8 * (size_t)i;
+      int plat = u16(rec), enc = u16(rec + 2);
+      size_t sub = off + u32(rec + 4);
+      int score = -1;
+      if (plat == 3 && enc == 10) score = 5;
+      else if (plat == 3 && enc == 1) score = 4;
+      else if (plat == 0) score = 3;
+      else if (plat == 3 && enc == 0) score = 2;  // symbol (F0xx)
+      else if (plat == 1 && enc == 0) score = 1;
+      if (score > best_score) { best_score = score; best = sub; }
+    }
+    if (!best) return;
+    int fmt = u16(best);
+    if (fmt == 0) {
+      for (int c = 0; c < 256; c++) {
+        uint8_t g = (uint8_t)d[best + 6 + c];
+        if (g) cmap[c] = g;
+      }
+    } else if (fmt == 4) {
+      int segs = u16(best + 6) / 2;
+      size_t ends = best + 14, starts = ends + 2 * (size_t)segs + 2,
+             deltas = starts + 2 * (size_t)segs,
+             ranges = deltas + 2 * (size_t)segs;
+      for (int s = 0; s < segs; s++) {
+        int e = u16(ends + 2 * (size_t)s), st = u16(starts + 2 * (size_t)s);
+        int delta = s16(deltas + 2 * (size_t)s);
+        int ro = u16(ranges + 2 * (size_t)s);
+        if (st == 0xFFFF) continue;
+        for (int c = st; c <= e && c - st < 20000; c++) {
+          int g;
+          if (ro == 0) g = (c + delta) & 0xFFFF;
+          else {
+            size_t gi = ranges + 2 * (size_t)s + ro + 2 * (size_t)(c - st);
+            g = u16(gi);
+            if (g) g = (g + delta) & 0xFFFF;
+          }
+          if (g) cmap[c] = (uint16_t)g;
+        }
+      }
+    } else if (fmt == 6) {
+      int first = u16(best + 6), cnt = u16(best + 8);
+      for (int i = 0; i < cnt; i++) {
+        int g = u16(best + 10 + 2 * (size_t)i);
+        if (g) cmap[first + i] = (uint16_t)g;
+      }
+    } else if (fmt == 12) {
+      uint32_t ngroups = u32(best + 12);
+      for (uint32_t i = 0; i < ngroups && i < 20000; i++) {
+        size_t g = best + 16 + 12 * (size_t)i;
+        uint32_t sc = u32(g), ec = u32(g + 4), sg = u32(g + 8);
+        for (uint32_t c = sc; c <= ec && c - sc < 20000; c++)
+          cmap[c] = (uint16_t)(sg + (c - sc));
+      }
+    }
+  }
+
+  uint16_t gid_for_unicode(uint32_t cp) const {
+    auto it = cmap.find(cp);
+    if (it != cmap.end()) return it->second;
+    it = cmap.find(0xF000 + cp);  // symbol-font convention
+    if (it != cmap.end()) return it->second;
+    return 0;
+  }
+
+  double advance(int gid) const {  // in font units
+    if (!hmtx || !num_hmetrics) return units_per_em * 0.5;
+    int i = gid < num_hmetrics ? gid : num_hmetrics - 1;
+    return u16(hmtx + 4 * (size_t)i);
+  }
+
+  struct Pt { double x, y; bool on; };
+
+  bool glyph_range(int gid, size_t& off, size_t& len) const {
+    if (gid < 0 || gid >= num_glyphs) return false;
+    size_t a, b;
+    if (long_loca) {
+      if (loca + 4 * (size_t)(gid + 1) + 4 > d.size()) return false;
+      a = u32(loca + 4 * (size_t)gid);
+      b = u32(loca + 4 * (size_t)(gid + 1));
+    } else {
+      if (loca + 2 * (size_t)(gid + 1) + 2 > d.size()) return false;
+      a = 2 * (size_t)u16(loca + 2 * (size_t)gid);
+      b = 2 * (size_t)u16(loca + 2 * (size_t)(gid + 1));
+    }
+    if (b < a || glyf + b > d.size()) return false;
+    off = glyf + a;
+    len = b - a;
+    return true;
+  }
+
+  // contours in FONT UNITS (y-up); composites resolved recursively
+  bool outline(int gid, std::vector<std::vector<Pt>>& out, int depth = 0) const {
+    if (depth > 5) return false;
+    size_t off, len;
+    if (!glyph_range(gid, off, len)) return false;
+    if (len == 0) return true;  // empty glyph (space)
+    int ncont = s16(off);
+    if (ncont >= 0) {
+      // simple glyph
+      std::vector<int> ends(ncont);
+      for (int i = 0; i < ncont; i++) ends[i] = u16(off + 10 + 2 * (size_t)i);
+      int npts = ncont ? ends.back() + 1 : 0;
+      if (npts <= 0 || npts > 10000) return true;
+      size_t p = off + 10 + 2 * (size_t)ncont;
+      int ins = u16(p);
+      p += 2 + ins;
+      std::vector<uint8_t> flags;
+      flags.reserve(npts);
+      while ((int)flags.size() < npts && p < d.size()) {
+        uint8_t f = d[p++];
+        flags.push_back(f);
+        if (f & 8) {  // repeat
+          int r = (uint8_t)d[p++];
+          for (int k = 0; k < r && (int)flags.size() < npts; k++)
+            flags.push_back(f);
+        }
+      }
+      std::vector<double> xs(npts), ys(npts);
+      double v = 0;
+      for (int i = 0; i < npts; i++) {
+        uint8_t f = flags[i];
+        if (f & 2) {
+          uint8_t dx = d[p++];
+          v += (f & 16) ? dx : -(double)dx;
+        } else if (!(f & 16)) {
+          v += s16(p); p += 2;
+        }
+        xs[i] = v;
+      }
+      v = 0;
+      for (int i = 0; i < npts; i++) {
+        uint8_t f = flags[i];
+        if (f & 4) {
+          uint8_t dy = d[p++];
+          v += (f & 32) ? dy : -(double)dy;
+        } else if (!(f & 32)) {
+          v += s16(p); p += 2;
+        }
+        ys[i] = v;
+      }
+      int start = 0;
+      for (int c = 0; c < ncont; c++) {
+        std::vector<Pt> cont;
+        for (int i = start; i <= ends[c] && i < npts; i++)
+          cont.push_back({xs[i], ys[i], (flags[i] & 1) != 0});
+        start = ends[c] + 1;
+        if (cont.size() >= 2) out.push_back(std::move(cont));
+      }
+      return true;
+    }
+    // composite
+    size_t p = off + 10;
+    while (p + 4 <= d.size()) {
+      int flags = u16(p), sub_gid = u16(p + 2);
+      p += 4;
+      double dx = 0, dy = 0;
+      if (flags & 1) {  // ARG_1_AND_2_ARE_WORDS
+        if (flags & 2) { dx = s16(p); dy = s16(p + 2); }
+        p += 4;
+      } else {
+        if (flags & 2) { dx = (int8_t)d[p]; dy = (int8_t)d[p + 1]; }
+        p += 2;
+      }
+      double a = 1, b2 = 0, c2 = 0, dd = 1;
+      if (flags & 8) {  // WE_HAVE_A_SCALE
+        a = dd = s16(p) / 16384.0; p += 2;
+      } else if (flags & 0x40) {  // X_AND_Y_SCALE
+        a = s16(p) / 16384.0; dd = s16(p + 2) / 16384.0; p += 4;
+      } else if (flags & 0x80) {  // 2x2
+        a = s16(p) / 16384.0; b2 = s16(p + 2) / 16384.0;
+        c2 = s16(p + 4) / 16384.0; dd = s16(p + 6) / 16384.0; p += 8;
+      }
+      std::vector<std::vector<Pt>> sub;
+      if (outline(sub_gid, sub, depth + 1)) {
+        for (auto& cont : sub) {
+          for (auto& pt : cont) {
+            double x = pt.x * a + pt.y * c2 + dx;
+            double y = pt.x * b2 + pt.y * dd + dy;
+            pt.x = x; pt.y = y;
+          }
+          out.push_back(std::move(cont));
+        }
+      }
+      if (!(flags & 0x20)) break;  // MORE_COMPONENTS
+    }
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Antialiased scanline polygon fill (nonzero / even-odd winding)
+//
+// The raster backbone for real glyph outlines AND general vector paths
+// (m/l/c..f) - the poppler fidelity role. 4 sub-scanlines per pixel row,
+// fractional x-coverage at span ends, coverage-blended into the canvas.
+// ---------------------------------------------------------------------------
+
+struct PathFiller {
+  struct Edge { double x0, y0, x1, y1; int w; };  // w: +1 down, -1 up
+  std::vector<Edge> edges;
+  double min_y = 1e30, max_y = -1e30;
+
+  void add_contour(const std::vector<std::pair<double, double>>& pts) {
+    size_t n = pts.size();
+    if (n < 2) return;
+    for (size_t i = 0; i < n; i++) {
+      auto& a = pts[i];
+      auto& b = pts[(i + 1) % n];
+      if (a.second == b.second) continue;
+      Edge e;
+      if (a.second < b.second) e = {a.first, a.second, b.first, b.second, 1};
+      else e = {b.first, b.second, a.first, a.second, -1};
+      edges.push_back(e);
+      min_y = std::min(min_y, e.y0);
+      max_y = std::max(max_y, e.y1);
+    }
+  }
+
+  // blend into canvas rgb with per-pixel coverage
+  void fill(Canvas& cv, const double* rgb, bool evenodd) {
+    if (edges.empty() || !cv.w || !cv.h) return;
+    int y_lo = std::max(0, (int)std::floor(min_y));
+    int y_hi = std::min(cv.h - 1, (int)std::ceil(max_y));
+    if (y_lo > y_hi) return;
+    std::vector<double> cov((size_t)cv.w);
+    std::vector<std::pair<double, int>> xs;  // crossing x, winding
+    const int SS = 4;
+    uint8_t cr = (uint8_t)std::lround(rgb[0] * 255),
+            cg = (uint8_t)std::lround(rgb[1] * 255),
+            cb = (uint8_t)std::lround(rgb[2] * 255);
+    for (int y = y_lo; y <= y_hi; y++) {
+      std::fill(cov.begin(), cov.end(), 0.0);
+      bool any = false;
+      for (int s = 0; s < SS; s++) {
+        double sy = y + (s + 0.5) / SS;
+        xs.clear();
+        for (auto& e : edges) {
+          if (sy < e.y0 || sy >= e.y1) continue;
+          double t = (sy - e.y0) / (e.y1 - e.y0);
+          xs.push_back({e.x0 + t * (e.x1 - e.x0), e.w});
+        }
+        if (xs.size() < 2) continue;
+        std::sort(xs.begin(), xs.end());
+        int wind = 0;
+        for (size_t i = 0; i + 1 < xs.size(); i++) {
+          wind += xs[i].second;
+          bool inside = evenodd ? ((i % 2) == 0) : (wind != 0);
+          if (!inside) continue;
+          double xa = std::max(0.0, xs[i].first);
+          double xb = std::min((double)cv.w, xs[i + 1].first);
+          if (xb <= xa) continue;
+          any = true;
+          int ia = (int)std::floor(xa), ib = (int)std::floor(xb);
+          if (ia == ib) {
+            cov[ia] += (xb - xa) / SS;
+          } else {
+            cov[ia] += (ia + 1 - xa) / SS;
+            for (int x = ia + 1; x < ib; x++) cov[x] += 1.0 / SS;
+            if (ib < cv.w) cov[ib] += (xb - ib) / SS;
+          }
+        }
+      }
+      if (!any) continue;
+      size_t row = (size_t)y * cv.w * 3;
+      for (int x = 0; x < cv.w; x++) {
+        double a = std::min(1.0, cov[x]);
+        if (a <= 0.003) continue;
+        uint8_t* px = &cv.rgb[row + 3 * (size_t)x];
+        px[0] = (uint8_t)std::lround(px[0] * (1 - a) + cr * a);
+        px[1] = (uint8_t)std::lround(px[1] * (1 - a) + cg * a);
+        px[2] = (uint8_t)std::lround(px[2] * (1 - a) + cb * a);
+      }
+    }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Font resources
+//
+// Per-/Font decode + render model (the pypdfium text role, reference
+// functions.py:22, and the poppler raster role, functions.py:678-713):
+//  - simple fonts (Type1/TrueType): /Encoding base + /Differences glyph
+//    names, /Widths + /FirstChar advances, optional /ToUnicode CMap;
+//  - Type0/Identity-H composites (pdfTeX/Word/matplotlib-42 mainstream):
+//    2-byte codes = CIDs, /W widths, CIDToGIDMap, /ToUnicode;
+//  - Type3: /CharProcs content streams under /FontMatrix (matplotlib's
+//    default pdf.fonttype=3), names decoded via the AGL table.
+// Embedded TrueType programs (/FontFile2) provide glyph-faithful raster;
+// Type1/CFF programs (/FontFile, /FontFile3) fall back to the atlas
+// (layout stays exact: advances come from /Widths, not the atlas).
+// ---------------------------------------------------------------------------
+
+struct FontRes {
+  enum Kind { kSimple, kType0, kType3 } kind = kSimple;
+  bool two_byte = false;
+  std::map<long, std::string> to_unicode;  // authoritative when present
+  int code_unicode[256];                   // simple-font fallback decode
+  std::string code_glyphname[256];         // Differences names (T3 + TT)
+  std::map<long, double> widths;           // code/CID -> advance, text units
+  double default_width = 0.5;
+  std::shared_ptr<TrueTypeFont> tt;
+  std::string cid_to_gid;                  // raw 2-byte map; empty=identity
+  ObjPtr char_procs, t3_res;               // Type3
+  double fm[6] = {0.001, 0, 0, 0.001, 0, 0};  // Type3 FontMatrix
+
+  FontRes() {
+    for (int i = 0; i < 256; i++)
+      code_unicode[i] = (i >= 32 && i < 127) ? i
+                        : (i >= 128 ? (kWinAnsiHigh[i - 128] ? kWinAnsiHigh[i - 128] : -1)
+                                    : -1);
+  }
+
+  std::string unicode_for(long code) const {
+    auto it = to_unicode.find(code);
+    if (it != to_unicode.end()) return it->second;
+    std::string out;
+    if (!two_byte && code >= 0 && code < 256) {
+      if (!code_glyphname[code].empty()) {
+        int cp = glyph_name_to_unicode(code_glyphname[code]);
+        if (cp >= 0) { utf8_append(out, cp); return out; }
+        return out;  // named glyph with unknown unicode: drop, not garbage
+      }
+      if (code_unicode[code] >= 0) utf8_append(out, code_unicode[code]);
+    }
+    return out;
+  }
+
+  double advance_for(long code) const {
+    auto it = widths.find(code);
+    if (it != widths.end()) return it->second;
+    return default_width;
+  }
+
+  int gid_for(long code, const std::string& unicode) const {
+    if (!tt) return 0;
+    if (kind == kType0) {
+      long cid = code;
+      if (!cid_to_gid.empty()) {
+        size_t o = 2 * (size_t)cid;
+        if (o + 1 < cid_to_gid.size())
+          return ((uint8_t)cid_to_gid[o] << 8) | (uint8_t)cid_to_gid[o + 1];
+        return 0;
+      }
+      return (int)cid;  // Identity
+    }
+    // simple TrueType: prefer the unicode the encoding names
+    if (!unicode.empty()) {
+      // first cp of the utf8 string
+      uint32_t cp = (uint8_t)unicode[0];
+      if (cp >= 0xF0 && unicode.size() >= 4)
+        cp = ((cp & 7) << 18) | (((uint8_t)unicode[1] & 0x3F) << 12) |
+             (((uint8_t)unicode[2] & 0x3F) << 6) | ((uint8_t)unicode[3] & 0x3F);
+      else if (cp >= 0xE0 && unicode.size() >= 3)
+        cp = ((cp & 15) << 12) | (((uint8_t)unicode[1] & 0x3F) << 6) |
+             ((uint8_t)unicode[2] & 0x3F);
+      else if (cp >= 0xC0 && unicode.size() >= 2)
+        cp = ((cp & 31) << 6) | ((uint8_t)unicode[1] & 0x3F);
+      int g = tt->gid_for_unicode(cp);
+      if (g) return g;
+    }
+    int g = tt->gid_for_unicode((uint32_t)code);
+    if (g) return g;
+    if (tt->cmap.empty() && code < tt->num_glyphs) return (int)code;
+    return 0;
+  }
+};
+
+static std::shared_ptr<FontRes> build_font(Document& doc, const ObjPtr& f) {
+  auto fr = std::make_shared<FontRes>();
+  ObjPtr st = doc.dget(f, "Subtype");
+  std::string subtype = st->is(Obj::Name) ? st->str : "";
+  ObjPtr tu = doc.dget(f, "ToUnicode");
+  if (tu->is(Obj::Stream)) parse_tounicode(doc.stream_bytes(tu), fr->to_unicode);
+
+  auto load_fontfile2 = [&](const ObjPtr& descr) {
+    ObjPtr ff2 = doc.dget(descr, "FontFile2");
+    if (ff2->is(Obj::Stream)) {
+      auto tt = std::make_shared<TrueTypeFont>();
+      tt->parse(doc.stream_bytes(ff2));
+      if (tt->ok) fr->tt = tt;
+    }
+  };
+
+  if (subtype == "Type0") {
+    fr->kind = FontRes::kType0;
+    fr->two_byte = true;  // Identity-H/V and CMap-encoded both use 2-byte
+    fr->default_width = 1.0;
+    ObjPtr desc = doc.dget(f, "DescendantFonts");
+    ObjPtr cid = desc->is(Obj::Arr) && !desc->arr.empty()
+                     ? doc.resolve(desc->arr[0]) : mk(Obj::Null);
+    double dw = doc.dget(cid, "DW")->as_num(1000.0);
+    fr->default_width = dw / 1000.0;
+    ObjPtr W = doc.dget(cid, "W");
+    if (W->is(Obj::Arr)) {
+      size_t i = 0;
+      while (i < W->arr.size()) {
+        long c0 = (long)doc.resolve(W->arr[i])->as_num();
+        if (i + 1 >= W->arr.size()) break;
+        ObjPtr nxt = doc.resolve(W->arr[i + 1]);
+        if (nxt->is(Obj::Arr)) {
+          for (size_t k = 0; k < nxt->arr.size(); k++)
+            fr->widths[c0 + (long)k] =
+                doc.resolve(nxt->arr[k])->as_num() / 1000.0;
+          i += 2;
+        } else {
+          if (i + 2 >= W->arr.size()) break;
+          long c1 = (long)nxt->as_num();
+          double w = doc.resolve(W->arr[i + 2])->as_num() / 1000.0;
+          if (c1 - c0 <= 65535)
+            for (long c = c0; c <= c1; c++) fr->widths[c] = w;
+          i += 3;
+        }
+      }
+    }
+    ObjPtr c2g = doc.dget(cid, "CIDToGIDMap");
+    if (c2g->is(Obj::Stream)) fr->cid_to_gid = doc.stream_bytes(c2g);
+    load_fontfile2(doc.dget(cid, "FontDescriptor"));
+    return fr;
+  }
+
+  if (subtype == "Type3") {
+    fr->kind = FontRes::kType3;
+    fr->char_procs = doc.dget(f, "CharProcs");
+    fr->t3_res = doc.dget(f, "Resources");
+    ObjPtr m = doc.dget(f, "FontMatrix");
+    if (m->is(Obj::Arr) && m->arr.size() == 6)
+      for (int i = 0; i < 6; i++) fr->fm[i] = doc.resolve(m->arr[i])->as_num();
+  }
+
+  // simple (Type1 / TrueType) + the Type3 encoding/width path
+  int first = (int)doc.dget(f, "FirstChar")->as_num(0);
+  ObjPtr w = doc.dget(f, "Widths");
+  if (w->is(Obj::Arr)) {
+    double unit = fr->kind == FontRes::kType3 ? 1000.0 * fr->fm[0] : 1.0;
+    for (size_t i = 0; i < w->arr.size(); i++) {
+      double ww = doc.resolve(w->arr[i])->as_num() / 1000.0 * unit;
+      if (ww > 0) fr->widths[first + (long)i] = ww;
+    }
+  }
+  ObjPtr enc = doc.dget(f, "Encoding");
+  if (enc->is(Obj::Name)) {
+    // base encodings agree with the built-in table on ASCII; WinAnsi high
+    // range is the constructor default already
+  } else if (enc->is(Obj::Dict)) {
+    ObjPtr diff = doc.dget(enc, "Differences");
+    if (diff->is(Obj::Arr)) {
+      int code = 0;
+      for (auto& el : diff->arr) {
+        ObjPtr r = doc.resolve(el);
+        if (r->is(Obj::Num)) code = (int)r->num;
+        else if (r->is(Obj::Name) && code >= 0 && code < 256)
+          fr->code_glyphname[code++] = r->str;
+      }
+    }
+  }
+  load_fontfile2(doc.dget(f, "FontDescriptor"));
+  return fr;
+}
+
+static std::shared_ptr<FontRes> get_font(Document& doc,
+                                         const ObjPtr& resources,
+                                         const std::string& name) {
+  ObjPtr fonts = doc.dget(resources, "Font");
+  ObjPtr f = doc.dget(fonts, name);
+  if (!f->is(Obj::Dict) && !f->is(Obj::Stream)) return nullptr;
+  auto it = doc.font_cache.find(f.get());
+  if (it != doc.font_cache.end())
+    return std::static_pointer_cast<FontRes>(it->second);
+  auto fr = build_font(doc, f);
+  doc.font_cache[f.get()] = fr;
+  return fr;
+}
+
+// ---------------------------------------------------------------------------
 // Content-stream interpreter: raster + text extraction
 // ---------------------------------------------------------------------------
 
@@ -722,17 +1518,6 @@ struct TextRun {
   double x, y, size;
   std::string text;
   double x_end = 0;  // estimated advance end (text-join heuristics)
-};
-
-struct Canvas {
-  int w = 0, h = 0;
-  std::vector<uint8_t> rgb;  // row-major, origin top-left
-  void init(int W, int H) { w = W; h = H; rgb.assign((size_t)w * h * 3, 255); }
-  void put(int x, int y, uint8_t r, uint8_t g, uint8_t b) {
-    if (x < 0 || y < 0 || x >= w || y >= h) return;
-    size_t i = ((size_t)y * w + x) * 3;
-    rgb[i] = r; rgb[i + 1] = g; rgb[i + 2] = b;
-  }
 };
 
 struct ExtractedImage {
@@ -796,20 +1581,100 @@ struct PageRender {
     interpret(content, doc->dget(page, "Resources"), 0);
   }
 
-  void interpret(const std::string& content, ObjPtr resources, int depth) {
+  void interpret(const std::string& content, ObjPtr resources, int depth,
+                 const Mat* init_ctm = nullptr,
+                 const double* init_rgb = nullptr) {
     if (depth > 8) return;
     std::vector<ObjPtr> stack;
-    std::vector<Mat> gs_stack;
+    struct GS {
+      Mat ctm;
+      std::shared_ptr<FontRes> font;
+      double lw;
+      double fill[3], stroke[3];
+    };
+    std::vector<GS> gs_stack;
     Mat ctm;  // identity: PDF units
+    if (init_ctm) ctm = *init_ctm;
     Mat tm, tlm;
     double tfs = 12, leading = 0, char_spacing = 0, word_spacing = 0, tz = 100;
     double fill_rgb[3] = {0, 0, 0};
+    double stroke_rgb[3] = {0, 0, 0};
+    double line_w = 1.0;
+    if (init_rgb) for (int i = 0; i < 3; i++) fill_rgb[i] = init_rgb[i];
+    std::shared_ptr<FontRes> font;  // current /Font resource (Tf)
     bool in_text = false;
     (void)in_text;
     // current path (m/l segments, device coords) for stroked-rule capture
     double path_cur_x = 0, path_cur_y = 0;
     bool path_has_cur = false;
     std::vector<std::array<double, 4>> path_segs;
+    // general vector path (device coords) for filled/stroked raster -
+    // glyph-faithful Type3 charprocs and figure graphics ride this
+    std::vector<std::vector<std::pair<double, double>>> path_polys;
+    auto poly_start = [&](double px, double py) {
+      path_polys.push_back({{px, py}});
+    };
+    auto poly_line = [&](double px, double py) {
+      if (path_polys.empty()) path_polys.push_back({});
+      path_polys.back().push_back({px, py});
+    };
+    auto path_clear = [&]() {
+      pending_rects.clear();
+      path_segs.clear();
+      path_polys.clear();
+      path_has_cur = false;
+    };
+    auto fill_polys = [&](bool evenodd) {
+      if (!raster || path_polys.empty()) return;
+      if (getenv("MMPDF_DEBUG")) {
+        double x0=1e30,y0=1e30,x1=-1e30,y1=-1e30; size_t np=0;
+        for (auto& c : path_polys) for (auto& p : c) {
+          x0=std::min(x0,p.first); x1=std::max(x1,p.first);
+          y0=std::min(y0,p.second); y1=std::max(y1,p.second); np++;
+        }
+        fprintf(stderr, "[fill] rgb=%.2f,%.2f,%.2f eo=%d polys=%zu pts=%zu bbox=(%.0f,%.0f)-(%.0f,%.0f) depth=%d\n",
+                fill_rgb[0], fill_rgb[1], fill_rgb[2], (int)evenodd,
+                path_polys.size(), np, x0, y0, x1, y1, depth);
+      }
+      PathFiller pf;
+      for (auto& c : path_polys) pf.add_contour(c);
+      pf.fill(canvas, fill_rgb, evenodd);
+    };
+    auto stroke_polys = [&]() {
+      if (!raster || path_polys.empty()) return;
+      // stroke = fill a quad per segment (no joins/caps - figure lines
+      // and rules don't need them at 144 DPI)
+      double sw = std::abs(ctm.a);
+      double hw = std::max(0.5, 0.5 * line_w * sw * scale);
+      PathFiller pf;
+      for (auto& c : path_polys) {
+        for (size_t i = 0; i + 1 < c.size(); i++) {
+          double dx = c[i + 1].first - c[i].first;
+          double dy = c[i + 1].second - c[i].second;
+          double len = std::sqrt(dx * dx + dy * dy);
+          if (len < 1e-9) continue;
+          double nx = -dy / len * hw, ny = dx / len * hw;
+          // consistently wound so overlapping quads at joins reinforce
+          // (mixed winding would cancel under the nonzero rule)
+          std::vector<std::pair<double, double>> quad = {
+              {c[i].first + nx, c[i].second + ny},
+              {c[i + 1].first + nx, c[i + 1].second + ny},
+              {c[i + 1].first - nx, c[i + 1].second - ny},
+              {c[i].first - nx, c[i].second - ny}};
+          double area = 0;
+          for (size_t k = 0; k < 4; k++) {
+            auto& p0 = quad[k];
+            auto& p1 = quad[(k + 1) % 4];
+            area += p0.first * p1.second - p1.first * p0.second;
+          }
+          if (area < 0) std::reverse(quad.begin(), quad.end());
+          pf.add_contour(quad);
+        }
+      }
+      // each quad is its own contour: even-odd would cancel overlaps at
+      // joins, nonzero keeps them solid
+      pf.fill(canvas, stroke_rgb, false);
+    };
 
     Lexer lx((const uint8_t*)content.data(), content.size());
     Parser ps(lx);
@@ -825,8 +1690,24 @@ struct PageRender {
         std::reverse(v.begin(), v.end());
         return v;
       };
-      if (op == "q") gs_stack.push_back(ctm);
-      else if (op == "Q") { if (!gs_stack.empty()) { ctm = gs_stack.back(); gs_stack.pop_back(); } }
+      if (op == "q") {
+        gs_stack.push_back({ctm, font, line_w,
+                            {fill_rgb[0], fill_rgb[1], fill_rgb[2]},
+                            {stroke_rgb[0], stroke_rgb[1], stroke_rgb[2]}});
+      }
+      else if (op == "Q") {
+        if (!gs_stack.empty()) {
+          const GS& g = gs_stack.back();
+          ctm = g.ctm;
+          font = g.font;
+          line_w = g.lw;
+          for (int i = 0; i < 3; i++) {
+            fill_rgb[i] = g.fill[i];
+            stroke_rgb[i] = g.stroke[i];
+          }
+          gs_stack.pop_back();
+        }
+      }
       else if (op == "cm") {
         auto v = popn(6);
         if (v.size() == 6) {
@@ -838,7 +1719,14 @@ struct PageRender {
       }
       else if (op == "BT") { tm = Mat(); tlm = Mat(); in_text = true; }
       else if (op == "ET") { in_text = false; }
-      else if (op == "Tf") { auto v = popn(2); if (v.size() == 2) tfs = v[1]->as_num(12); }
+      else if (op == "Tf") {
+        auto v = popn(2);
+        if (v.size() == 2) {
+          tfs = v[1]->as_num(12);
+          if (v[0]->is(Obj::Name))
+            font = get_font(*doc, resources, v[0]->str);
+        }
+      }
       else if (op == "TL") { auto v = popn(1); if (!v.empty()) leading = v[0]->as_num(); }
       else if (op == "Tc") { auto v = popn(1); if (!v.empty()) char_spacing = v[0]->as_num(); }
       else if (op == "Tw") { auto v = popn(1); if (!v.empty()) word_spacing = v[0]->as_num(); }
@@ -877,14 +1765,16 @@ struct PageRender {
         if (op != "Tj") { Mat m; m.f = -leading; tlm = Mat::mul(m, tlm); tm = tlm; }
         auto v = popn(op == "\"" ? 3 : 1);
         if (!v.empty() && v.back()->is(Obj::Str))
-          show_text(v.back()->str, ctm, tm, tfs, char_spacing, word_spacing, tz, fill_rgb);
+          show_text(v.back()->str, ctm, tm, tfs, char_spacing, word_spacing,
+                    tz, fill_rgb, font, resources, depth);
       }
       else if (op == "TJ") {
         auto v = popn(1);
         if (!v.empty() && v[0]->is(Obj::Arr)) {
           for (auto& el : v[0]->arr) {
             if (el->is(Obj::Str))
-              show_text(el->str, ctm, tm, tfs, char_spacing, word_spacing, tz, fill_rgb);
+              show_text(el->str, ctm, tm, tfs, char_spacing, word_spacing,
+                        tz, fill_rgb, font, resources, depth);
             else if (el->is(Obj::Num)) {
               Mat m; m.e = -el->num / 1000.0 * tfs * (tz / 100.0);
               tm = Mat::mul(m, tm);
@@ -897,14 +1787,44 @@ struct PageRender {
         if (v.size() == 3)
           for (int i = 0; i < 3; i++) fill_rgb[i] = v[i]->as_num();
       }
+      else if (op == "RG" || op == "SC" || op == "SCN") {
+        auto v = popn(3);
+        if (v.size() == 3)
+          for (int i = 0; i < 3; i++) stroke_rgb[i] = v[i]->as_num();
+      }
       else if (op == "g") {
         auto v = popn(1);
         if (!v.empty()) fill_rgb[0] = fill_rgb[1] = fill_rgb[2] = v[0]->as_num();
+      }
+      else if (op == "G") {
+        auto v = popn(1);
+        if (!v.empty())
+          stroke_rgb[0] = stroke_rgb[1] = stroke_rgb[2] = v[0]->as_num();
+      }
+      else if (op == "k" || op == "K") {
+        auto v = popn(4);
+        if (v.size() == 4) {
+          double* t = op == "k" ? fill_rgb : stroke_rgb;
+          for (int i = 0; i < 3; i++)
+            t[i] = std::max(0.0, 1.0 - v[i]->as_num() - v[3]->as_num());
+        }
+      }
+      else if (op == "w") {
+        auto v = popn(1);
+        if (!v.empty()) line_w = v[0]->as_num(1.0);
       }
       else if (op == "re") {
         auto v = popn(4);
         if (v.size() == 4) {
           pending_rects.push_back({v[0]->as_num(), v[1]->as_num(), v[2]->as_num(), v[3]->as_num()});
+          double x = v[0]->as_num(), y = v[1]->as_num();
+          double rw = v[2]->as_num(), rh = v[3]->as_num();
+          double p0x, p0y, p1x, p1y, p2x, p2y, p3x, p3y;
+          dev(ctm, x, y, p0x, p0y);
+          dev(ctm, x + rw, y, p1x, p1y);
+          dev(ctm, x + rw, y + rh, p2x, p2y);
+          dev(ctm, x, y + rh, p3x, p3y);
+          path_polys.push_back({{p0x, p0y}, {p1x, p1y}, {p2x, p2y}, {p3x, p3y}});
         }
       }
       else if (op == "m") {
@@ -912,6 +1832,7 @@ struct PageRender {
         if (v.size() == 2) {
           dev(ctm, v[0]->as_num(), v[1]->as_num(), path_cur_x, path_cur_y);
           path_has_cur = true;
+          poly_start(path_cur_x, path_cur_y);
         }
       }
       else if (op == "l") {
@@ -924,11 +1845,59 @@ struct PageRender {
           path_cur_x = px;
           path_cur_y = py;
           path_has_cur = true;
+          poly_line(px, py);
+        }
+      }
+      else if (op == "c" || op == "v" || op == "y") {
+        auto v = popn(op == "c" ? 6 : 4);
+        if ((op == "c" && v.size() == 6) || (op != "c" && v.size() == 4)) {
+          // cubic bezier in user space: control points per op form,
+          // flattened to 12 device-space segments
+          double ux0 = 0, uy0 = 0;  // current point back in user space:
+          // keep it simple - flatten in device space instead (the CTM is
+          // affine, so the device-space bezier of mapped control points
+          // equals the mapped bezier)
+          (void)ux0; (void)uy0;
+          double c1x, c1y, c2x, c2y, ex, ey;
+          if (op == "c") {
+            dev(ctm, v[0]->as_num(), v[1]->as_num(), c1x, c1y);
+            dev(ctm, v[2]->as_num(), v[3]->as_num(), c2x, c2y);
+            dev(ctm, v[4]->as_num(), v[5]->as_num(), ex, ey);
+          } else if (op == "v") {
+            c1x = path_cur_x; c1y = path_cur_y;
+            dev(ctm, v[0]->as_num(), v[1]->as_num(), c2x, c2y);
+            dev(ctm, v[2]->as_num(), v[3]->as_num(), ex, ey);
+          } else {  // y
+            dev(ctm, v[0]->as_num(), v[1]->as_num(), c1x, c1y);
+            dev(ctm, v[2]->as_num(), v[3]->as_num(), ex, ey);
+            c2x = ex; c2y = ey;
+          }
+          double sx = path_cur_x, sy = path_cur_y;
+          const int N = 12;
+          for (int i = 1; i <= N; i++) {
+            double t = (double)i / N, u = 1 - t;
+            double bx = u * u * u * sx + 3 * u * u * t * c1x +
+                        3 * u * t * t * c2x + t * t * t * ex;
+            double by = u * u * u * sy + 3 * u * u * t * c1y +
+                        3 * u * t * t * c2y + t * t * t * ey;
+            poly_line(bx, by);
+          }
+          path_cur_x = ex;
+          path_cur_y = ey;
+          path_has_cur = true;
+        }
+      }
+      else if (op == "h") {
+        if (!path_polys.empty() && path_polys.back().size() >= 2) {
+          poly_line(path_polys.back().front().first,
+                    path_polys.back().front().second);
+          path_cur_x = path_polys.back().front().first;
+          path_cur_y = path_polys.back().front().second;
         }
       }
       else if (op == "f" || op == "F" || op == "f*" || op == "b" || op == "B") {
-        if (raster)
-          for (auto& r : pending_rects) fill_rect(r[0], r[1], r[2], r[3], ctm, fill_rgb);
+        fill_polys(op == "f*");
+        if (op == "b" || op == "B") stroke_polys();
         if (collect_rules) {
           // a THIN filled rect is a rule (the common \hline encoding)
           for (auto& r : pending_rects) {
@@ -943,11 +1912,10 @@ struct PageRender {
               add_rule(0.5 * (x0 + x1), y0, 0.5 * (x0 + x1), y1);
           }
         }
-        pending_rects.clear();
-        path_segs.clear();
-        path_has_cur = false;
+        path_clear();
       }
       else if (op == "S" || op == "s") {
+        stroke_polys();
         if (collect_rules) {
           for (auto& sgm : path_segs) add_rule(sgm[0], sgm[1], sgm[2], sgm[3]);
           for (auto& r : pending_rects) {
@@ -961,14 +1929,14 @@ struct PageRender {
             add_rule(bx, ay, bx, by);
           }
         }
-        pending_rects.clear();
-        path_segs.clear();
-        path_has_cur = false;
+        path_clear();
       }
-      else if (op == "n" || op == "W" || op == "W*") {
-        pending_rects.clear();
-        path_segs.clear();
-        path_has_cur = false;
+      else if (op == "W" || op == "W*") {
+        // clipping unimplemented: keep the path pending so the following
+        // path-paint op (usually n) clears it
+      }
+      else if (op == "n") {
+        path_clear();
       }
       else if (op == "Do") {
         auto v = popn(1);
@@ -982,7 +1950,7 @@ struct PageRender {
             } else if (st->is(Obj::Name) && st->str == "Form") {
               ObjPtr res2 = doc->dget(xo, "Resources");
               if (!res2->is(Obj::Dict)) res2 = resources;
-              std::vector<Mat> save = gs_stack;
+              auto save = gs_stack;
               Mat savectm = ctm;
               ObjPtr mtx = doc->dget(xo, "Matrix");
               if (mtx->is(Obj::Arr) && mtx->arr.size() == 6) {
@@ -992,7 +1960,12 @@ struct PageRender {
                 m.e = doc->resolve(mtx->arr[4])->as_num(); m.f = doc->resolve(mtx->arr[5])->as_num();
                 ctm = Mat::mul(m, ctm);
               }
-              interpret(doc->stream_bytes(xo), res2, depth + 1);
+              // the form inherits the CURRENT graphics state: content is
+              // interpreted under ctm (matplotlib draws its minus-sign
+              // glyph as a form under a 0.01-scale cm - with a fresh
+              // identity it would paint glyph units onto the page)
+              interpret(doc->stream_bytes(xo), res2, depth + 1, &ctm,
+                        fill_rgb);
               ctm = savectm;
               gs_stack = save;
             }
@@ -1009,30 +1982,61 @@ struct PageRender {
   std::vector<std::array<double, 4>> pending_rects;
 
   void show_text(const std::string& s, const Mat& ctm, Mat& tm, double tfs,
-                 double cs, double ws, double tz, const double* rgb) {
+                 double cs, double ws, double tz, const double* rgb,
+                 const std::shared_ptr<FontRes>& font,
+                 const ObjPtr& resources, int depth) {
     // record run at current position
     Mat trm = Mat::mul(tm, ctm);
     double x0, y0;
     dev(trm, 0, 0, x0, y0);
-    size_t run_idx = (size_t)-1;
-    if (!s.empty()) {
-      runs.push_back({x0 / scale, y0 / scale, tfs, s});
-      run_idx = runs.size() - 1;
-    }
-    double glyph_w = 0.5;  // Helvetica-ish average advance in text space
-    for (size_t i = 0; i < s.size(); i++) {
-      unsigned char ch = s[i];
-      if (raster && ch >= 32 && ch < 127) {
-        // draw glyph at current tm
-        Mat trm2 = Mat::mul(tm, ctm);
-        double gx, gy;
-        dev(trm2, 0, 0, gx, gy);
-        double px_size = tfs * scale * std::abs(trm2.d != 0 ? trm2.d : 1);
-        draw_glyph(ch, gx, gy, px_size, rgb);
+    std::string decoded;
+    size_t step = (font && font->two_byte) ? 2 : 1;
+    for (size_t i = 0; i + step <= s.size(); i += step) {
+      long code = step == 2
+                      ? (((uint8_t)s[i] << 8) | (uint8_t)s[i + 1])
+                      : (uint8_t)s[i];
+      std::string uni;
+      if (font) uni = font->unicode_for(code);
+      else if (code >= 32 && code < 127) uni = std::string(1, (char)code);
+      decoded += uni;
+      int gid = font ? font->gid_for(code, uni) : 0;
+      if (raster) {
+        if (font && font->tt && (gid > 0 || code == 0)) {
+          draw_tt_glyph(*font, gid, tm, ctm, tfs, tz, rgb);
+        } else if (font && font->kind == FontRes::kType3) {
+          draw_t3_glyph(*font, code, tm, ctm, tfs, tz, rgb, resources,
+                        depth);
+        } else {
+          // atlas fallback: layout-faithful box for the decoded char
+          unsigned char ch = !uni.empty() ? (uint8_t)uni[0]
+                                          : (unsigned char)code;
+          if (ch >= 32 && ch < 127) {
+            Mat trm2 = Mat::mul(tm, ctm);
+            double gx, gy;
+            dev(trm2, 0, 0, gx, gy);
+            double px_size = tfs * scale * std::abs(trm2.d != 0 ? trm2.d : 1);
+            draw_glyph(ch, gx, gy, px_size, rgb);
+          }
+        }
       }
-      double adv = glyph_w * tfs + cs + (ch == ' ' ? ws : 0);
+      double w;
+      if (font) {
+        auto it = font->widths.find(code);
+        if (it != font->widths.end()) w = it->second;
+        else if (font->tt && gid > 0)
+          w = font->tt->advance(gid) / (double)font->tt->units_per_em;
+        else w = font->default_width;
+      } else {
+        w = 0.5;  // metric-less fallback (standard-14 without /Widths)
+      }
+      double adv = w * tfs + cs + (step == 1 && code == ' ' ? ws : 0);
       Mat m; m.e = adv * (tz / 100.0);
       tm = Mat::mul(m, tm);
+    }
+    size_t run_idx = (size_t)-1;
+    if (!decoded.empty()) {
+      runs.push_back({x0 / scale, y0 / scale, tfs, decoded});
+      run_idx = runs.size() - 1;
     }
     if (run_idx != (size_t)-1) {
       // record where the run's advance ended: extract_text uses the gap
@@ -1045,6 +2049,105 @@ struct PageRender {
       dev(end_trm, 0, 0, x1, y1);
       runs[run_idx].x_end = x1 / scale;
     }
+  }
+
+  // embedded-TrueType glyph: real outlines from the subset font program,
+  // antialiased nonzero fill (the poppler glyph-fidelity role)
+  void draw_tt_glyph(const FontRes& f, int gid, const Mat& tm,
+                     const Mat& ctm, double tfs, double tz,
+                     const double* rgb) {
+    std::vector<std::vector<TrueTypeFont::Pt>> conts;
+    if (!f.tt->outline(gid, conts) || conts.empty()) return;
+    double su = tfs / (double)f.tt->units_per_em;
+    Mat G;
+    G.a = su * tz / 100.0;
+    G.d = su;
+    Mat T = Mat::mul(G, Mat::mul(tm, ctm));
+    PathFiller pf;
+    std::vector<std::pair<double, double>> poly;
+    auto emit = [&](double fx, double fy) {
+      double px, py;
+      dev(T, fx, fy, px, py);
+      poly.push_back({px, py});
+    };
+    for (auto& c : conts) {
+      poly.clear();
+      size_t n = c.size();
+      if (n < 2) continue;
+      // rotate the contour so it begins at an on-curve point
+      // (synthesize the midpoint of the first off-curve pair if the
+      // contour is all-off-curve, as TrueType permits)
+      std::vector<TrueTypeFont::Pt> pts;
+      size_t s0 = n;
+      for (size_t i = 0; i < n; i++)
+        if (c[i].on) { s0 = i; break; }
+      if (s0 < n) {
+        for (size_t i = 0; i < n; i++) pts.push_back(c[(s0 + i) % n]);
+      } else {
+        pts.push_back({(c[0].x + c[1].x) / 2, (c[0].y + c[1].y) / 2, true});
+        for (size_t i = 1; i < n; i++) pts.push_back(c[i]);
+        pts.push_back(c[0]);
+      }
+      pts.push_back(pts[0]);  // close
+      double curx = pts[0].x, cury = pts[0].y;
+      emit(curx, cury);
+      size_t j = 1;
+      while (j < pts.size()) {
+        if (pts[j].on) {
+          emit(pts[j].x, pts[j].y);
+          curx = pts[j].x; cury = pts[j].y;
+          j += 1;
+          continue;
+        }
+        // off-curve control: endpoint is the next on-curve point or the
+        // implied midpoint of two consecutive off-curve points
+        double cx = pts[j].x, cy = pts[j].y, nx, ny;
+        if (j + 1 < pts.size() && !pts[j + 1].on) {
+          nx = (cx + pts[j + 1].x) / 2;
+          ny = (cy + pts[j + 1].y) / 2;
+          j += 1;
+        } else if (j + 1 < pts.size()) {
+          nx = pts[j + 1].x; ny = pts[j + 1].y;
+          j += 2;
+        } else {
+          nx = pts[0].x; ny = pts[0].y;
+          j += 1;
+        }
+        const int N = 6;
+        for (int t = 1; t <= N; t++) {
+          double tt2 = (double)t / N, u = 1 - tt2;
+          emit(u * u * curx + 2 * u * tt2 * cx + tt2 * tt2 * nx,
+               u * u * cury + 2 * u * tt2 * cy + tt2 * tt2 * ny);
+        }
+        curx = nx; cury = ny;
+      }
+      pf.add_contour(poly);
+    }
+    pf.fill(canvas, rgb, false);
+  }
+
+  // Type3 glyph: run the /CharProcs content stream under
+  // FontMatrix * [tfs] * tm * ctm (matplotlib's default pdf.fonttype=3)
+  void draw_t3_glyph(const FontRes& f, long code, const Mat& tm,
+                     const Mat& ctm, double tfs, double tz,
+                     const double* rgb, const ObjPtr& resources,
+                     int depth) {
+    if (code < 0 || code >= 256) return;
+    const std::string& name = f.code_glyphname[code];
+    if (name.empty() || !f.char_procs) return;
+    ObjPtr proc = doc->dget(f.char_procs, name);
+    if (!proc->is(Obj::Stream)) return;
+    if (getenv("MMPDF_DEBUG"))
+      fprintf(stderr, "[t3] glyph %s tm=(%.1f,%.1f)\n", name.c_str(), tm.e, tm.f);
+    Mat FM;
+    FM.a = f.fm[0]; FM.b = f.fm[1]; FM.c = f.fm[2];
+    FM.d = f.fm[3]; FM.e = f.fm[4]; FM.f = f.fm[5];
+    Mat S;
+    S.a = tfs * tz / 100.0;
+    S.d = tfs;
+    Mat g = Mat::mul(FM, Mat::mul(S, Mat::mul(tm, ctm)));
+    ObjPtr res = f.t3_res && f.t3_res->is(Obj::Dict) ? f.t3_res : resources;
+    interpret(doc->stream_bytes(proc), res, depth + 1, &g, rgb);
   }
 
   void draw_glyph(unsigned char ch, double x, double baseline_y, double px_size,
