@@ -46,4 +46,12 @@ if _os.environ.get("MMCP_FUSED_LAYER") in ("0", "1"):
 
     _layers2.set_fused_layer(_os.environ["MMCP_FUSED_LAYER"] == "1")
 
+if _os.environ.get("MMCP_FUSED_PARTS"):
+    # Which fused sub-kernels the encoder layer uses ("both"/"attn"/"mlp",
+    # for hardware A/B isolation). Read ONCE here; invalid values raise
+    # instead of silently unfusing.
+    from multimodal_colpali_tpu.models import layers as _layers3
+
+    _layers3.set_fused_parts(_os.environ["MMCP_FUSED_PARTS"])
+
 from multimodal_colpali_tpu.documents import Document  # noqa: F401

@@ -136,6 +136,23 @@ def _fused_attention_enabled(seq_len: int) -> bool:
 # MMCP_FUSED_LAYER=1/0 (on CPU the kernel runs in interpret mode).
 _FUSED_LAYER: Optional[bool] = None
 
+# Which fused sub-kernels the SigLIP encoder layer uses when the fused
+# path is enabled: "both" = whole-layer kernel, "attn"/"mlp" isolate the
+# partial kernels for hardware A/B runs. Set ONCE at import from
+# MMCP_FUSED_PARTS (package __init__) - reading the env var at trace
+# time silently kept the previously traced path once a jit cache was
+# warm, which could make A/B measurements compare the wrong kernels
+# (ADVICE r4).
+_FUSED_PARTS: str = "both"
+
+
+def set_fused_parts(parts: str) -> None:
+    if parts not in ("both", "attn", "mlp"):
+        raise ValueError(
+            f"MMCP_FUSED_PARTS must be both/attn/mlp, got {parts!r}")
+    global _FUSED_PARTS
+    _FUSED_PARTS = parts
+
 
 def set_fused_layer(enabled: Optional[bool]) -> None:
     global _FUSED_LAYER

@@ -84,12 +84,11 @@ class SiglipEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        import os
-
         fused = self._fused_layer_params(x)
-        # MMCP_FUSED_PARTS isolates the partial kernels for hardware A/B
-        # runs ("attn"/"mlp"); the default "both" is the whole-layer kernel
-        parts = os.environ.get("MMCP_FUSED_PARTS", "both")
+        # "attn"/"mlp" isolate the partial kernels for hardware A/B runs;
+        # the default "both" is the whole-layer kernel. Module-level
+        # setting, fixed at import (layers.set_fused_parts)
+        parts = L._FUSED_PARTS
         use_attn = fused is not None and parts == "attn"
         use_mlp = fused is not None and parts == "mlp"
         if fused is not None:

@@ -117,7 +117,10 @@ def attention_block_plan(s: int, h: int, heads: int,
     one efficient matmul; keeping them in-kernel pushed the Mosaic
     scoped-VMEM allocation 0.7 MB past the 16 MB limit at the ColSmol
     shape)."""
-    if h % heads or s % 128:
+    # h % 128 mirrors layer_plan: misaligned [H, H] blocks / head slices
+    # reach Mosaic as lane-misaligned refs and fail at compile time
+    # instead of falling back (ADVICE r4)
+    if h % heads or s % 128 or h % 128:
         return None
     fixed = (2 * s * h * dtype_bytes            # x in, double-buffered
              + 3 * h * h * dtype_bytes          # wq wk wv

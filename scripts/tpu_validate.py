@@ -104,6 +104,51 @@ def validate_fused_attention() -> bool:
     return ok
 
 
+def validate_fused_layer(name: str = "vidore/colSmol-256M",
+                         batch: int = 2) -> bool:
+    """Hardware parity gate for the whole-layer fused ViT kernel
+    (ops/fused_layer.py) on REAL embeddings: fused vs unfused max|diff|
+    must stay within bf16 accumulation noise before the kernel may
+    default on for TPU backends (ADVICE r4: interpret-mode parity alone
+    gated a hardware-default path)."""
+    import warnings
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from multimodal_colpali_tpu.models import layers as L
+    from multimodal_colpali_tpu.models.registry import load_retriever
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        ret = load_retriever(name)
+    rng = np.random.default_rng(0)
+    imgs = [Image.fromarray(rng.integers(0, 255, (448, 448, 3), np.uint8))
+            for _ in range(batch)]
+    proc = ret.processor.process_images(imgs)
+    args = [jnp.asarray(a) for a in ret._batch_args(proc, True)]
+
+    def run(flag):
+        L.set_fused_layer(flag)
+        try:
+            import jax
+            out = jax.jit(lambda p, *a: ret.model.apply({"params": p}, *a))(
+                ret.params, *args)
+            return np.asarray(out.astype(jnp.float32))
+        finally:
+            L.set_fused_layer(None)
+
+    want = run(False)
+    got = run(True)
+    err = float(np.max(np.abs(got - want)))
+    # embeddings are L2-normalized ~unit scale; bf16 matmul accumulation
+    # reorder noise stays well under this
+    ok = err < 2e-2
+    log(f"[fused-layer] {name} batch={batch}: max|diff|={err:.4f} "
+        f"{'OK' if ok else 'MISMATCH'}")
+    return ok
+
+
 def encoder_mfu(name: str, batch: int, fused=None,
                 quantize=None, device_init: bool = False) -> float:
     import warnings
@@ -503,6 +548,10 @@ def main() -> None:
         fused_ok = validate_fused_attention()
         log(f"[validate] fused attention parity on TPU: "
             f"{'PASS - safe to enable' if fused_ok else 'FAIL - keep opt-in'}")
+        layer_ok = validate_fused_layer()
+        log(f"[validate] fused LAYER parity on TPU: "
+            f"{'PASS - safe to default on' if layer_ok else 'FAIL - set MMCP_FUSED_LAYER=0'}")
+        fused_ok &= layer_ok
 
     if not args.skip_encoders:
         base = encoder_mfu("ahmed-masry/ColFlor", batch=16, fused=False)
