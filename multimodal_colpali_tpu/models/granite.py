@@ -61,13 +61,17 @@ class ColGraniteModelConfig:
         return g * g + g * (g + 1)
 
     def n_image_tokens_for(self, tiles) -> int:
-        """Packed token count for an anyres tiling (ty, tx): base grid plus
-        the tiled spatial grid with one newline token per spatial row."""
+        """Packed token count for an anyres layout (ty, tx[, dy, dx]):
+        base grid plus the UNPADDED tiled spatial grid (dy/dx feature
+        rows/cols cropped from each side, HF unpad_image) with one
+        newline token per remaining spatial row."""
         if tiles is None:
             return self.n_image_tokens
         g = self.grid
-        ty, tx = tiles
-        return g * g + ty * g * (tx * g + 1)
+        ty, tx, dy, dx = (tuple(tiles) + (0, 0))[:4]
+        rows = ty * g - 2 * dy
+        cols = tx * g - 2 * dx
+        return g * g + rows * (cols + 1)
 
     def default_pinpoints(self, max_tiles: int = 4):
         """anyres resolution candidates: (a*S, b*S) canvases up to
@@ -217,16 +221,23 @@ class ColGraniteModel(nn.Module):
                     bsz, g * (g + 1), t.hidden_size)
                 feats = jnp.concatenate([proj, tile], axis=1)
             else:
-                ty, tx = tiles
+                ty, tx, dy, dx = (tuple(tiles) + (0, 0))[:4]
                 proj = proj.reshape(bsz, 1 + ty * tx, g * g, t.hidden_size)
                 base = proj[:, 0]                                  # [B, g*g, D]
                 sp = proj[:, 1:].reshape(bsz, ty, tx, g, g, t.hidden_size)
                 sp = sp.transpose(0, 1, 3, 2, 4, 5).reshape(
                     bsz, ty * g, tx * g, t.hidden_size)
+                # HF unpad_image, STATIC: the layout key carries the
+                # aspect-derived symmetric feature crop, so the pad
+                # rows/cols the canvas introduced never become tokens
+                # (exactness restored vs the round-4 quantified skip)
+                rows = ty * g - 2 * dy
+                cols = tx * g - 2 * dx
+                sp = sp[:, dy:dy + rows, dx:dx + cols]
                 nl = jnp.broadcast_to(newline[None, None, None, :],
-                                      (bsz, ty * g, 1, t.hidden_size))
+                                      (bsz, rows, 1, t.hidden_size))
                 sp = jnp.concatenate([sp, nl], axis=2).reshape(
-                    bsz, ty * g * (tx * g + 1), t.hidden_size)
+                    bsz, rows * (cols + 1), t.hidden_size)
                 feats = jnp.concatenate([base, sp], axis=1)
             is_img = input_ids == c.image_token_id
             img_pos = jnp.clip(jnp.cumsum(is_img, axis=1) - 1, 0, feats.shape[1] - 1)

@@ -66,7 +66,15 @@ class ColGraniteProcessor:
     # -- anyres tiling --------------------------------------------------------
 
     def tiling_for(self, img: Any) -> tuple:
-        """(ty, tx) canvas tiling for one image."""
+        """(ty, tx, dy, dx) static layout for one image: canvas tiling
+        plus the HF ``unpad_image`` crop in FEATURE units (dy/dx feature
+        rows/cols removed from EACH side of the assembled spatial grid).
+        Including the crop in the layout key is what makes HF's
+        aspect-dependent unpad exact under static TPU shapes: each
+        distinct crop is its own jit specialization (images of one
+        corpus overwhelmingly share a handful of aspects), instead of
+        skipping the crop and carrying pad-row tokens (the round-4
+        quantified deviation, now gone)."""
         from PIL import Image
 
         if isinstance(img, Image.Image):
@@ -75,7 +83,20 @@ class ColGraniteProcessor:
             h, w = np.asarray(img).shape[:2]
         ph, pw = select_best_resolution(h, w, self.pinpoints)
         s = self.cfg.vision.image_size
-        return ph // s, pw // s
+        ty, tx = ph // s, pw // s
+        # HF unpad_image (modeling_llava_next.py) on the [ty*g, tx*g]
+        # feature grid, original size (h, w) - same float comparisons
+        # and int(round(, 7)) arithmetic
+        g = self.cfg.grid
+        ch, cw = ty * g, tx * g
+        dy = dx = 0
+        if w / h > cw / ch:
+            new_h = int(round(h * (cw / w), 7))
+            dy = (ch - new_h) // 2
+        else:
+            new_w = int(round(w * (ch / h), 7))
+            dx = (cw - new_w) // 2
+        return ty, tx, dy, dx
 
     def group_by_grid(self, images: Sequence[Any]):
         """Group image indices by tiling (registry grouping protocol)."""
@@ -112,7 +133,7 @@ class ColGraniteProcessor:
 
     def process_images(self, images: Sequence[Any], grid: Optional[tuple] = None) -> dict:
         if grid is not None:  # anyres tiling for this group
-            pix = np.stack([self._canvas_tiles(im, grid) for im in images])
+            pix = np.stack([self._canvas_tiles(im, grid[:2]) for im in images])
             n_tok = self.cfg.n_image_tokens_for(grid)
         else:
             pix = self.image_preprocessor(images)

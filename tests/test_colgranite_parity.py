@@ -160,7 +160,8 @@ def test_granite_anyres_processor_and_grouped_embedding():
     mk = lambda h, w: Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8))
     imgs = [mk(s, 2 * s), mk(2 * s, s), mk(s, 2 * s)]  # wide, tall, wide
     tilings = [r.processor.tiling_for(im) for im in imgs]
-    assert tilings[0] == (1, 2) and tilings[1] == (2, 1)
+    # exact-canvas aspects need no unpad crop (dy = dx = 0)
+    assert tilings[0] == (1, 2, 0, 0) and tilings[1] == (2, 1, 0, 0)
 
     embs = r.embed_images(imgs, batch_size=2)
     assert len(embs) == 3

@@ -39,13 +39,13 @@ QUERIES = ["what binds selectins", "glycan structures", "affinity data"]
 
 
 @pytest.mark.parametrize("tiling", ["1x2", "2x2"])
-def test_granite_unpad_skip_deviation_quantified(tiling):
-    """HF anyres UNPADS tile features to the original aspect; our static
-    path keeps the padded canvas. Measured effect on MaxSim scores must
-    stay small and leave top-1 untouched - quantified at BOTH a 1x2
-    tiling (aspect-1.5 images, HF crops a quarter of the tile columns)
-    and a 2x2 tiling (aspect-1.19 images upscaled onto the 2s x 2s
-    canvas, HF crops the pad rows; VERDICT r3 #9)."""
+def test_granite_unpad_matches_hf_exactly(tiling):
+    """HF anyres UNPADS tile features to the original aspect; the static
+    path replicates the crop exactly by folding it into the per-layout
+    jit key (VERDICT r4 weak #7: 'exactness is achievable - crop like
+    HF'). Verified at a 1x2 tiling (aspect-1.5 images: HF crops tile
+    columns) and a 2x2 tiling (aspect-1.19 images: HF crops pad rows)
+    against the real torch LlavaNextModel pipeline."""
     from transformers import (LlavaNextConfig, LlavaNextImageProcessor,
                               LlavaNextModel)
 
@@ -125,7 +125,11 @@ def test_granite_unpad_skip_deviation_quantified(tiling):
                 vision_feature_layer=cfg.vision_feature_layer,
                 vision_feature_select_strategy="full")
         n_img = int(feats[0].shape[0])
-        ids = np.asarray([[cfg.image_token_id] * n_img + [5, 9]], np.int64)
+        from multimodal_colpali_tpu.models.processing_granite import (
+            IMAGE_PROMPT)
+        prompt_ids = r.processor._ids(IMAGE_PROMPT + "\n")
+        ids = np.asarray([[cfg.image_token_id] * n_img + prompt_ids],
+                         np.int64)
         mask = np.ones_like(ids)
         with torch.no_grad():
             hidden = hf(input_ids=torch.from_numpy(ids),
@@ -136,30 +140,23 @@ def test_granite_unpad_skip_deviation_quantified(tiling):
             w = w / w.norm(dim=-1, keepdim=True)
         hf_embs.append(w[0].numpy())
 
-    assert ours[0].shape[0] != hf_embs[0].shape[0]  # the deviation is real
+    # Round-5: the deviation is GONE. The layout key now carries HF's
+    # unpad_image crop in feature units (processor.tiling_for), the model
+    # slices the pad rows/cols statically, so token counts and scores
+    # match HF exactly (up to f32 numerics) at EVERY tiling.
+    assert ours[0].shape[0] == hf_embs[0].shape[0], (
+        ours[0].shape, hf_embs[0].shape)
     q = r.embed_queries(QUERIES)
     s_ours = _score_matrix(q, ours)
     s_hf = _score_matrix(q, hf_embs)
     rel = np.abs(s_ours - s_hf) / np.abs(s_hf)
-    print(f"[deviation granite {tiling}] tokens ours={ours[0].shape[0]} "
-          f"hf={hf_embs[0].shape[0]}; rel score diff "
-          f"mean={rel.mean():.4f} max={rel.max():.4f}")
-    assert rel.mean() < 0.05 and rel.max() < 0.15
-    # Top-1 retrieval is preserved wherever it is DECIDABLE: a deviation
-    # of at most d can only flip rankings whose margin is within 2d, so
-    # assert top-1 agreement for every query whose HF top-1 margin over
-    # the runner-up exceeds that bound. (On this random-noise corpus the
-    # 2x2 tiling's pad-row tokens shift scores ~2-5% while MaxSim scores
-    # cluster within ~3% of each other - near-ties may flip, separated
-    # corpora may not.)
-    d = np.abs(s_ours - s_hf).max()
-    top2 = np.sort(s_hf, axis=1)[:, -2:]
-    decidable = (top2[:, 1] - top2[:, 0]) > 2 * d
-    assert np.array_equal(np.argmax(s_ours, axis=1)[decidable],
-                          np.argmax(s_hf, axis=1)[decidable])
-    if tiling == "1x2":   # 1x2's deviation is small enough that top-1
-        assert np.array_equal(np.argmax(s_ours, axis=1),   # never flips
-                              np.argmax(s_hf, axis=1))
+    print(f"[granite unpad exact {tiling}] tokens={ours[0].shape[0]}; "
+          f"rel score diff mean={rel.mean():.2e} max={rel.max():.2e}")
+    assert rel.max() < 1e-3, rel.max()
+    assert np.array_equal(np.argmax(s_ours, axis=1),
+                          np.argmax(s_hf, axis=1))
+    for o, hfe in zip(ours, hf_embs):
+        np.testing.assert_allclose(o, hfe, rtol=2e-3, atol=2e-3)
 
 
 def test_idefics3_split_pixels_bitmatch_hf():
