@@ -2665,9 +2665,28 @@ mmpdf_text_run* mmpdf_extract_runs(mmpdf_doc* h, int page, int* count) {
   pr.raster = false;
   pr.run();
   if (pr.runs.empty()) return nullptr;
-  auto* out = (mmpdf_text_run*)malloc(sizeof(mmpdf_text_run) * pr.runs.size());
-  for (size_t i = 0; i < pr.runs.size(); i++) {
-    auto& r = pr.runs[i];
+  // merge kern-split show ops (matplotlib et al. split one word into
+  // several Tj at kern adjustments): consecutive same-line runs whose
+  // gap stays below the extract_text space threshold are ONE run -
+  // downstream consumers (detect_tables cell assembly, caption match)
+  // must see whole words, not fragments
+  std::vector<mmpdf::TextRun> merged;
+  for (auto& r : pr.runs) {
+    if (!merged.empty()) {
+      auto& p = merged.back();
+      double gap = r.x - p.x_end;
+      if (std::abs(r.y - p.y) < 1e-6 && gap <= 0.18 * p.size &&
+          gap > -0.5 * p.size) {
+        p.text += r.text;
+        p.x_end = r.x_end;
+        continue;
+      }
+    }
+    merged.push_back(r);
+  }
+  auto* out = (mmpdf_text_run*)malloc(sizeof(mmpdf_text_run) * merged.size());
+  for (size_t i = 0; i < merged.size(); i++) {
+    auto& r = merged[i];
     out[i].x = r.x;
     out[i].y = r.y;
     out[i].size = r.size;
@@ -2675,7 +2694,7 @@ mmpdf_text_run* mmpdf_extract_runs(mmpdf_doc* h, int page, int* count) {
     memcpy(out[i].text, r.text.data(), r.text.size());
     out[i].text[r.text.size()] = 0;
   }
-  *count = (int)pr.runs.size();
+  *count = (int)merged.size();
   return out;
 }
 
