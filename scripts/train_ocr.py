@@ -29,7 +29,8 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from multimodal_colpali_tpu.ingest.ocr_conv import (   # noqa: E402
-    BAD_IDX, CHARSET, LIGATURES, _WEIGHTS_PATH, binarize, conv_ocr_init,
+    BAD_IDX, CHARSET, LIGATURES, MERGE_PAIRS, _WEIGHTS_PATH, binarize,
+    conv_ocr_init,
     conv_ocr_logits, line_samples, segment_glyphs, upscale_if_small,
     weak_ink)
 
@@ -123,7 +124,8 @@ def _pos_aligned_labels(boxes, text, font, scale=1, pad=6):
         if len(seq) == 1 and bi not in frag_boxes:
             keep.append(bi)
             labels.append(seq)
-        elif seq in LIGATURES and bi not in frag_boxes:
+        elif (seq in LIGATURES or seq in MERGE_PAIRS) \
+                and bi not in frag_boxes:
             keep.append(bi)
             labels.append(seq)
         else:
@@ -157,10 +159,11 @@ def harvest(font_path: str, rng, sizes=(12, 14, 18, 24, 34, 46),
                 font = ImageFont.truetype(font_path, size)
         except OSError:
             return xs, fs, ys
-        for li in range(2 * n_lines):
-            if li % 2 == 0:
+        for li in range(3 * n_lines):
+            down = 1.0
+            if li % 3 == 0:
                 toks = [str(c) for c in rng.choice(list(chars), size=12)]
-                if li % 4 == 0:
+                if li % 6 == 0:
                     # merged-cluster tokens: when the font renders the
                     # f-sequence as ONE component the box gets the
                     # ligature label; when it splits, the word is
@@ -171,11 +174,31 @@ def harvest(font_path: str, rng, sizes=(12, 14, 18, 24, 34, 46),
                         toks.insert(int(rng.integers(0, len(toks) + 1)),
                                     str(lig))
                 text = " ".join(toks)
-            else:
+            elif li % 3 == 1:
                 toks = [_rand_word(rng)
                         for _ in range(int(rng.integers(3, 7)))]
                 text = " ".join(toks)
+                # scans embedded above render DPI reach the recognizer
+                # downsampled (200-DPI scan on a 144-DPI page render);
+                # a fraction of word lines trains that regime
+                if rng.random() < 0.4:
+                    down = float(rng.uniform(0.6, 0.85))
+            else:
+                # merge-pair-rich lines, rendered downsampled so the
+                # pairs actually FUSE: the fused patterns land in their
+                # MERGE_PAIRS class via _pos_aligned_labels (pairs that
+                # stay separate just yield ordinary single-char samples)
+                toks = ["".join(rng.choice(list(MERGE_PAIRS), size=2))
+                        for _ in range(6)]
+                text = " ".join(toks)
+                down = float(rng.uniform(0.6, 0.8))
             arr = render_line(font, text)
+            if down < 1.0:
+                from PIL import Image
+                im = Image.fromarray(arr)
+                nw = max(int(im.width * down), 8)
+                nh = max(int(im.height * down), 8)
+                arr = np.asarray(im.resize((nw, nh), Image.BILINEAR))
             # the recognizer's own scale normalization (small print is
             # pixel-doubled before segmentation) - applied here so the
             # training crop distribution matches inference exactly
@@ -188,7 +211,8 @@ def harvest(font_path: str, rng, sizes=(12, 14, 18, 24, 34, 46),
             if not boxes:
                 continue
             patches, feats, _, cap_h = line_samples(ink, boxes, arr)
-            keep, labels = _pos_aligned_labels(boxes, text, font, scl)
+            keep, labels = _pos_aligned_labels(boxes, text, font,
+                                               down * scl)
             for i, ch in zip(keep, labels):
                 xs.append(patches[i])
                 fs.append(feats[i])
