@@ -137,18 +137,329 @@ def tiny_ported_pair():
     return retriever, hf_model
 
 
-def freeze_tiny(out_dir: Path) -> None:
-    """Freeze the COMMITTED golden artifacts: tiny ported params npz +
-    torch-stack goldens npz over the deterministic fixture corpus."""
+TINY_FAMILIES = ["tiny-colpali", "tiny-colflor", "tiny-colidefics3",
+                 "tiny-colqwen2.5", "tiny-colgranite"]
+
+
+def _norm_mask(want, mask):
+    import torch
+    want = want / want.norm(dim=-1, keepdim=True)
+    return (want * torch.from_numpy(mask)[..., None]).float().numpy()
+
+
+def tiny_ported_pair_for(name: str):
+    """(jax Retriever with torch-ported tiny weights + a ``_torch_fwd``
+    closure) for EVERY retriever family (VERDICT r4 missing #3: goldens
+    were committed for one family of five). Each pair mirrors the
+    family's torch parity test: seeded tiny HF backbone (+ injected
+    projection head where the HF Col* class does not exist), weights
+    ported via hf_import, so the frozen goldens pin real cross-framework
+    numerics per family (reference oracle 05_experiment02.py:200-236)."""
+    import jax.numpy as jnp
+    import torch
+
+    from multimodal_colpali_tpu.models import hf_import
+    from multimodal_colpali_tpu.models.registry import Retriever
+
+    if name == "tiny-colpali":
+        retriever, hf_model = tiny_ported_pair()
+
+        def fwd(batch, with_pix):
+            kwargs = dict(
+                input_ids=torch.from_numpy(batch["input_ids"]).long(),
+                attention_mask=torch.from_numpy(
+                    batch["attention_mask"]).long())
+            if with_pix:
+                kwargs["pixel_values"] = torch.from_numpy(
+                    np.asarray(batch["pixel_values"],
+                               np.float32).transpose(0, 3, 1, 2))
+            with torch.no_grad():
+                return hf_model(**kwargs).embeddings.float().numpy()
+
+        retriever._torch_fwd = fwd
+        return retriever
+
+    if name == "tiny-colflor":
+        from transformers import Florence2Config, Florence2Model
+
+        from multimodal_colpali_tpu.models.florence2 import (
+            ColFlorModel, ColFlorModelConfig)
+        from multimodal_colpali_tpu.models.processing_florence2 import (
+            ColFlorProcessor)
+
+        cfg = ColFlorModelConfig.tiny(vocab_size=64)
+        v = cfg.vision
+        hf_cfg = Florence2Config(
+            vision_config=dict(
+                depths=list(v.depths), embed_dim=list(v.embed_dim),
+                num_heads=list(v.num_heads), num_groups=list(v.num_groups),
+                patch_size=list(v.patch_size),
+                patch_stride=list(v.patch_stride),
+                patch_padding=list(v.patch_padding),
+                patch_prenorm=list(v.patch_prenorm),
+                window_size=v.window_size, drop_path_rate=0.0,
+                projection_dim=v.projection_dim,
+                image_size=[cfg.image_size, cfg.image_size],
+                max_position_embeddings=v.max_position_embeddings),
+            text_config=dict(
+                d_model=cfg.text.d_model,
+                encoder_layers=cfg.text.encoder_layers, decoder_layers=1,
+                encoder_attention_heads=cfg.text.encoder_attention_heads,
+                decoder_attention_heads=2,
+                encoder_ffn_dim=cfg.text.encoder_ffn_dim,
+                decoder_ffn_dim=48, vocab_size=cfg.text.vocab_size,
+                max_position_embeddings=cfg.text.max_position_embeddings,
+                scale_embedding=cfg.text.scale_embedding,
+                activation_function="gelu", dropout=0.0,
+                attention_dropout=0.0, activation_dropout=0.0),
+            image_token_id=cfg.image_token_id)
+        torch.manual_seed(0)
+        hf_model = Florence2Model(hf_cfg).eval()
+        torch.manual_seed(1)
+        proj = torch.nn.Linear(cfg.text.d_model, cfg.embedding_dim)
+        sd = dict(hf_model.state_dict())
+        sd["embedding_proj_layer.weight"] = proj.weight
+        sd["embedding_proj_layer.bias"] = proj.bias
+        params = hf_import.colflor_params_from_hf(sd, cfg)
+        retriever = Retriever(name=name, model=ColFlorModel(cfg),
+                              params=params, processor=ColFlorProcessor(cfg),
+                              dtype=jnp.float32, family="colflor")
+
+        def fwd(batch, with_pix):
+            ids = torch.from_numpy(batch["input_ids"]).long()
+            mask = batch["attention_mask"]
+            kwargs = {}
+            if with_pix:
+                kwargs["pixel_values"] = torch.from_numpy(
+                    np.asarray(batch["pixel_values"],
+                               np.float32).transpose(0, 3, 1, 2))
+            with torch.no_grad():
+                out = hf_model(
+                    input_ids=ids,
+                    attention_mask=torch.from_numpy(mask).long(),
+                    decoder_input_ids=torch.zeros((ids.shape[0], 1),
+                                                  dtype=torch.long),
+                    **kwargs).encoder_last_hidden_state
+                return _norm_mask(proj(out), mask)
+
+        retriever._torch_fwd = fwd
+        return retriever
+
+    if name == "tiny-colidefics3":
+        from transformers import Idefics3Config, Idefics3Model
+
+        from multimodal_colpali_tpu.models.idefics3 import (
+            ColIdefics3Model, ColIdefics3ModelConfig)
+        from multimodal_colpali_tpu.models.processing_idefics3 import (
+            ColIdefics3Processor)
+
+        cfg = ColIdefics3ModelConfig.tiny(vocab_size=64)
+        hf_cfg = Idefics3Config(
+            vision_config=dict(
+                hidden_size=cfg.vision.hidden_size,
+                intermediate_size=cfg.vision.intermediate_size,
+                num_hidden_layers=cfg.vision.num_hidden_layers,
+                num_attention_heads=cfg.vision.num_attention_heads,
+                image_size=cfg.vision.image_size,
+                patch_size=cfg.vision.patch_size),
+            text_config=dict(
+                hidden_size=cfg.text.hidden_size,
+                intermediate_size=cfg.text.intermediate_size,
+                num_hidden_layers=cfg.text.num_hidden_layers,
+                num_attention_heads=cfg.text.num_attention_heads,
+                num_key_value_heads=cfg.text.num_key_value_heads,
+                vocab_size=cfg.text.vocab_size,
+                rope_theta=cfg.text.rope_theta,
+                rms_norm_eps=cfg.text.rms_norm_eps,
+                max_position_embeddings=256),
+            scale_factor=cfg.scale_factor,
+            image_token_id=cfg.image_token_id)
+        torch.manual_seed(0)
+        hf_model = Idefics3Model(hf_cfg).eval()
+        torch.manual_seed(1)
+        proj = torch.nn.Linear(cfg.text.hidden_size, cfg.embedding_dim)
+        sd = dict(hf_model.state_dict())
+        sd["embedding_proj_layer.weight"] = proj.weight
+        sd["embedding_proj_layer.bias"] = proj.bias
+        params = hf_import.colidefics3_params_from_hf(sd, cfg)
+        retriever = Retriever(name=name, model=ColIdefics3Model(cfg),
+                              params=params,
+                              processor=ColIdefics3Processor(cfg),
+                              dtype=jnp.float32, family="colidefics3")
+
+        def fwd(batch, with_pix):
+            mask = batch["attention_mask"]
+            kwargs = {}
+            if with_pix:
+                pix = np.asarray(batch["pixel_values"],
+                                 np.float32).transpose(0, 3, 1, 2)
+                kwargs["pixel_values"] = torch.from_numpy(pix[:, None])
+            with torch.no_grad():
+                out = hf_model(
+                    input_ids=torch.from_numpy(batch["input_ids"]).long(),
+                    attention_mask=torch.from_numpy(mask).long(),
+                    **kwargs).last_hidden_state
+                return _norm_mask(proj(out), mask)
+
+        retriever._torch_fwd = fwd
+        return retriever
+
+    if name == "tiny-colqwen2.5":
+        from transformers import Qwen2_5_VLConfig, Qwen2_5_VLModel
+
+        from multimodal_colpali_tpu.models.qwen2vl import (
+            ColQwen2Model, ColQwen2ModelConfig)
+        from multimodal_colpali_tpu.models.processing_qwen2vl import (
+            ColQwen2Processor)
+
+        cfg = ColQwen2ModelConfig.tiny_25(vocab_size=64)
+        hf_cfg = Qwen2_5_VLConfig(
+            vision_config=dict(
+                depth=cfg.vision.depth, hidden_size=cfg.vision.embed_dim,
+                out_hidden_size=cfg.vision.hidden_size,
+                num_heads=cfg.vision.num_heads,
+                intermediate_size=cfg.vision.intermediate_size,
+                patch_size=cfg.vision.patch_size,
+                temporal_patch_size=cfg.vision.temporal_patch_size,
+                spatial_merge_size=cfg.vision.spatial_merge_size,
+                window_size=cfg.vision.window_size,
+                fullatt_block_indexes=list(cfg.vision.fullatt_block_indexes)),
+            text_config=dict(
+                hidden_size=cfg.text.hidden_size,
+                intermediate_size=cfg.text.intermediate_size,
+                num_hidden_layers=cfg.text.num_hidden_layers,
+                num_attention_heads=cfg.text.num_attention_heads,
+                num_key_value_heads=cfg.text.num_key_value_heads,
+                vocab_size=cfg.text.vocab_size,
+                rope_theta=cfg.text.rope_theta,
+                rms_norm_eps=cfg.text.rms_norm_eps,
+                rope_scaling={"rope_type": "default",
+                              "mrope_section": list(cfg.text.mrope_section)}),
+            image_token_id=cfg.image_token_id,
+            video_token_id=cfg.image_token_id - 3,
+            vision_start_token_id=cfg.vision_start_token_id,
+            vision_end_token_id=cfg.vision_end_token_id)
+        torch.manual_seed(0)
+        hf_model = Qwen2_5_VLModel(hf_cfg).eval()
+        torch.manual_seed(1)
+        proj = torch.nn.Linear(cfg.text.hidden_size, cfg.embedding_dim)
+        sd = dict(hf_model.state_dict())
+        sd["embedding_proj_layer.weight"] = proj.weight
+        sd["embedding_proj_layer.bias"] = proj.bias
+        params = hf_import.colqwen2_params_from_hf(sd, cfg)
+        retriever = Retriever(name=name, model=ColQwen2Model(cfg),
+                              params=params,
+                              processor=ColQwen2Processor(cfg),
+                              dtype=jnp.float32, family="colqwen2")
+
+        def fwd(batch, with_pix):
+            mask = batch["attention_mask"]
+            kwargs = {}
+            if with_pix:
+                patches = np.asarray(batch["pixel_values"], np.float32)
+                gh, gw = batch["grid"]
+                kwargs["pixel_values"] = torch.from_numpy(
+                    patches.reshape(-1, patches.shape[-1]))
+                kwargs["image_grid_thw"] = torch.tensor(
+                    [[1, gh, gw]] * patches.shape[0])
+            with torch.no_grad():
+                out = hf_model(
+                    input_ids=torch.from_numpy(batch["input_ids"]).long(),
+                    attention_mask=torch.from_numpy(mask).long(),
+                    **kwargs).last_hidden_state
+                return _norm_mask(proj(out), mask)
+
+        retriever._torch_fwd = fwd
+        return retriever
+
+    if name == "tiny-colgranite":
+        from transformers import LlavaNextConfig, LlavaNextModel
+
+        from multimodal_colpali_tpu.models.granite import (
+            ColGraniteModel, ColGraniteModelConfig)
+        from multimodal_colpali_tpu.models.processing_granite import (
+            ColGraniteProcessor)
+
+        cfg = ColGraniteModelConfig.tiny(vocab_size=64)
+        s = cfg.vision.image_size
+        hf_cfg = LlavaNextConfig(
+            vision_config=dict(
+                model_type="siglip_vision_model",
+                hidden_size=cfg.vision.hidden_size,
+                intermediate_size=cfg.vision.intermediate_size,
+                num_hidden_layers=cfg.vision.num_hidden_layers,
+                num_attention_heads=cfg.vision.num_attention_heads,
+                image_size=s, patch_size=cfg.vision.patch_size),
+            text_config=dict(
+                model_type="granite",
+                hidden_size=cfg.text.hidden_size,
+                intermediate_size=cfg.text.intermediate_size,
+                num_hidden_layers=cfg.text.num_hidden_layers,
+                num_attention_heads=cfg.text.num_attention_heads,
+                num_key_value_heads=cfg.text.num_key_value_heads,
+                vocab_size=cfg.text.vocab_size,
+                rope_theta=cfg.text.rope_theta,
+                rms_norm_eps=cfg.text.rms_norm_eps,
+                embedding_multiplier=cfg.text.embedding_multiplier,
+                attention_multiplier=cfg.text.attention_multiplier,
+                residual_multiplier=cfg.text.residual_multiplier,
+                logits_scaling=1.0, max_position_embeddings=256),
+            image_grid_pinpoints=[[s, s]],
+            vision_feature_select_strategy="full",
+            vision_feature_layer=cfg.vision_feature_layer,
+            image_token_index=cfg.image_token_id)
+        torch.manual_seed(0)
+        hf_model = LlavaNextModel(hf_cfg).eval()
+        torch.manual_seed(1)
+        proj = torch.nn.Linear(cfg.text.hidden_size, cfg.embedding_dim)
+        sd = dict(hf_model.state_dict())
+        sd["embedding_proj_layer.weight"] = proj.weight
+        sd["embedding_proj_layer.bias"] = proj.bias
+        params = hf_import.colgranite_params_from_hf(sd, cfg)
+        retriever = Retriever(name=name, model=ColGraniteModel(cfg),
+                              params=params,
+                              processor=ColGraniteProcessor(cfg),
+                              dtype=jnp.float32, family="colgranite")
+
+        def fwd(batch, with_pix):
+            mask = batch["attention_mask"]
+            kwargs = {}
+            if with_pix:
+                pix = np.asarray(batch["pixel_values"],
+                                 np.float32).transpose(0, 3, 1, 2)
+                # LLaVA-Next anyres [B, 1+tiles, C, H, W]; at the square
+                # pinpoint the single tile IS the base image
+                kwargs["pixel_values"] = torch.from_numpy(
+                    np.stack([pix, pix], axis=1))
+                kwargs["image_sizes"] = torch.tensor(
+                    [[s, s]] * pix.shape[0])
+            with torch.no_grad():
+                out = hf_model(
+                    input_ids=torch.from_numpy(batch["input_ids"]).long(),
+                    attention_mask=torch.from_numpy(mask).long(),
+                    **kwargs).last_hidden_state
+                return _norm_mask(proj(out), mask)
+
+        retriever._torch_fwd = fwd
+        return retriever
+
+    raise KeyError(f"unknown tiny family {name!r}; known: {TINY_FAMILIES}")
+
+
+def freeze_tiny(out_dir: Path, families=None) -> None:
+    """Freeze the COMMITTED golden artifacts for every retriever family:
+    tiny ported params npz + torch-stack goldens npz over the
+    deterministic fixture corpus."""
     out_dir.mkdir(parents=True, exist_ok=True)
-    retriever, hf_model = tiny_ported_pair()
-    retriever._torch_model = hf_model
     corpus = tempfile.mkdtemp(prefix="freeze_tiny_corpus_")
     build_fixture_corpus(corpus)
-    save_params_npz(retriever.params,
-                    out_dir / "tiny-colpali_params.npz")
-    goldens = torch_goldens(retriever, corpus, DEFAULT_QUERIES)
-    np.savez_compressed(out_dir / "tiny-colpali.npz", **goldens)
+    for name in families or TINY_FAMILIES:
+        retriever = tiny_ported_pair_for(name)
+        slug = _slug(name)
+        save_params_npz(retriever.params, out_dir / f"{slug}_params.npz")
+        goldens = torch_goldens(retriever, corpus, DEFAULT_QUERIES)
+        np.savez_compressed(out_dir / f"{slug}.npz", **goldens)
+        print(f"[validate] froze {slug}(.npz, _params.npz)")
     print(f"[validate] committed-golden artifacts frozen under {out_dir}")
 
 
@@ -213,29 +524,32 @@ def torch_goldens(retriever, corpus_dir: str, queries):
 
     from multimodal_colpali_tpu.ingest.rasterize import convert_pdf_dir_to_images
 
+    fwd = getattr(retriever, "_torch_fwd", None)
     model_t = getattr(retriever, "_torch_model", None)
-    if model_t is None:
+    if fwd is None and model_t is None:
         from transformers import ColPaliForRetrieval
 
         ckpt = os.environ.get("COLPALI_TPU_CKPT_DIR")
         if not ckpt:
             raise SystemExit("--write-goldens requires COLPALI_TPU_CKPT_DIR "
-                             "(or a test-injected torch model)")
+                             "(or a test-injected torch model/_torch_fwd)")
         model_t = ColPaliForRetrieval.from_pretrained(
             os.path.join(ckpt, retriever.name.replace("/", "--"))).eval()
 
     images_per_pdf = convert_pdf_dir_to_images(corpus_dir)
     proc = retriever.processor
 
-    def fwd(batch, with_pix):
-        kwargs = dict(
-            input_ids=torch.from_numpy(batch["input_ids"]).long(),
-            attention_mask=torch.from_numpy(batch["attention_mask"]).long())
-        if with_pix:
-            kwargs["pixel_values"] = torch.from_numpy(
-                batch["pixel_values"].transpose(0, 3, 1, 2))
-        with torch.no_grad():
-            return model_t(**kwargs).embeddings.float().numpy()
+    if fwd is None:
+        def fwd(batch, with_pix):
+            kwargs = dict(
+                input_ids=torch.from_numpy(batch["input_ids"]).long(),
+                attention_mask=torch.from_numpy(
+                    batch["attention_mask"]).long())
+            if with_pix:
+                kwargs["pixel_values"] = torch.from_numpy(
+                    batch["pixel_values"].transpose(0, 3, 1, 2))
+            with torch.no_grad():
+                return model_t(**kwargs).embeddings.float().numpy()
 
     refs, embs, pixels = [], [], None
     for filename, images in images_per_pdf.items():
