@@ -486,6 +486,25 @@ def bench_decode_27b(backend: str, timeout_s: float = 2400.0) -> dict:
     return {}
 
 
+def maxsim_1m_record() -> dict:
+    """Fold the committed 1M-page two-stage record (BASELINE config #5,
+    scripts/bench_1m_maxsim.py run on the chip): stage timings + the
+    end-to-end p50 estimate at 1,000,000 pages."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "records", "maxsim_1m_r5.json")
+    if not os.path.exists(path):
+        log("[bench] no records/maxsim_1m_r5.json - maxsim_1m_* keys "
+            "absent (run scripts/bench_1m_maxsim.py on the chip)")
+        return {}
+    with open(path) as f:
+        rec = json.load(f)
+    return {
+        "maxsim_1m_pages": rec.get("n_pool_pages"),
+        "maxsim_1m_stage1_ms": rec.get("stage1_device_ms"),
+        "maxsim_1m_end_to_end_ms": rec.get("end_to_end_ms"),
+    }
+
+
 def workflow_record() -> dict:
     """Fold the committed composed-workflow record (VERDICT r3 #1:
     scripts/tpu_workflow_e2e.py, ingest -> index -> exp01/exp02 against
@@ -563,6 +582,11 @@ def main() -> None:
             result.update(workflow_record())
         except Exception as e:  # noqa: BLE001 - diagnostics must not kill the line
             log(f"[bench] workflow record skipped: {type(e).__name__}: {e}")
+
+        try:
+            result.update(maxsim_1m_record())
+        except Exception as e:  # noqa: BLE001 - diagnostics must not kill the line
+            log(f"[bench] 1M-page record skipped: {type(e).__name__}: {e}")
     except BaseException as e:  # noqa: BLE001 - the JSON line must survive anything
         log(f"[bench] FAILED: {type(e).__name__}: {e}")
     emit(result)
