@@ -870,24 +870,41 @@ class ConvOcr:
             return (asc - desc) / n if n >= 8 else None
 
         def sample_conf(g2, m, lines):
-            boxes = [b for _, _, bs in lines for b in bs][:40]
-            if len(boxes) < 5:
-                return 0.0
-            p, f, _, _ = line_samples(m, boxes, g2)
-            logits = np.asarray(self._forward(p, f))
-            ex = np.exp(logits - logits.max(axis=1, keepdims=True))
-            probs = ex / ex.sum(axis=1, keepdims=True)
-            return float(probs[:, :BAD_IDX].max(axis=1).mean())
+            # PER LINE: line_samples' baseline/cap statistics are only
+            # meaningful within one line - pooling boxes across lines
+            # corrupts the layout features and washes the signal out
+            confs: List[float] = []
+            for _y0, _y1, boxes in lines[:4]:
+                boxes = list(boxes)[:40]
+                if len(boxes) < 4:
+                    continue
+                p, f, _, _ = line_samples(m, boxes, g2)
+                logits = np.asarray(self._forward(p, f))
+                ex = np.exp(logits - logits.max(axis=1, keepdims=True))
+                probs = ex / ex.sum(axis=1, keepdims=True)
+                confs.extend(probs[:, :BAD_IDX].max(axis=1).tolist())
+            return float(np.mean(confs)) if len(confs) >= 5 else 0.0
 
         base = np.rot90(gray, k0) if k0 else gray
         s_up = page_sample(base)
         s_dn = page_sample(np.rot90(base, 2))
         up = upright_score(s_up[2])
         dn = upright_score(s_dn[2])
-        if up is not None and dn is not None and abs(up - dn) > 0.05:
-            flip = dn > up
-        else:
-            flip = sample_conf(*s_dn) > sample_conf(*s_up) + 0.05
+        # the asymmetry signal assumes natural-text letter frequencies;
+        # descender-heavy lines (random strings, code) can invert it, so
+        # a flip requires the CLASSIFIER not to disagree - and a strong
+        # classifier preference flips on its own
+        # 180-degree flips need PAGE-level evidence: a single line of
+        # arbitrary strings (a table cell, a code fragment) does not
+        # carry enough orientation signal, and a wrong flip is
+        # catastrophic - scanned pages always have many lines
+        n_lines = sum(1 for _y0, _y1, bs in s_up[2] if len(bs) >= 4)
+        if n_lines < 2:
+            return k0
+        c_diff = sample_conf(*s_dn) - sample_conf(*s_up)
+        a_flip = (up is not None and dn is not None
+                  and dn > up + 0.05 and c_diff > -0.02)
+        flip = a_flip or c_diff > 0.10
         return (k0 + (2 if flip else 0)) % 4
 
     def _page_words(self, image):
