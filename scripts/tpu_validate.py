@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import functools
 import subprocess
+import os
 import sys
 import time
 from pathlib import Path
@@ -37,7 +38,7 @@ def log(*a):
     print(*a, flush=True)
 
 
-def probe(timeout_s: float = 240.0) -> bool:
+def probe(timeout_s: float = float(os.environ.get("MMCP_PROBE_TIMEOUT", 240))) -> bool:
     code = ("import jax, jax.numpy as jnp;"
             "x = jnp.ones((256, 256), jnp.bfloat16);"
             "print('OK', float((x @ x).sum()), jax.default_backend())")
