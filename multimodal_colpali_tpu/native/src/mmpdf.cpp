@@ -1208,6 +1208,668 @@ struct TrueTypeFont {
 };
 
 // ---------------------------------------------------------------------------
+// Embedded CFF (FontFile3: Type1C / CIDFontType0C / OpenType-wrapped)
+//
+// The pdfTeX mainstream embeds Type1 fonts compacted to CFF; glyph-faithful
+// rendering of those pages (the poppler role, reference functions.py:678-713)
+// needs a Type2 charstring interpreter. Covers: INDEX/DICT structures,
+// charset formats 0/1/2 (gid<->SID/CID), built-in Encoding formats 0/1 +
+// standard encoding, Private/local + global subrs with bias, CID-keyed
+// fonts (ROS + FDArray/FDSelect formats 0/3), FontMatrix, and the full
+// Type2 path operator set incl. flex variants. Cubics are flattened to
+// polylines in charstring units; the renderer applies FontMatrix and the
+// text matrix and feeds the antialiased PathFiller (same backbone as
+// TrueType glyphs). No hinting - exact outlines at 144 DPI.
+// ---------------------------------------------------------------------------
+
+// SIDs 0-228 of the CFF standard strings (ISOAdobe); expert-font strings
+// (229-390) are omitted - subset text fonts never reference them, and any
+// SID >= 391 resolves through the font's own String INDEX.
+static const char* kCffStdStrings[] = {
+  ".notdef", "space", "exclam", "quotedbl", "numbersign", "dollar",
+  "percent", "ampersand", "quoteright", "parenleft", "parenright",
+  "asterisk", "plus", "comma", "hyphen", "period", "slash", "zero", "one",
+  "two", "three", "four", "five", "six", "seven", "eight", "nine", "colon",
+  "semicolon", "less", "equal", "greater", "question", "at", "A", "B", "C",
+  "D", "E", "F", "G", "H", "I", "J", "K", "L", "M", "N", "O", "P", "Q",
+  "R", "S", "T", "U", "V", "W", "X", "Y", "Z", "bracketleft", "backslash",
+  "bracketright", "asciicircum", "underscore", "quoteleft", "a", "b", "c",
+  "d", "e", "f", "g", "h", "i", "j", "k", "l", "m", "n", "o", "p", "q",
+  "r", "s", "t", "u", "v", "w", "x", "y", "z", "braceleft", "bar",
+  "braceright", "asciitilde", "exclamdown", "cent", "sterling", "fraction",
+  "yen", "florin", "section", "currency", "quotesingle", "quotedblleft",
+  "guillemotleft", "guilsinglleft", "guilsinglright", "fi", "fl", "endash",
+  "dagger", "daggerdbl", "periodcentered", "paragraph", "bullet",
+  "quotesinglbase", "quotedblbase", "quotedblright", "guillemotright",
+  "ellipsis", "perthousand", "questiondown", "grave", "acute",
+  "circumflex", "tilde", "macron", "breve", "dotaccent", "dieresis",
+  "ring", "cedilla", "hungarumlaut", "ogonek", "caron", "emdash", "AE",
+  "ordfeminine", "Lslash", "Oslash", "OE", "ordmasculine", "ae",
+  "dotlessi", "lslash", "oslash", "oe", "germandbls", "onesuperior",
+  "logicalnot", "mu", "trademark", "Eth", "onehalf", "plusminus", "Thorn",
+  "onequarter", "divide", "brokenbar", "degree", "thorn", "threequarters",
+  "twosuperior", "registered", "minus", "eth", "multiply",
+  "threesuperior", "copyright", "Aacute", "Acircumflex", "Adieresis",
+  "Agrave", "Aring", "Atilde", "Ccedilla", "Eacute", "Ecircumflex",
+  "Edieresis", "Egrave", "Iacute", "Icircumflex", "Idieresis", "Igrave",
+  "Ntilde", "Oacute", "Ocircumflex", "Odieresis", "Ograve", "Otilde",
+  "Scaron", "Uacute", "Ucircumflex", "Udieresis", "Ugrave", "Yacute",
+  "Ydieresis", "Zcaron", "aacute", "acircumflex", "adieresis", "agrave",
+  "aring", "atilde", "ccedilla", "eacute", "ecircumflex", "edieresis",
+  "egrave", "iacute", "icircumflex", "idieresis", "igrave", "ntilde",
+  "oacute", "ocircumflex", "odieresis", "ograve", "otilde", "scaron",
+  "uacute", "ucircumflex", "udieresis", "ugrave", "yacute", "ydieresis",
+  "zcaron",
+};
+static const int kCffNumStdStrings =
+    (int)(sizeof(kCffStdStrings) / sizeof(kCffStdStrings[0]));
+
+struct CffFont {
+  std::string d;
+  bool ok = false;
+  bool is_cid = false;
+  double fm[6] = {0.001, 0, 0, 0.001, 0, 0};  // FontMatrix
+
+  struct Index {  // absolute offsets into d; off.size() == count+1
+    std::vector<size_t> off;
+    size_t count() const { return off.empty() ? 0 : off.size() - 1; }
+    bool get(size_t i, size_t& o, size_t& l) const {
+      if (i + 1 >= off.size() || off[i + 1] < off[i]) return false;
+      o = off[i];
+      l = off[i + 1] - off[i];
+      return true;
+    }
+  };
+  Index charstrings, gsubrs, strings, lsubrs;
+  std::vector<Index> fd_lsubrs;        // CID: local subrs per font DICT
+  std::vector<uint8_t> fd_of_gid;      // CID: FDSelect
+  std::vector<uint16_t> charset_sid;   // gid -> SID (or CID)
+  std::map<uint32_t, uint16_t> cid2gid;
+  std::map<std::string, uint16_t> name2gid;
+  std::map<int, uint16_t> code2gid;    // built-in Encoding
+
+  uint8_t u8(size_t o) const { return o < d.size() ? (uint8_t)d[o] : 0; }
+  uint16_t u16(size_t o) const {
+    return o + 2 <= d.size() ? (((uint8_t)d[o] << 8) | (uint8_t)d[o + 1]) : 0;
+  }
+  uint32_t u24(size_t o) const {
+    return o + 3 <= d.size()
+               ? (((uint32_t)(uint8_t)d[o] << 16) |
+                  ((uint32_t)(uint8_t)d[o + 1] << 8) | (uint8_t)d[o + 2])
+               : 0;
+  }
+  uint32_t u32(size_t o) const {
+    return o + 4 <= d.size()
+               ? (((uint32_t)(uint8_t)d[o] << 24) |
+                  ((uint32_t)(uint8_t)d[o + 1] << 16) |
+                  ((uint32_t)(uint8_t)d[o + 2] << 8) | (uint8_t)d[o + 3])
+               : 0;
+  }
+  size_t offat(size_t o, int osz) const {
+    switch (osz) {
+      case 1: return u8(o);
+      case 2: return u16(o);
+      case 3: return u24(o);
+      default: return u32(o);
+    }
+  }
+
+  // read an INDEX at p; advances p past it
+  Index read_index(size_t& p) const {
+    Index ix;
+    size_t count = u16(p);
+    p += 2;
+    if (!count) { ix.off.clear(); return ix; }
+    int osz = u8(p);
+    p += 1;
+    if (osz < 1 || osz > 4) return ix;
+    size_t data = p + (count + 1) * (size_t)osz - 1;  // offsets are 1-based
+    ix.off.reserve(count + 1);
+    for (size_t i = 0; i <= count; i++) {
+      size_t o = data + offat(p + i * (size_t)osz, osz);
+      if (o > d.size()) o = d.size();
+      ix.off.push_back(o);
+    }
+    p = ix.off.back();
+    return ix;
+  }
+
+  // DICT: key -> operand list; two-byte ops keyed as 0x0c00|b1
+  std::map<int, std::vector<double>> parse_dict(size_t o, size_t len) const {
+    std::map<int, std::vector<double>> out;
+    std::vector<double> st;
+    size_t p = o, end = std::min(d.size(), o + len);
+    while (p < end) {
+      uint8_t b0 = u8(p);
+      if (b0 <= 21) {  // operator
+        int key = b0;
+        p += 1;
+        if (b0 == 12) { key = 0x0c00 | u8(p); p += 1; }
+        out[key] = st;
+        st.clear();
+      } else if (b0 >= 32 && b0 <= 246) {
+        st.push_back((int)b0 - 139);
+        p += 1;
+      } else if (b0 >= 247 && b0 <= 250) {
+        st.push_back((b0 - 247) * 256 + u8(p + 1) + 108);
+        p += 2;
+      } else if (b0 >= 251 && b0 <= 254) {
+        st.push_back(-((int)(b0 - 251) * 256) - u8(p + 1) - 108);
+        p += 2;
+      } else if (b0 == 28) {
+        st.push_back((int16_t)u16(p + 1));
+        p += 3;
+      } else if (b0 == 29) {
+        st.push_back((int32_t)u32(p + 1));
+        p += 5;
+      } else if (b0 == 30) {  // real: BCD nibbles
+        std::string s;
+        p += 1;
+        bool done = false;
+        while (p < end && !done) {
+          uint8_t b = u8(p++);
+          for (int half = 0; half < 2; half++) {
+            int nib = half ? (b & 15) : (b >> 4);
+            if (nib <= 9) s += (char)('0' + nib);
+            else if (nib == 10) s += '.';
+            else if (nib == 11) s += 'E';
+            else if (nib == 12) s += "E-";
+            else if (nib == 14) s += '-';
+            else if (nib == 15) { done = true; break; }
+          }
+        }
+        st.push_back(s.empty() ? 0.0 : atof(s.c_str()));
+      } else {
+        p += 1;  // reserved
+      }
+    }
+    return out;
+  }
+
+  std::string sid_name(int sid) const {
+    if (sid >= 0 && sid < kCffNumStdStrings) return kCffStdStrings[sid];
+    size_t i = (size_t)(sid - 391), o, l;
+    if (sid >= 391 && strings.get(i, o, l)) return d.substr(o, l);
+    return "";
+  }
+
+  void parse(std::string bytes) {
+    d = std::move(bytes);
+    if (d.size() < 4) return;
+    // OpenType wrapper ('OTTO'): extract the 'CFF ' table
+    if (u32(0) == 0x4F54544F) {
+      int n_tables = u16(4);
+      for (int i = 0; i < n_tables; i++) {
+        size_t rec = 12 + 16 * (size_t)i;
+        if (u32(rec) == 0x43464620) {  // 'CFF '
+          size_t off = u32(rec + 8), len = u32(rec + 12);
+          if (off + len <= d.size()) d = d.substr(off, len);
+          break;
+        }
+      }
+      if (d.size() < 4 || u32(0) == 0x4F54544F) return;  // no CFF table
+    }
+    size_t p = u8(2);  // hdrSize
+    if (p < 4 || p >= d.size()) return;
+    read_index(p);  // Name INDEX (unused)
+    Index top_ix = read_index(p);
+    strings = read_index(p);
+    gsubrs = read_index(p);
+    size_t to, tl;
+    if (!top_ix.get(0, to, tl)) return;
+    auto top = parse_dict(to, tl);
+    auto num1 = [&](int key, double dflt) {
+      auto it = top.find(key);
+      return it != top.end() && !it->second.empty() ? it->second[0] : dflt;
+    };
+    if (top.count(0x0c1e)) is_cid = true;  // ROS
+    if (top.count(0x0c07) && top[0x0c07].size() == 6)
+      for (int i = 0; i < 6; i++) fm[i] = top[0x0c07][i];
+    size_t cs_off = (size_t)num1(17, 0);  // CharStrings
+    if (!cs_off || cs_off >= d.size()) return;
+    size_t q = cs_off;
+    charstrings = read_index(q);
+    size_t n = charstrings.count();
+    if (!n) return;
+    // Private DICT (non-CID) -> local subrs
+    auto read_private = [&](double sz, double off, Index& out_subrs) {
+      size_t po = (size_t)off, pl = (size_t)sz;
+      if (!po || po >= d.size()) return;
+      auto priv = parse_dict(po, pl);
+      auto it = priv.find(19);  // Subrs: offset relative to Private start
+      if (it != priv.end() && !it->second.empty()) {
+        size_t so = po + (size_t)it->second[0];
+        if (so && so < d.size()) out_subrs = read_index(so);
+      }
+    };
+    if (top.count(18) && top[18].size() == 2)
+      read_private(top[18][0], top[18][1], lsubrs);
+    // charset: gid -> SID/CID
+    charset_sid.assign(n, 0);
+    size_t ch_off = (size_t)num1(15, 0);
+    if (ch_off > 2 && ch_off < d.size()) {
+      int fmt = u8(ch_off);
+      if (fmt == 0) {
+        for (size_t g = 1; g < n; g++)
+          charset_sid[g] = u16(ch_off + 1 + 2 * (g - 1));
+      } else if (fmt == 1 || fmt == 2) {
+        size_t g = 1, r = ch_off + 1;
+        while (g < n && r + 2 < d.size()) {
+          int first = u16(r);
+          size_t nleft = fmt == 1 ? u8(r + 2) : u16(r + 2);
+          r += fmt == 1 ? 3 : 4;
+          for (size_t k = 0; k <= nleft && g < n; k++)
+            charset_sid[g++] = (uint16_t)(first + k);
+        }
+      }
+    } else {
+      // 0 = ISOAdobe (identity); expert charsets treated the same
+      for (size_t g = 0; g < n; g++) charset_sid[g] = (uint16_t)g;
+    }
+    if (is_cid) {
+      for (size_t g = 0; g < n; g++)
+        if (!cid2gid.count(charset_sid[g])) cid2gid[charset_sid[g]] = (uint16_t)g;
+      // FDArray / FDSelect
+      fd_of_gid.assign(n, 0);
+      size_t fda = top.count(0x0c24) && !top[0x0c24].empty()
+                       ? (size_t)top[0x0c24][0] : 0;
+      if (fda && fda < d.size()) {
+        size_t fp = fda;
+        Index fdix = read_index(fp);
+        for (size_t i = 0; i < fdix.count(); i++) {
+          size_t fo, fl;
+          Index sub;
+          if (fdix.get(i, fo, fl)) {
+            auto fd = parse_dict(fo, fl);
+            if (fd.count(18) && fd[18].size() == 2)
+              read_private(fd[18][0], fd[18][1], sub);
+          }
+          fd_lsubrs.push_back(sub);
+        }
+      }
+      size_t fds = top.count(0x0c25) && !top[0x0c25].empty()
+                       ? (size_t)top[0x0c25][0] : 0;
+      if (fds && fds < d.size()) {
+        int fmt = u8(fds);
+        if (fmt == 0) {
+          for (size_t g = 0; g < n; g++) fd_of_gid[g] = u8(fds + 1 + g);
+        } else if (fmt == 3) {
+          int nr = u16(fds + 1);
+          for (int r = 0; r < nr; r++) {
+            size_t rec = fds + 3 + 3 * (size_t)r;
+            size_t first = u16(rec), next = u16(rec + 3);
+            uint8_t fd = u8(rec + 2);
+            for (size_t g = first; g < next && g < n; g++) fd_of_gid[g] = fd;
+          }
+        }
+      }
+    } else {
+      for (size_t g = 0; g < n; g++) {
+        std::string nm = sid_name(charset_sid[g]);
+        if (!nm.empty() && !name2gid.count(nm)) name2gid[nm] = (uint16_t)g;
+      }
+      // built-in Encoding (code -> gid)
+      size_t enc = (size_t)num1(16, 0);
+      if (enc > 1 && enc < d.size()) {
+        int fmt = u8(enc) & 0x7F;
+        bool supp = (u8(enc) & 0x80) != 0;
+        size_t after = enc;
+        if (fmt == 0) {
+          int nc = u8(enc + 1);
+          for (int i = 0; i < nc; i++) code2gid[u8(enc + 2 + i)] = (uint16_t)(i + 1);
+          after = enc + 2 + nc;
+        } else if (fmt == 1) {
+          int nr = u8(enc + 1);
+          int g = 1;
+          for (int r = 0; r < nr; r++) {
+            int first = u8(enc + 2 + 2 * r), nleft = u8(enc + 3 + 2 * r);
+            for (int k = 0; k <= nleft && g < (int)n; k++)
+              code2gid[first + k] = (uint16_t)g++;
+          }
+          after = enc + 2 + 2 * (size_t)nr;
+        }
+        if (supp) {
+          int ns = u8(after);
+          for (int s = 0; s < ns; s++) {
+            int code = u8(after + 1 + 3 * s);
+            int sid = u16(after + 2 + 3 * s);
+            std::string nm = sid_name(sid);
+            auto it = name2gid.find(nm);
+            if (it != name2gid.end()) code2gid[code] = it->second;
+          }
+        }
+      } else {
+        // standard encoding: codes 32..126 are SIDs 1..95 by construction
+        for (int c = 32; c <= 126; c++) {
+          auto it = name2gid.find(kCffStdStrings[c - 31]);
+          if (it != name2gid.end()) code2gid[c] = it->second;
+        }
+      }
+    }
+    ok = true;
+  }
+
+  size_t nglyphs() const { return charstrings.count(); }
+
+  // ---- Type2 charstring interpreter -> flattened contours (charstring
+  // units, y-up); FontMatrix applied by the renderer.
+  struct T2 {
+    std::vector<double> st;
+    double x = 0, y = 0;
+    int nstems = 0;
+    bool width_done = false;
+    double trans[32] = {0};
+    std::vector<std::vector<std::pair<double, double>>>* out = nullptr;
+    std::vector<std::pair<double, double>> cur;
+    const Index* local = nullptr;
+    bool stopped = false;
+  };
+
+  static int bias(const Index& ix) {
+    size_t c = ix.count();
+    return c < 1240 ? 107 : (c < 33900 ? 1131 : 32768);
+  }
+
+  void t2_moveto(T2& c, double nx, double ny) const {
+    if (c.cur.size() >= 2) c.out->push_back(std::move(c.cur));
+    c.cur.clear();
+    c.x = nx;
+    c.y = ny;
+    c.cur.push_back({nx, ny});
+  }
+  void t2_lineto(T2& c, double nx, double ny) const {
+    c.x = nx;
+    c.y = ny;
+    c.cur.push_back({nx, ny});
+  }
+  void t2_curveto(T2& c, double x1, double y1, double x2, double y2,
+                  double x3, double y3) const {
+    const int N = 8;
+    double x0 = c.x, y0 = c.y;
+    for (int i = 1; i <= N; i++) {
+      double t = (double)i / N, u = 1 - t;
+      c.cur.push_back({u * u * u * x0 + 3 * u * u * t * x1 +
+                           3 * u * t * t * x2 + t * t * t * x3,
+                       u * u * u * y0 + 3 * u * u * t * y1 +
+                           3 * u * t * t * y2 + t * t * t * y3});
+    }
+    c.x = x3;
+    c.y = y3;
+  }
+  // drop the leading width operand on the first stack-clearing operator
+  void t2_width(T2& c, size_t even_args) const {
+    if (!c.width_done) {
+      c.width_done = true;
+      if (c.st.size() > even_args && (c.st.size() - even_args) % 2 == 1)
+        c.st.erase(c.st.begin());
+      else if (even_args == 0 && (c.st.size() % 2) == 1)
+        c.st.erase(c.st.begin());
+    }
+  }
+
+  bool t2_run(size_t off, size_t len, T2& c, int depth) const {
+    if (depth > 10) return false;
+    size_t p = off, end = std::min(d.size(), off + len);
+    while (p < end && !c.stopped) {
+      uint8_t b0 = u8(p);
+      if (b0 >= 32 && b0 <= 246) { c.st.push_back((int)b0 - 139); p += 1; }
+      else if (b0 >= 247 && b0 <= 250) {
+        c.st.push_back((b0 - 247) * 256 + u8(p + 1) + 108);
+        p += 2;
+      } else if (b0 >= 251 && b0 <= 254) {
+        c.st.push_back(-((int)(b0 - 251) * 256) - u8(p + 1) - 108);
+        p += 2;
+      } else if (b0 == 28) {
+        c.st.push_back((int16_t)u16(p + 1));
+        p += 3;
+      } else if (b0 == 255) {
+        c.st.push_back((int32_t)u32(p + 1) / 65536.0);
+        p += 5;
+      } else {
+        p += 1;
+        switch (b0) {
+          case 1: case 3: case 18: case 23:  // h/vstem(hm)
+            if (!c.width_done) {
+              c.width_done = true;
+              if (c.st.size() % 2 == 1) c.st.erase(c.st.begin());
+            }
+            c.nstems += (int)c.st.size() / 2;
+            c.st.clear();
+            break;
+          case 19: case 20: {  // hintmask / cntrmask
+            if (!c.width_done) {
+              c.width_done = true;
+              if (c.st.size() % 2 == 1) c.st.erase(c.st.begin());
+            }
+            c.nstems += (int)c.st.size() / 2;  // implicit vstems
+            c.st.clear();
+            p += (size_t)(c.nstems + 7) / 8;
+            break;
+          }
+          case 21:  // rmoveto
+            t2_width(c, 2);
+            if (c.st.size() >= 2)
+              t2_moveto(c, c.x + c.st[c.st.size() - 2],
+                        c.y + c.st[c.st.size() - 1]);
+            c.st.clear();
+            break;
+          case 22:  // hmoveto
+            t2_width(c, 1);
+            if (!c.st.empty()) t2_moveto(c, c.x + c.st.back(), c.y);
+            c.st.clear();
+            break;
+          case 4:  // vmoveto
+            t2_width(c, 1);
+            if (!c.st.empty()) t2_moveto(c, c.x, c.y + c.st.back());
+            c.st.clear();
+            break;
+          case 5:  // rlineto
+            for (size_t i = 0; i + 1 < c.st.size(); i += 2)
+              t2_lineto(c, c.x + c.st[i], c.y + c.st[i + 1]);
+            c.st.clear();
+            break;
+          case 6: case 7: {  // hlineto / vlineto (alternating)
+            bool horiz = b0 == 6;
+            for (size_t i = 0; i < c.st.size(); i++) {
+              if (horiz) t2_lineto(c, c.x + c.st[i], c.y);
+              else t2_lineto(c, c.x, c.y + c.st[i]);
+              horiz = !horiz;
+            }
+            c.st.clear();
+            break;
+          }
+          case 8:  // rrcurveto
+            for (size_t i = 0; i + 5 < c.st.size(); i += 6)
+              t2_curveto(c, c.x + c.st[i], c.y + c.st[i + 1],
+                         c.x + c.st[i] + c.st[i + 2],
+                         c.y + c.st[i + 1] + c.st[i + 3],
+                         c.x + c.st[i] + c.st[i + 2] + c.st[i + 4],
+                         c.y + c.st[i + 1] + c.st[i + 3] + c.st[i + 5]);
+            c.st.clear();
+            break;
+          case 24: {  // rcurveline
+            size_t i = 0;
+            while (c.st.size() - i >= 8) {
+              t2_curveto(c, c.x + c.st[i], c.y + c.st[i + 1],
+                         c.x + c.st[i] + c.st[i + 2],
+                         c.y + c.st[i + 1] + c.st[i + 3],
+                         c.x + c.st[i] + c.st[i + 2] + c.st[i + 4],
+                         c.y + c.st[i + 1] + c.st[i + 3] + c.st[i + 5]);
+              i += 6;
+            }
+            if (c.st.size() - i >= 2)
+              t2_lineto(c, c.x + c.st[i], c.y + c.st[i + 1]);
+            c.st.clear();
+            break;
+          }
+          case 25: {  // rlinecurve
+            size_t i = 0;
+            while (c.st.size() - i > 6) {
+              t2_lineto(c, c.x + c.st[i], c.y + c.st[i + 1]);
+              i += 2;
+            }
+            if (c.st.size() - i >= 6)
+              t2_curveto(c, c.x + c.st[i], c.y + c.st[i + 1],
+                         c.x + c.st[i] + c.st[i + 2],
+                         c.y + c.st[i + 1] + c.st[i + 3],
+                         c.x + c.st[i] + c.st[i + 2] + c.st[i + 4],
+                         c.y + c.st[i + 1] + c.st[i + 3] + c.st[i + 5]);
+            c.st.clear();
+            break;
+          }
+          case 26: {  // vvcurveto
+            size_t i = 0;
+            double dx1 = 0;
+            if (c.st.size() % 4 == 1) { dx1 = c.st[0]; i = 1; }
+            for (; i + 3 < c.st.size(); i += 4) {
+              double x1 = c.x + dx1, y1 = c.y + c.st[i];
+              double x2 = x1 + c.st[i + 1], y2 = y1 + c.st[i + 2];
+              t2_curveto(c, x1, y1, x2, y2, x2, y2 + c.st[i + 3]);
+              dx1 = 0;
+            }
+            c.st.clear();
+            break;
+          }
+          case 27: {  // hhcurveto
+            size_t i = 0;
+            double dy1 = 0;
+            if (c.st.size() % 4 == 1) { dy1 = c.st[0]; i = 1; }
+            for (; i + 3 < c.st.size(); i += 4) {
+              double x1 = c.x + c.st[i], y1 = c.y + dy1;
+              double x2 = x1 + c.st[i + 1], y2 = y1 + c.st[i + 2];
+              t2_curveto(c, x1, y1, x2, y2, x2 + c.st[i + 3], y2);
+              dy1 = 0;
+            }
+            c.st.clear();
+            break;
+          }
+          case 30: case 31: {  // vhcurveto / hvcurveto (alternating)
+            bool horiz = b0 == 31;
+            size_t i = 0;
+            while (c.st.size() - i >= 4) {
+              bool last = c.st.size() - i == 5;
+              double a = c.st[i], b = c.st[i + 1], cc = c.st[i + 2],
+                     dd = c.st[i + 3];
+              double x1, y1, x2, y2, x3, y3;
+              if (horiz) {
+                x1 = c.x + a; y1 = c.y;
+                x2 = x1 + b; y2 = y1 + cc;
+                y3 = y2 + dd;
+                x3 = last ? x2 + c.st[i + 4] : x2;
+              } else {
+                x1 = c.x; y1 = c.y + a;
+                x2 = x1 + b; y2 = y1 + cc;
+                x3 = x2 + dd;
+                y3 = last ? y2 + c.st[i + 4] : y2;
+              }
+              t2_curveto(c, x1, y1, x2, y2, x3, y3);
+              horiz = !horiz;
+              i += 4;
+            }
+            c.st.clear();
+            break;
+          }
+          case 10: case 29: {  // callsubr / callgsubr
+            if (c.st.empty()) break;
+            const Index& ix =
+                b0 == 10 ? (c.local ? *c.local : lsubrs) : gsubrs;
+            long idx = (long)c.st.back() + bias(ix);
+            c.st.pop_back();
+            size_t so, sl;
+            if (idx >= 0 && ix.get((size_t)idx, so, sl))
+              t2_run(so, sl, c, depth + 1);
+            break;
+          }
+          case 11:  // return
+            return true;
+          case 14:  // endchar (seac-style accents not composed)
+            t2_width(c, 0);
+            if (c.cur.size() >= 2) c.out->push_back(std::move(c.cur));
+            c.cur.clear();
+            c.st.clear();
+            c.stopped = true;
+            return true;
+          case 12: {  // escape
+            uint8_t b1 = u8(p);
+            p += 1;
+            if (b1 == 35 && c.st.size() >= 13) {  // flex
+              double x0 = c.x, y0 = c.y;
+              double x1 = x0 + c.st[0], y1 = y0 + c.st[1];
+              double x2 = x1 + c.st[2], y2 = y1 + c.st[3];
+              double x3 = x2 + c.st[4], y3 = y2 + c.st[5];
+              t2_curveto(c, x1, y1, x2, y2, x3, y3);
+              double x4 = x3 + c.st[6], y4 = y3 + c.st[7];
+              double x5 = x4 + c.st[8], y5 = y4 + c.st[9];
+              t2_curveto(c, x4, y4, x5, y5, x5 + c.st[10], y5 + c.st[11]);
+            } else if (b1 == 34 && c.st.size() >= 7) {  // hflex
+              double y0 = c.y;
+              double x1 = c.x + c.st[0], y1 = y0;
+              double x2 = x1 + c.st[1], y2 = y1 + c.st[2];
+              double x3 = x2 + c.st[3], y3 = y2;
+              t2_curveto(c, x1, y1, x2, y2, x3, y3);
+              double x4 = x3 + c.st[4], y4 = y2;
+              double x5 = x4 + c.st[5], y5 = y0;
+              t2_curveto(c, x4, y4, x5, y5, x5 + c.st[6], y0);
+            } else if (b1 == 36 && c.st.size() >= 9) {  // hflex1
+              double y0 = c.y;
+              double x1 = c.x + c.st[0], y1 = c.y + c.st[1];
+              double x2 = x1 + c.st[2], y2 = y1 + c.st[3];
+              double x3 = x2 + c.st[4], y3 = y2;
+              t2_curveto(c, x1, y1, x2, y2, x3, y3);
+              double x4 = x3 + c.st[5], y4 = y2;
+              double x5 = x4 + c.st[6], y5 = y4 + c.st[7];
+              t2_curveto(c, x4, y4, x5, y5, x5 + c.st[8], y0);
+            } else if (b1 == 37 && c.st.size() >= 11) {  // flex1
+              double x0 = c.x, y0 = c.y;
+              double dx = c.st[0] + c.st[2] + c.st[4] + c.st[6] + c.st[8];
+              double dy = c.st[1] + c.st[3] + c.st[5] + c.st[7] + c.st[9];
+              double x1 = x0 + c.st[0], y1 = y0 + c.st[1];
+              double x2 = x1 + c.st[2], y2 = y1 + c.st[3];
+              double x3 = x2 + c.st[4], y3 = y2 + c.st[5];
+              t2_curveto(c, x1, y1, x2, y2, x3, y3);
+              double x4 = x3 + c.st[6], y4 = y3 + c.st[7];
+              double x5 = x4 + c.st[8], y5 = y4 + c.st[9];
+              double x6, y6;
+              if (std::abs(dx) > std::abs(dy)) { x6 = x5 + c.st[10]; y6 = y0; }
+              else { x6 = x0; y6 = y5 + c.st[10]; }
+              t2_curveto(c, x4, y4, x5, y5, x6, y6);
+            } else if (b1 == 12 && c.st.size() >= 2) {  // div
+              double b = c.st.back(); c.st.pop_back();
+              double a = c.st.back(); c.st.pop_back();
+              c.st.push_back(b != 0 ? a / b : 0);
+              break;  // arithmetic: do NOT clear the stack
+            }
+            c.st.clear();
+            break;
+          }
+          default:
+            c.st.clear();  // unknown operator: stay in sync
+            break;
+        }
+      }
+      if (c.st.size() > 96) c.st.clear();  // runaway guard
+    }
+    return true;
+  }
+
+  // contours in charstring units (y-up); FontMatrix applied by caller
+  bool outline(int gid,
+               std::vector<std::vector<std::pair<double, double>>>& out) const {
+    size_t o, l;
+    if (gid < 0 || !charstrings.get((size_t)gid, o, l)) return false;
+    T2 c;
+    c.out = &out;
+    if (is_cid && (size_t)gid < fd_of_gid.size()) {
+      uint8_t fd = fd_of_gid[gid];
+      if (fd < fd_lsubrs.size()) c.local = &fd_lsubrs[fd];
+    }
+    t2_run(o, l, c, 0);
+    if (c.cur.size() >= 2) out.push_back(std::move(c.cur));
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------------
 // Antialiased scanline polygon fill (nonzero / even-odd winding)
 //
 // The raster backbone for real glyph outlines AND general vector paths
@@ -1305,9 +1967,10 @@ struct PathFiller {
 //    2-byte codes = CIDs, /W widths, CIDToGIDMap, /ToUnicode;
 //  - Type3: /CharProcs content streams under /FontMatrix (matplotlib's
 //    default pdf.fonttype=3), names decoded via the AGL table.
-// Embedded TrueType programs (/FontFile2) provide glyph-faithful raster;
-// Type1/CFF programs (/FontFile, /FontFile3) fall back to the atlas
-// (layout stays exact: advances come from /Widths, not the atlas).
+// Embedded TrueType programs (/FontFile2) and CFF programs (/FontFile3:
+// Type1C / CIDFontType0C / OpenType) provide glyph-faithful raster;
+// raw Type1 programs (/FontFile) fall back to the atlas (layout stays
+// exact: advances come from /Widths, not the atlas).
 // ---------------------------------------------------------------------------
 
 struct FontRes {
@@ -1319,6 +1982,7 @@ struct FontRes {
   std::map<long, double> widths;           // code/CID -> advance, text units
   double default_width = 0.5;
   std::shared_ptr<TrueTypeFont> tt;
+  std::shared_ptr<CffFont> cff;            // FontFile3 (Type1C/CID/OpenType)
   std::string cid_to_gid;                  // raw 2-byte map; empty=identity
   ObjPtr char_procs, t3_res;               // Type3
   double fm[6] = {0.001, 0, 0, 0.001, 0, 0};  // Type3 FontMatrix
@@ -1352,6 +2016,26 @@ struct FontRes {
   }
 
   int gid_for(long code, const std::string& unicode) const {
+    if (cff) {
+      if (kind == kType0) {
+        // CIDFontType0: CID -> GID through the CFF charset (the
+        // CIDToGIDMap entry applies only to CIDFontType2, PDF 9.7.4.2)
+        if (cff->is_cid) {
+          auto it = cff->cid2gid.find((uint32_t)code);
+          return it != cff->cid2gid.end() ? it->second : 0;
+        }
+        return code >= 0 && code < (long)cff->nglyphs() ? (int)code : 0;
+      }
+      // simple Type1C: /Differences glyph name wins, then the font's
+      // built-in encoding, then standard-encoding-by-code
+      if (code >= 0 && code < 256 && !code_glyphname[code].empty()) {
+        auto it = cff->name2gid.find(code_glyphname[code]);
+        if (it != cff->name2gid.end()) return it->second;
+      }
+      auto ic = cff->code2gid.find((int)code);
+      if (ic != cff->code2gid.end()) return ic->second;
+      return 0;
+    }
     if (!tt) return 0;
     if (kind == kType0) {
       long cid = code;
@@ -1398,6 +2082,14 @@ static std::shared_ptr<FontRes> build_font(Document& doc, const ObjPtr& f) {
       auto tt = std::make_shared<TrueTypeFont>();
       tt->parse(doc.stream_bytes(ff2));
       if (tt->ok) fr->tt = tt;
+    }
+    // FontFile3: CFF programs (Subtype Type1C / CIDFontType0C /
+    // OpenType); pdfTeX's Type1 embeds arrive compacted to Type1C
+    ObjPtr ff3 = doc.dget(descr, "FontFile3");
+    if (!fr->tt && ff3->is(Obj::Stream)) {
+      auto cf = std::make_shared<CffFont>();
+      cf->parse(doc.stream_bytes(ff3));
+      if (cf->ok) fr->cff = cf;
     }
   };
 
@@ -2003,6 +2695,8 @@ struct PageRender {
       if (raster) {
         if (font && font->tt && (gid > 0 || code == 0)) {
           draw_tt_glyph(*font, gid, tm, ctm, tfs, tz, rgb);
+        } else if (font && font->cff && gid > 0) {
+          draw_cff_glyph(*font, gid, tm, ctm, tfs, tz, rgb);
         } else if (font && font->kind == FontRes::kType3) {
           draw_t3_glyph(*font, code, tm, ctm, tfs, tz, rgb, resources,
                         depth);
@@ -2122,6 +2816,35 @@ struct PageRender {
         curx = nx; cury = ny;
       }
       pf.add_contour(poly);
+    }
+    pf.fill(canvas, rgb, false);
+  }
+
+  // embedded-CFF glyph: Type2 charstring outlines under the font's
+  // FontMatrix (the pdfTeX/Type1C glyph-fidelity role)
+  void draw_cff_glyph(const FontRes& f, int gid, const Mat& tm,
+                      const Mat& ctm, double tfs, double tz,
+                      const double* rgb) {
+    std::vector<std::vector<std::pair<double, double>>> conts;
+    if (!f.cff->outline(gid, conts) || conts.empty()) return;
+    Mat FM;
+    FM.a = f.cff->fm[0]; FM.b = f.cff->fm[1]; FM.c = f.cff->fm[2];
+    FM.d = f.cff->fm[3]; FM.e = f.cff->fm[4]; FM.f = f.cff->fm[5];
+    Mat S;
+    S.a = tfs * tz / 100.0;
+    S.d = tfs;
+    Mat T = Mat::mul(FM, Mat::mul(S, Mat::mul(tm, ctm)));
+    PathFiller pf;
+    std::vector<std::pair<double, double>> poly;
+    for (auto& c : conts) {
+      poly.clear();
+      poly.reserve(c.size());
+      for (auto& pt : c) {
+        double px, py;
+        dev(T, pt.first, pt.second, px, py);
+        poly.push_back({px, py});
+      }
+      if (poly.size() >= 2) pf.add_contour(poly);
     }
     pf.fill(canvas, rgb, false);
   }
