@@ -31,6 +31,7 @@
 #include <vector>
 #include <algorithm>
 #include <array>
+#include <functional>
 
 #include <zlib.h>
 
@@ -1870,6 +1871,455 @@ struct CffFont {
 };
 
 // ---------------------------------------------------------------------------
+// Embedded Type1 (FontFile) parsing + charstring outlines
+//
+// Pre-CFF Type1 programs (dvips-era LaTeX, pre-2000 producers): eexec
+// decryption (r=55665), charstring decryption (r=4330, lenIV skip),
+// /Subrs + /CharStrings extraction, the Type1 operator set incl.
+// othersubr flex (1/2/0), hint replacement (3), seac accent composition
+// and div. PFB segment headers and hex-eexec bodies both handled.
+// Outlines land in font units (FontMatrix applied by the renderer, same
+// contract as CffFont).
+// ---------------------------------------------------------------------------
+
+// StandardEncoding accent codes used by seac (base codes are ASCII and
+// covered by kCffStdStrings[code-31])
+static const struct { int code; const char* name; } kStdEncAccents[] = {
+  {193, "grave"}, {194, "acute"}, {195, "circumflex"}, {196, "tilde"},
+  {197, "macron"}, {198, "breve"}, {199, "dotaccent"}, {200, "dieresis"},
+  {202, "ring"}, {203, "cedilla"}, {205, "hungarumlaut"}, {206, "ogonek"},
+  {207, "caron"}, {225, "AE"}, {241, "ae"}, {233, "Oslash"},
+  {249, "oslash"}, {161, "exclamdown"}, {191, "questiondown"},
+};
+
+static std::string std_enc_name(int code) {
+  if (code >= 32 && code <= 126) return kCffStdStrings[code - 31];
+  for (auto& a : kStdEncAccents)
+    if (a.code == code) return a.name;
+  return "";
+}
+
+struct Type1Font {
+  bool ok = false;
+  double fm[6] = {0.001, 0, 0, 0.001, 0, 0};
+  std::vector<std::string> names;        // gid -> glyph name
+  std::map<std::string, int> name2gid;
+  std::vector<std::string> charstrings;  // decrypted, lenIV-stripped
+  std::vector<std::string> subrs;
+  std::map<int, std::string> builtin_enc;  // code -> glyph name
+
+  static std::string decrypt(const std::string& in, uint16_t r, int skip) {
+    const uint16_t c1 = 52845, c2 = 22719;
+    std::string out;
+    out.reserve(in.size());
+    for (unsigned char c : in) {
+      out += (char)(c ^ (r >> 8));
+      r = (uint16_t)((c + r) * c1 + c2);
+    }
+    return skip > 0 && (int)out.size() >= skip ? out.substr(skip) : out;
+  }
+
+  void parse(const std::string& raw_in) {
+    std::string raw;
+    if (!raw_in.empty() && (uint8_t)raw_in[0] == 0x80) {
+      // PFB: 0x80 0x01/0x02 + u32le length segments
+      size_t p = 0;
+      while (p + 6 <= raw_in.size() && (uint8_t)raw_in[p] == 0x80) {
+        uint8_t t = raw_in[p + 1];
+        uint32_t len = (uint8_t)raw_in[p + 2] | ((uint8_t)raw_in[p + 3] << 8) |
+                       ((uint8_t)raw_in[p + 4] << 16) |
+                       ((uint8_t)raw_in[p + 5] << 24);
+        if (t == 3) break;
+        if (p + 6 + len > raw_in.size()) break;
+        raw += raw_in.substr(p + 6, len);
+        p += 6 + len;
+      }
+    } else {
+      raw = raw_in;
+    }
+    size_t ee = raw.find("eexec");
+    if (ee == std::string::npos) return;
+    std::string clear = raw.substr(0, ee);
+    size_t bs = ee + 5;
+    while (bs < raw.size() && (raw[bs] == '\r' || raw[bs] == '\n' ||
+                               raw[bs] == ' ' || raw[bs] == '\t'))
+      bs++;
+    std::string body = raw.substr(bs);
+    // hex-eexec detection: first 4 bytes all hex digits
+    bool hex = body.size() >= 4;
+    for (int i = 0; i < 4 && hex; i++)
+      hex = isxdigit((unsigned char)body[i]) != 0;
+    if (hex) {
+      std::string bin;
+      int hi = -1;
+      for (unsigned char c : body) {
+        if (!isxdigit(c)) continue;
+        int v = c <= '9' ? c - '0' : (c | 32) - 'a' + 10;
+        if (hi < 0) hi = v;
+        else { bin += (char)((hi << 4) | v); hi = -1; }
+      }
+      body = bin;
+    }
+    std::string dec = decrypt(body, 55665, 4);
+    // lenIV (default 4)
+    int leniv = 4;
+    size_t lp = dec.find("/lenIV");
+    if (lp != std::string::npos) leniv = atoi(dec.c_str() + lp + 6);
+    // FontMatrix from the cleartext
+    size_t fmp = clear.find("/FontMatrix");
+    if (fmp != std::string::npos) {
+      size_t br = clear.find('[', fmp);
+      if (br != std::string::npos) {
+        double v[6];
+        if (sscanf(clear.c_str() + br + 1, "%lf %lf %lf %lf %lf %lf",
+                   &v[0], &v[1], &v[2], &v[3], &v[4], &v[5]) == 6)
+          for (int i = 0; i < 6; i++) fm[i] = v[i];
+      }
+    }
+    // built-in encoding: "dup <code> /<name> put" entries
+    size_t ep = clear.find("/Encoding");
+    if (ep != std::string::npos) {
+      size_t end = clear.find("readonly def", ep);
+      if (end == std::string::npos) end = clear.size();
+      size_t q = ep;
+      while ((q = clear.find("dup ", q)) != std::string::npos && q < end) {
+        int code = atoi(clear.c_str() + q + 4);
+        size_t sl = clear.find('/', q);
+        if (sl == std::string::npos || sl > end) break;
+        size_t se = sl + 1;
+        while (se < clear.size() && !isspace((unsigned char)clear[se]))
+          se++;
+        if (code >= 0 && code < 256)
+          builtin_enc[code] = clear.substr(sl + 1, se - sl - 1);
+        q = se;
+      }
+    }
+    // binary entries: "<prefix> <len> <RDtoken> <len bytes>"
+    auto read_entries = [&](size_t start, size_t stop,
+                            const char* intro,
+                            std::function<void(const std::string&,
+                                               std::string)> emit) {
+      size_t p = start;
+      while (p < stop) {
+        size_t ip = dec.find(intro, p);
+        if (ip == std::string::npos || ip >= stop) break;
+        p = ip + strlen(intro);
+        // key: for CharStrings "/name", for Subrs the index after "dup "
+        std::string key;
+        if (intro[0] == '/') {
+          size_t ke = p;
+          while (ke < stop && !isspace((unsigned char)dec[ke])) ke++;
+          key = dec.substr(p, ke - p);
+          p = ke;
+        } else {
+          while (p < stop && isspace((unsigned char)dec[p])) p++;
+          size_t ke = p;
+          while (ke < stop && isdigit((unsigned char)dec[ke])) ke++;
+          key = dec.substr(p, ke - p);
+          p = ke;
+        }
+        while (p < stop && isspace((unsigned char)dec[p])) p++;
+        if (p >= stop || !isdigit((unsigned char)dec[p])) continue;
+        long len = atol(dec.c_str() + p);
+        while (p < stop && isdigit((unsigned char)dec[p])) p++;
+        while (p < stop && isspace((unsigned char)dec[p])) p++;
+        // RD token (RD or -|), then exactly one space, then the bytes
+        while (p < stop && !isspace((unsigned char)dec[p])) p++;
+        p++;  // the single separator space
+        if (len < 0 || p + (size_t)len > stop) break;
+        emit(key, decrypt(dec.substr(p, len), 4330, leniv));
+        p += len;
+      }
+    };
+    size_t sp = dec.find("/Subrs");
+    size_t cp = dec.find("/CharStrings");
+    if (sp != std::string::npos) {
+      int n = atoi(dec.c_str() + sp + 6);
+      subrs.assign(std::max(0, n), "");
+      read_entries(sp, cp == std::string::npos ? dec.size() : cp, "dup ",
+                   [&](const std::string& k, std::string v) {
+                     int i = atoi(k.c_str());
+                     if (i >= 0 && i < (int)subrs.size())
+                       subrs[i] = std::move(v);
+                   });
+    }
+    if (cp == std::string::npos) return;
+    read_entries(cp + 12, dec.size(), "/",
+                 [&](const std::string& k, std::string v) {
+                   if (k.empty() || name2gid.count(k)) return;
+                   name2gid[k] = (int)names.size();
+                   names.push_back(k);
+                   charstrings.push_back(std::move(v));
+                 });
+    ok = !charstrings.empty();
+  }
+
+  struct T1 {
+    std::vector<double> st;   // charstring stack
+    std::vector<double> ps;   // PostScript interpreter stack (othersubrs)
+    double x = 0, y = 0;
+    bool flex = false;
+    std::vector<std::pair<double, double>> flex_pts;
+    std::vector<std::vector<std::pair<double, double>>>* out = nullptr;
+    std::vector<std::pair<double, double>> cur;
+    bool stopped = false;
+    double seac[5] = {0};
+    bool has_seac = false;
+  };
+
+  void t1_moveto(T1& c, double nx, double ny) const {
+    if (c.flex) {
+      c.x = nx; c.y = ny;
+      c.flex_pts.push_back({nx, ny});
+      return;
+    }
+    if (c.cur.size() >= 2) c.out->push_back(std::move(c.cur));
+    c.cur.clear();
+    c.x = nx; c.y = ny;
+    c.cur.push_back({nx, ny});
+  }
+  void t1_lineto(T1& c, double nx, double ny) const {
+    c.x = nx; c.y = ny;
+    c.cur.push_back({nx, ny});
+  }
+  void t1_curveto(T1& c, double x1, double y1, double x2, double y2,
+                  double x3, double y3) const {
+    const int N = 8;
+    double x0 = c.x, y0 = c.y;
+    for (int i = 1; i <= N; i++) {
+      double t = (double)i / N, u = 1 - t;
+      c.cur.push_back({u * u * u * x0 + 3 * u * u * t * x1 +
+                           3 * u * t * t * x2 + t * t * t * x3,
+                       u * u * u * y0 + 3 * u * u * t * y1 +
+                           3 * u * t * t * y2 + t * t * t * y3});
+    }
+    c.x = x3; c.y = y3;
+  }
+
+  bool t1_run(const std::string& cs, T1& c, int depth) const {
+    if (depth > 10) return false;
+    size_t p = 0;
+    while (p < cs.size() && !c.stopped) {
+      uint8_t b0 = cs[p];
+      if (b0 >= 32 && b0 <= 246) { c.st.push_back((int)b0 - 139); p += 1; }
+      else if (b0 >= 247 && b0 <= 250) {
+        c.st.push_back((b0 - 247) * 256 + (uint8_t)cs[p + 1] + 108);
+        p += 2;
+      } else if (b0 >= 251 && b0 <= 254) {
+        c.st.push_back(-((int)(b0 - 251) * 256) - (uint8_t)cs[p + 1] - 108);
+        p += 2;
+      } else if (b0 == 255) {  // Type1: plain 32-bit integer
+        if (p + 5 > cs.size()) break;
+        int32_t v = ((uint8_t)cs[p + 1] << 24) | ((uint8_t)cs[p + 2] << 16) |
+                    ((uint8_t)cs[p + 3] << 8) | (uint8_t)cs[p + 4];
+        c.st.push_back(v);
+        p += 5;
+      } else {
+        p += 1;
+        switch (b0) {
+          case 13:  // hsbw: sbx wx
+            if (c.st.size() >= 2) { c.x = c.st[0]; c.y = 0; }
+            c.st.clear();
+            break;
+          case 9:  // closepath
+            if (c.cur.size() >= 2) c.out->push_back(c.cur);
+            // keep the current point: Type1 allows a following rmoveto
+            if (!c.cur.empty()) {
+              auto keep = c.cur.front();
+              c.cur.clear();
+              (void)keep;
+            }
+            c.st.clear();
+            break;
+          case 1: case 3:  // hstem / vstem
+            c.st.clear();
+            break;
+          case 21:  // rmoveto
+            if (c.st.size() >= 2)
+              t1_moveto(c, c.x + c.st[c.st.size() - 2],
+                        c.y + c.st[c.st.size() - 1]);
+            c.st.clear();
+            break;
+          case 22:  // hmoveto
+            if (!c.st.empty()) t1_moveto(c, c.x + c.st.back(), c.y);
+            c.st.clear();
+            break;
+          case 4:  // vmoveto
+            if (!c.st.empty()) t1_moveto(c, c.x, c.y + c.st.back());
+            c.st.clear();
+            break;
+          case 5:  // rlineto
+            if (c.st.size() >= 2)
+              t1_lineto(c, c.x + c.st[0], c.y + c.st[1]);
+            c.st.clear();
+            break;
+          case 6:  // hlineto (single segment in Type1)
+            if (!c.st.empty()) t1_lineto(c, c.x + c.st[0], c.y);
+            c.st.clear();
+            break;
+          case 7:  // vlineto
+            if (!c.st.empty()) t1_lineto(c, c.x, c.y + c.st[0]);
+            c.st.clear();
+            break;
+          case 8:  // rrcurveto
+            if (c.st.size() >= 6)
+              t1_curveto(c, c.x + c.st[0], c.y + c.st[1],
+                         c.x + c.st[0] + c.st[2], c.y + c.st[1] + c.st[3],
+                         c.x + c.st[0] + c.st[2] + c.st[4],
+                         c.y + c.st[1] + c.st[3] + c.st[5]);
+            c.st.clear();
+            break;
+          case 30:  // vhcurveto: dy1 dx2 dy2 dx3
+            if (c.st.size() >= 4)
+              t1_curveto(c, c.x, c.y + c.st[0],
+                         c.x + c.st[1], c.y + c.st[0] + c.st[2],
+                         c.x + c.st[1] + c.st[3], c.y + c.st[0] + c.st[2]);
+            c.st.clear();
+            break;
+          case 31:  // hvcurveto: dx1 dx2 dy2 dy3
+            if (c.st.size() >= 4)
+              t1_curveto(c, c.x + c.st[0], c.y,
+                         c.x + c.st[0] + c.st[1], c.y + c.st[2],
+                         c.x + c.st[0] + c.st[1], c.y + c.st[2] + c.st[3]);
+            c.st.clear();
+            break;
+          case 10: {  // callsubr (no bias in Type1)
+            if (c.st.empty()) break;
+            int i = (int)c.st.back();
+            c.st.pop_back();
+            if (i >= 0 && i < (int)subrs.size())
+              t1_run(subrs[i], c, depth + 1);
+            break;
+          }
+          case 11:
+            return true;
+          case 14:  // endchar
+            if (c.cur.size() >= 2) c.out->push_back(std::move(c.cur));
+            c.cur.clear();
+            c.stopped = true;
+            return true;
+          case 12: {  // escape
+            uint8_t b1 = p < cs.size() ? cs[p] : 0;
+            p += 1;
+            switch (b1) {
+              case 0: case 1: case 2:  // dotsection / vstem3 / hstem3
+                c.st.clear();
+                break;
+              case 6:  // seac: asb adx ady bchar achar
+                if (c.st.size() >= 5) {
+                  for (int i = 0; i < 5; i++) c.seac[i] = c.st[i];
+                  c.has_seac = true;
+                  c.stopped = true;
+                }
+                c.st.clear();
+                return true;
+              case 7:  // sbw: sbx sby wx wy
+                if (c.st.size() >= 2) { c.x = c.st[0]; c.y = c.st[1]; }
+                c.st.clear();
+                break;
+              case 12: {  // div
+                if (c.st.size() >= 2) {
+                  double b = c.st.back(); c.st.pop_back();
+                  double a = c.st.back(); c.st.pop_back();
+                  c.st.push_back(b != 0 ? a / b : 0);
+                }
+                break;
+              }
+              case 16: {  // callothersubr
+                if (c.st.size() < 2) { c.st.clear(); break; }
+                int idx = (int)c.st.back(); c.st.pop_back();
+                int n = (int)c.st.back(); c.st.pop_back();
+                if (idx == 1) {  // begin flex
+                  c.flex = true;
+                  c.flex_pts.clear();
+                } else if (idx == 2) {
+                  // each flex point already collected via rmoveto
+                } else if (idx == 0) {  // end flex
+                  c.flex = false;
+                  if (c.flex_pts.size() >= 7) {
+                    auto& P = c.flex_pts;
+                    // P[0] is the reference point; P[1..6] are the two
+                    // curves' controls/endpoints
+                    double sx = c.cur.empty() ? P[1].first : c.cur.back().first;
+                    double sy = c.cur.empty() ? P[1].second : c.cur.back().second;
+                    c.x = sx; c.y = sy;
+                    t1_curveto(c, P[1].first, P[1].second, P[2].first,
+                               P[2].second, P[3].first, P[3].second);
+                    t1_curveto(c, P[4].first, P[4].second, P[5].first,
+                               P[5].second, P[6].first, P[6].second);
+                    c.ps.push_back(P[6].second);  // y for the pops
+                    c.ps.push_back(P[6].first);   // x (popped first)
+                  }
+                } else if (idx == 3) {  // hint replacement
+                  c.ps.push_back(3);
+                  for (int k = 0; k < n && !c.st.empty(); k++)
+                    c.st.pop_back();
+                } else {
+                  for (int k = 0; k < n && !c.st.empty(); k++)
+                    c.st.pop_back();
+                }
+                break;
+              }
+              case 17:  // pop: PS stack -> charstring stack
+                if (!c.ps.empty()) {
+                  c.st.push_back(c.ps.back());
+                  c.ps.pop_back();
+                } else {
+                  c.st.push_back(0);
+                }
+                break;
+              case 33:  // setcurrentpoint
+                if (c.st.size() >= 2) { c.x = c.st[0]; c.y = c.st[1]; }
+                c.st.clear();
+                break;
+              default:
+                c.st.clear();
+                break;
+            }
+            break;
+          }
+          default:
+            c.st.clear();
+            break;
+        }
+      }
+      if (c.st.size() > 48) c.st.clear();
+    }
+    return true;
+  }
+
+  // contours in font units; seac composes base + accent recursively
+  bool outline(int gid,
+               std::vector<std::vector<std::pair<double, double>>>& out,
+               int depth = 0) const {
+    if (gid < 0 || gid >= (int)charstrings.size() || depth > 3) return false;
+    T1 c;
+    c.out = &out;
+    t1_run(charstrings[gid], c, 0);
+    if (c.cur.size() >= 2) out.push_back(std::move(c.cur));
+    if (c.has_seac) {
+      // asb adx ady bchar achar: compose standard-encoding glyphs
+      auto find = [&](int code) {
+        auto it = name2gid.find(std_enc_name(code));
+        return it != name2gid.end() ? it->second : -1;
+      };
+      int bg = find((int)c.seac[3]), ag = find((int)c.seac[4]);
+      if (bg >= 0) outline(bg, out, depth + 1);
+      if (ag >= 0) {
+        std::vector<std::vector<std::pair<double, double>>> acc;
+        outline(ag, acc, depth + 1);
+        double dx = c.seac[1] - c.seac[0], dy = c.seac[2];
+        for (auto& cont : acc) {
+          for (auto& pt : cont) { pt.first += dx; pt.second += dy; }
+          out.push_back(std::move(cont));
+        }
+      }
+    }
+    return true;
+  }
+};
+
+// ---------------------------------------------------------------------------
 // Antialiased scanline polygon fill (nonzero / even-odd winding)
 //
 // The raster backbone for real glyph outlines AND general vector paths
@@ -1983,6 +2433,7 @@ struct FontRes {
   double default_width = 0.5;
   std::shared_ptr<TrueTypeFont> tt;
   std::shared_ptr<CffFont> cff;            // FontFile3 (Type1C/CID/OpenType)
+  std::shared_ptr<Type1Font> t1;           // FontFile (raw Type1)
   std::string cid_to_gid;                  // raw 2-byte map; empty=identity
   ObjPtr char_procs, t3_res;               // Type3
   double fm[6] = {0.001, 0, 0, 0.001, 0, 0};  // Type3 FontMatrix
@@ -2016,6 +2467,22 @@ struct FontRes {
   }
 
   int gid_for(long code, const std::string& unicode) const {
+    if (t1) {
+      // raw Type1: /Differences name, then the font's built-in
+      // encoding, then standard-encoding-by-code
+      if (code >= 0 && code < 256 && !code_glyphname[code].empty()) {
+        auto it = t1->name2gid.find(code_glyphname[code]);
+        if (it != t1->name2gid.end()) return it->second;
+      }
+      auto ie = t1->builtin_enc.find((int)code);
+      if (ie != t1->builtin_enc.end()) {
+        auto it = t1->name2gid.find(ie->second);
+        if (it != t1->name2gid.end()) return it->second;
+      }
+      auto it = t1->name2gid.find(std_enc_name((int)code));
+      if (it != t1->name2gid.end()) return it->second;
+      return -1;  // 0 is a real gid for Type1 (no reserved .notdef slot)
+    }
     if (cff) {
       if (kind == kType0) {
         // CIDFontType0: CID -> GID through the CFF charset (the
@@ -2090,6 +2557,22 @@ static std::shared_ptr<FontRes> build_font(Document& doc, const ObjPtr& f) {
       auto cf = std::make_shared<CffFont>();
       cf->parse(doc.stream_bytes(ff3));
       if (cf->ok) fr->cff = cf;
+    }
+    // FontFile: raw Type1 programs (dvips-era producers)
+    ObjPtr ff1 = doc.dget(descr, "FontFile");
+    if (!fr->tt && !fr->cff && ff1->is(Obj::Stream)) {
+      auto t1 = std::make_shared<Type1Font>();
+      t1->parse(doc.stream_bytes(ff1));
+      if (t1->ok) {
+        fr->t1 = t1;
+        // the font's built-in encoding improves text decode when the
+        // PDF carries no /Differences (glyph names resolve via AGL)
+        for (auto& kv : t1->builtin_enc)
+          if (kv.first >= 0 && kv.first < 256 &&
+              fr->code_glyphname[kv.first].empty() &&
+              kv.second != ".notdef")
+            fr->code_glyphname[kv.first] = kv.second;
+      }
     }
   };
 
@@ -2697,6 +3180,8 @@ struct PageRender {
           draw_tt_glyph(*font, gid, tm, ctm, tfs, tz, rgb);
         } else if (font && font->cff && gid > 0) {
           draw_cff_glyph(*font, gid, tm, ctm, tfs, tz, rgb);
+        } else if (font && font->t1 && gid >= 0) {
+          draw_t1_glyph(*font, gid, tm, ctm, tfs, tz, rgb);
         } else if (font && font->kind == FontRes::kType3) {
           draw_t3_glyph(*font, code, tm, ctm, tfs, tz, rgb, resources,
                         depth);
@@ -2820,16 +3305,15 @@ struct PageRender {
     pf.fill(canvas, rgb, false);
   }
 
-  // embedded-CFF glyph: Type2 charstring outlines under the font's
-  // FontMatrix (the pdfTeX/Type1C glyph-fidelity role)
-  void draw_cff_glyph(const FontRes& f, int gid, const Mat& tm,
-                      const Mat& ctm, double tfs, double tz,
-                      const double* rgb) {
-    std::vector<std::vector<std::pair<double, double>>> conts;
-    if (!f.cff->outline(gid, conts) || conts.empty()) return;
+  // flattened-outline glyph fill under a FontMatrix (shared by the CFF
+  // and raw-Type1 paths; the pdfTeX/dvips glyph-fidelity role)
+  void fill_glyph_contours(
+      const std::vector<std::vector<std::pair<double, double>>>& conts,
+      const double* fm, const Mat& tm, const Mat& ctm, double tfs,
+      double tz, const double* rgb) {
     Mat FM;
-    FM.a = f.cff->fm[0]; FM.b = f.cff->fm[1]; FM.c = f.cff->fm[2];
-    FM.d = f.cff->fm[3]; FM.e = f.cff->fm[4]; FM.f = f.cff->fm[5];
+    FM.a = fm[0]; FM.b = fm[1]; FM.c = fm[2];
+    FM.d = fm[3]; FM.e = fm[4]; FM.f = fm[5];
     Mat S;
     S.a = tfs * tz / 100.0;
     S.d = tfs;
@@ -2847,6 +3331,22 @@ struct PageRender {
       if (poly.size() >= 2) pf.add_contour(poly);
     }
     pf.fill(canvas, rgb, false);
+  }
+
+  void draw_cff_glyph(const FontRes& f, int gid, const Mat& tm,
+                      const Mat& ctm, double tfs, double tz,
+                      const double* rgb) {
+    std::vector<std::vector<std::pair<double, double>>> conts;
+    if (!f.cff->outline(gid, conts) || conts.empty()) return;
+    fill_glyph_contours(conts, f.cff->fm, tm, ctm, tfs, tz, rgb);
+  }
+
+  void draw_t1_glyph(const FontRes& f, int gid, const Mat& tm,
+                     const Mat& ctm, double tfs, double tz,
+                     const double* rgb) {
+    std::vector<std::vector<std::pair<double, double>>> conts;
+    if (!f.t1->outline(gid, conts) || conts.empty()) return;
+    fill_glyph_contours(conts, f.t1->fm, tm, ctm, tfs, tz, rgb);
   }
 
   // Type3 glyph: run the /CharProcs content stream under
