@@ -111,6 +111,77 @@ def measure(name: str, batch: int, n_iters: int, fused: bool) -> dict:
         L.set_fused_layer(None)
 
 
+def compile_only(name: str, batch: int, n_iters: int, fused: bool,
+                 which: str) -> None:
+    """AOT-compile measure()'s exact chain executable(s) into the
+    persistent cache WITHOUT any device transfer or timed run.
+
+    On degraded-tunnel days the fused whole-layer compile alone can eat
+    most of a <=600 s staged window; killed measure() attempts restart
+    the compile from zero because nothing lands in the cache until the
+    compile finishes. This lowers the IDENTICAL HLO (params are jit
+    arguments, so only avals matter) from ShapeDtypeStructs - near-zero
+    startup, the whole window goes to the server-side compile, and the
+    cached executable makes the subsequent real measure() run cheap.
+
+    ``which`` selects the chain length: "warm" (n=1), "timed"
+    (n=n_iters+1), or "both".
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_colpali_tpu.models import layers as L
+    from multimodal_colpali_tpu.models.registry import load_retriever
+
+    L.set_fused_layer(fused)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ret = load_retriever(name)
+        from PIL import Image
+        rng = np.random.default_rng(0)
+        imgs = [Image.fromarray(rng.integers(0, 255, (448, 448, 3), np.uint8))
+                for _ in range(batch)]
+        proc = ret.processor.process_images(imgs)
+        canon = jax.dtypes.canonicalize_dtype
+        avals = [jax.ShapeDtypeStruct(np.shape(a), canon(np.asarray(a).dtype))
+                 for a in ret._batch_args(proc, True)]
+        p_avals = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, canon(x.dtype)),
+            ret.params)
+        model = ret.model
+
+        def fwd(params, *a):
+            return model.apply({"params": params}, *a)
+
+        pix_idx = len(avals) - 1
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chain(params, n, *a):
+            a = list(a)
+
+            def body(carry, _):
+                pix, acc = carry
+                emb = fwd(params, *(a[:pix_idx] + [pix]))
+                s = jnp.sum(emb.astype(jnp.float32))
+                pix = pix + (s * 0).astype(pix.dtype)
+                return (pix, acc + s), ()
+
+            (pix, acc), _ = jax.lax.scan(
+                body, (a[pix_idx], jnp.float32(0)), None, length=n)
+            return acc
+
+        lengths = {"warm": [1], "timed": [n_iters + 1],
+                   "both": [1, n_iters + 1]}[which]
+        for n in lengths:
+            t0 = time.time()
+            chain.lower(p_avals, n, *avals).compile()
+            log(f"[fused-bench] compile-only fused={fused} n={n}: "
+                f"{time.time()-t0:.0f}s")
+    finally:
+        L.set_fused_layer(None)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="both",
@@ -118,11 +189,21 @@ def main():
     ap.add_argument("--model", default="vidore/colSmol-256M")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--compile-only", default=None,
+                    choices=["warm", "timed", "both"],
+                    help="AOT-compile the chain executable(s) into the "
+                         "persistent cache and exit (no transfers, no "
+                         "timed run) - staged-window helper")
     args = ap.parse_args()
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/.cache/jax_comp")
     modes = ([False, True] if args.mode == "both"
              else [args.mode == "fused"])
+    if args.compile_only:
+        for fused in modes:
+            compile_only(args.model, args.batch, args.iters, fused,
+                         args.compile_only)
+        return
     for fused in modes:
         measure(args.model, args.batch, args.iters, fused)
 

@@ -39,6 +39,14 @@ def log(*a):
 
 
 def probe(timeout_s: float = float(os.environ.get("MMCP_PROBE_TIMEOUT", 240))) -> bool:
+    if timeout_s <= 0:
+        # Staged-run mode: the caller just probed the tunnel directly.
+        # The probe subprocess pays its own slow first dispatch (150 s+
+        # on degraded-tunnel days), which would double-charge every
+        # <=600 s stage - skip it and let the main process's first
+        # dispatch be the de-facto probe.
+        log("[probe] skipped (MMCP_PROBE_TIMEOUT<=0); trusting caller")
+        return True
     code = ("import jax, jax.numpy as jnp;"
             "x = jnp.ones((256, 256), jnp.bfloat16);"
             "print('OK', float((x @ x).sum()), jax.default_backend())")
