@@ -29,6 +29,22 @@ if _os.environ.get("MMCP_JAX_PLATFORMS"):
 
     _jax.config.update("jax_platforms", _os.environ["MMCP_JAX_PLATFORMS"])
 
+if _os.environ.get("JAX_COMPILATION_CACHE_DIR") or _os.environ.get(
+        "MMCP_COMPILE_CACHE", "1") != "0":
+    # Persistent compilation cache. This environment's sitecustomize
+    # imports jax at interpreter startup, so env vars set from Python
+    # (os.environ.setdefault in a script's main()) are read TOO LATE and
+    # the cache silently stays disabled. Setting it through jax.config
+    # works regardless of import order. Remote-TPU compiles are minutes
+    # long here; the cache is what makes staged re-runs cheap.
+    import jax as _jax_cc
+
+    if _jax_cc.config.jax_compilation_cache_dir is None:
+        _jax_cc.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/jax_comp")))
+
 if _os.environ.get("MMCP_FUSED_ATTENTION") in ("0", "1"):
     # Fused-attention Pallas kernel for the encoder hot path. Default is
     # auto (on for TPU backends - hardware parity validated by

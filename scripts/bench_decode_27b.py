@@ -72,7 +72,10 @@ def main() -> None:
     dev = jax.devices()[0]
     try:
         stats = dev.memory_stats() or {}
-        free = stats.get("bytes_limit", 0) - stats.get("bytes_in_use", 0)
+        limit = stats.get("bytes_limit", 0)
+        # the tunnel backend reports all-zero stats: limit 0 means
+        # "unknown", not "no HBM" - proceed and let the allocator decide
+        free = (limit - stats.get("bytes_in_use", 0)) if limit else None
     except Exception:  # noqa: BLE001 - stats unsupported through the tunnel
         free = None
     if free is not None and free < HBM_NEEDED:

@@ -32,7 +32,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def measure(name: str, batch: int, n_iters: int, fused: bool) -> dict:
+def measure(name: str, batch: int, n_iters: int, fused: bool,
+            flops_per_page_g: float = 0.0) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -59,16 +60,23 @@ def measure(name: str, batch: int, n_iters: int, fused: bool) -> dict:
         # not count Pallas custom-call FLOPs, so the fused variant would
         # report a bogus low MFU. The math is identical either way.
         flops = None
-        try:
-            L.set_fused_layer(False)
-            cost = jax.jit(fwd).lower(params, *args).compile().cost_analysis()
-            if cost:
-                c = cost[0] if isinstance(cost, (list, tuple)) else cost
-                flops = float(c.get("flops", 0)) or None
-        except Exception as e:  # noqa: BLE001
-            log(f"[fused-bench] cost_analysis unavailable: {e}")
-        finally:
-            L.set_fused_layer(fused)
+        if flops_per_page_g > 0:
+            # staged-window helper: reuse the FLOPs/page from an earlier
+            # unfused run (the math is identical) instead of paying an
+            # extra unfused compile through the tunnel
+            flops = flops_per_page_g * 1e9 * batch
+        else:
+            try:
+                L.set_fused_layer(False)
+                cost = (jax.jit(fwd).lower(params, *args).compile()
+                        .cost_analysis())
+                if cost:
+                    c = cost[0] if isinstance(cost, (list, tuple)) else cost
+                    flops = float(c.get("flops", 0)) or None
+            except Exception as e:  # noqa: BLE001
+                log(f"[fused-bench] cost_analysis unavailable: {e}")
+            finally:
+                L.set_fused_layer(fused)
 
         pix_idx = len(args) - 1
 
@@ -194,6 +202,11 @@ def main():
                     help="AOT-compile the chain executable(s) into the "
                          "persistent cache and exit (no transfers, no "
                          "timed run) - staged-window helper")
+    ap.add_argument("--flops-per-page", type=float, default=0.0,
+                    help="GFLOP/page from an earlier unfused run; skips "
+                         "the extra unfused cost_analysis compile "
+                         "(staged-window helper; the FLOPs are identical "
+                         "fused vs unfused)")
     args = ap.parse_args()
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           "/root/.cache/jax_comp")
@@ -205,7 +218,8 @@ def main():
                          args.compile_only)
         return
     for fused in modes:
-        measure(args.model, args.batch, args.iters, fused)
+        measure(args.model, args.batch, args.iters, fused,
+                flops_per_page_g=args.flops_per_page)
 
 
 if __name__ == "__main__":
