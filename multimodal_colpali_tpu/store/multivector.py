@@ -39,6 +39,60 @@ from multimodal_colpali_tpu.store import types as t
 
 _FILTERED_SCORE_FLOOR = -1e28  # anything below this is a masked/padded page
 
+_GATHER_WORKERS = int(os.environ.get("MMCP_GATHER_WORKERS", "16"))
+_GATHER_POOL = None  # lazily-created shared executor (thread startup ~ms)
+
+
+def _gather_pool():
+    global _GATHER_POOL
+    if _GATHER_POOL is None:
+        import concurrent.futures as cf
+        _GATHER_POOL = cf.ThreadPoolExecutor(
+            _GATHER_WORKERS, thread_name_prefix="mmcp-gather")
+    return _GATHER_POOL
+
+
+def _gather_rows(arr: np.ndarray, idx: np.ndarray,
+                 dtype: Optional[np.dtype] = None) -> np.ndarray:
+    """Gather ``arr[idx]`` with latency hiding for memmapped corpora.
+
+    NumPy fancy indexing on an ``on_disk`` memmap reads the rows
+    SERIALLY, and every row is one blocking disk round-trip taken with
+    the GIL held (page faults do not release it) - ~0.6 ms/row on this
+    class of host, so a 128-candidate gather costs ~80 ms of pure IO
+    latency. Production stores issue the candidate reads concurrently
+    (Qdrant's on_disk tier does, via mmap readahead + async io); we do
+    the same with ``os.pread`` per row on a thread pool - pread releases
+    the GIL during the syscall, so the round-trips overlap even on one
+    host core. RAM-resident arrays keep the plain fancy-index path.
+
+    ``dtype=None`` (the default) returns the rows in the corpus dtype
+    UNCONVERTED: NumPy's float16->float32 astype runs ~70 MB/s on this
+    host (scalar half conversion) and would dominate the gather by
+    10x+; the device casts for free inside the rescore jit, so callers
+    should ship the raw bytes.
+    """
+    idx = np.asarray(idx)
+    if (not isinstance(arr, np.memmap) or arr.filename is None
+            or len(idx) < 8):
+        out = arr[idx]
+        return out if dtype is None else np.asarray(out, dtype=dtype)
+
+    row_elems = int(np.prod(arr.shape[1:], dtype=np.int64))
+    row_bytes = row_elems * arr.dtype.itemsize
+    raw = np.empty((len(idx), *arr.shape[1:]), arr.dtype)
+    fd = os.open(arr.filename, os.O_RDONLY)
+    try:
+        def read(j: int) -> None:
+            off = int(arr.offset) + int(idx[j]) * row_bytes
+            buf = os.pread(fd, row_bytes, off)
+            raw[j] = np.frombuffer(buf, arr.dtype).reshape(arr.shape[1:])
+
+        list(_gather_pool().map(read, range(len(idx))))
+    finally:
+        os.close(fd)
+    return raw if dtype is None else raw.astype(dtype, copy=False)
+
 
 class MultiVectorStore:
     """One named collection of multi-vector points with MaxSim search."""
@@ -432,7 +486,9 @@ class MultiVectorStore:
         # (memmap-friendly row indexing when the store was loaded on_disk)
         n_real = len(self._ids)
         safe = np.minimum(cand, max(n_real - 1, 0))
-        pages = np.asarray(self._vectors[safe], dtype=np.float32)
+        pages = _gather_rows(self._vectors, safe)  # raw corpus dtype:
+        # the device casts inside the rescore jit; host f16->f32/bf16
+        # conversion would cost 10x the read itself
         lens = self._lens[safe].astype(np.int32).copy()
         for row, idx in enumerate(cand.tolist()):
             if idx >= n_real or (query_filter is not None
@@ -440,7 +496,9 @@ class MultiVectorStore:
                 lens[row] = 0  # padded/filtered candidate scores MASK_VALUE
         vals, order = rescore_candidates(
             jnp.asarray(q, jnp.float32), jnp.int32(q.shape[0]),
-            jnp.asarray(pages, self.dtype), jnp.asarray(lens),
+            # cast to the store dtype ON DEVICE so scores bit-match the
+            # HBM-resident path (which scores in self.dtype)
+            jnp.asarray(pages).astype(self.dtype), jnp.asarray(lens),
             k=min(limit, n_cand))
         vals = np.asarray(vals)
         inds = cand[np.asarray(order)]

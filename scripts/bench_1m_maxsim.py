@@ -170,21 +170,35 @@ def main():
         f"{stage1_ms:.3f} ms/query (device)")
 
     # -- stage 2: host gather (genuine memmap row reads) ----------------------
+    from multimodal_colpali_tpu.store.multivector import _gather_rows
+
     cand_host = np.asarray(s1(q_j, pooled_j, dl_j))
     cand_host = np.minimum(cand_host, args.n_real - 1)
     gather_times = []
     for it in range(max(args.iters, 8)):
         idx = rng.integers(0, args.n_real, C)
         t0 = time.time()
-        pages = np.asarray(pool[idx], np.float32)
+        pages = _gather_rows(pool, idx)  # raw f16; device casts in-jit
         gather_times.append(time.time() - t0)
     gather_ms = float(np.median(gather_times) * 1e3)
     bytes_gather = C * NT * D * 2
     log(f"[1m] stage2 gather of C={C} pages ({bytes_gather/1e6:.1f} MB "
-        f"f16): {gather_ms:.3f} ms (host memmap)")
+        f"f16): {gather_ms:.3f} ms (host memmap, parallel pread)")
+
+    # steady-state serving keeps the hot candidate set in page cache:
+    # re-gathering rows already touched above measures the warm path
+    warm_times = []
+    hot = rng.integers(0, args.n_real, C)
+    _gather_rows(pool, hot)  # fault the rows in once
+    for it in range(max(args.iters, 8)):
+        t0 = time.time()
+        _gather_rows(pool, hot)
+        warm_times.append(time.time() - t0)
+    gather_warm_ms = float(np.median(warm_times) * 1e3)
+    log(f"[1m] stage2 gather, warm page cache: {gather_warm_ms:.3f} ms")
 
     # -- stage 2: exact rescore device time -----------------------------------
-    pages_j = jnp.asarray(pages, jnp.bfloat16)
+    pages_j = jnp.asarray(pages)  # raw f16; rescore casts on device
     lens_j = jnp.full((C,), NT, jnp.int32)
 
     def s2(q, pg, lens):
@@ -198,10 +212,12 @@ def main():
     bytes_xfer = C * NT * D * 2  # bf16 candidates up to the device
     xfer_ms = bytes_xfer / 8e9 * 1e3  # conservative 8 GB/s host<->HBM
     total_ms = stage1_ms + gather_ms + xfer_ms + rescore_ms
+    total_warm_ms = stage1_ms + gather_warm_ms + xfer_ms + rescore_ms
     log(f"[1m] transfer estimate: {bytes_xfer/1e6:.1f} MB @8 GB/s = "
         f"{xfer_ms:.2f} ms")
     log(f"[1m] END-TO-END p50 ESTIMATE @ {args.n_pool} pages: "
-        f"{total_ms:.2f} ms (target < 10 ms)")
+        f"{total_ms:.2f} ms cold / {total_warm_ms:.2f} ms warm "
+        f"(target < 10 ms)")
 
     rec = {
         "backend": backend,
@@ -210,9 +226,11 @@ def main():
         "candidates": C,
         "stage1_device_ms": round(stage1_ms, 4),
         "gather_host_ms": round(gather_ms, 4),
+        "gather_warm_ms": round(gather_warm_ms, 4),
         "transfer_est_ms": round(xfer_ms, 4),
         "rescore_device_ms": round(rescore_ms, 4),
         "end_to_end_ms": round(total_ms, 4),
+        "end_to_end_warm_ms": round(total_warm_ms, 4),
         "hbm_stage1_mb": round(hbm_bytes / 1e6, 1),
         "note": ("stage1 at full N on chip; gather pool holds n_real "
                  "genuine pages (memmap row reads touch only C rows, so "
